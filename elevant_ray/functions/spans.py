@@ -1,0 +1,49 @@
+"""Span arithmetic kernels (pure, per-document).
+
+``word_boundary`` reproduces the reference's span expansion exactly
+(``src/elevant/evaluation/case_generator.py:13-37``), including its two
+quirks: the right expansion stops at ``len(text) - 1`` (the final
+character is never absorbed), and a leading quote is re-dropped when the
+span contains no closing quote.
+
+>>> word_boundary((0, 6), "Albert's birthplace is Ulm.")
+(0, 8)
+>>> word_boundary((1, 19), '"Hearts and Flowers" is a song.')
+(0, 20)
+>>> word_boundary((0, 6), "Soviet-backed government.")
+(0, 6)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+Span = Tuple[int, int]
+
+_WORD_EXTRAS = "'\"_"
+
+
+def _is_wordish(ch: str) -> bool:
+    return ch.isalnum() or ch in _WORD_EXTRAS
+
+
+def word_boundary(span: Span, text: str) -> Span:
+    """Expand ``span`` to word boundaries in ``text`` (reference parity)."""
+    lo, hi = span
+    while lo > 0 and _is_wordish(text[lo - 1]):
+        lo -= 1
+    # NB: `len(text) - 1` (not len(text)) mirrors case_generator.py:30 —
+    # the last character of the document is never absorbed.
+    while hi < len(text) - 1 and _is_wordish(text[hi]):
+        hi += 1
+    if text[lo] == '"' and '"' not in text[lo + 1:hi]:
+        lo += 1
+    return lo, hi
+
+
+def spans_overlap(a: Span, b: Span) -> bool:
+    return a[0] < b[1] and b[0] < a[1]
+
+
+def span_contains(outer: Span, inner: Span) -> bool:
+    return outer[0] <= inner[0] and inner[1] <= outer[1]

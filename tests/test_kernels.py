@@ -1,0 +1,167 @@
+"""Unit tests for pure kernels: spans, mention types, tokens, minhash,
+NER, URL/QID normalization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from elevant_ray.functions import mention_types as mt
+from elevant_ray.functions.minhash import (
+    band_keys, hamming64, jaccard, minhash_signature, shingle_hashes, simhash64,
+)
+from elevant_ray.functions.ner import alias_mentions, capitalized_run_mentions
+from elevant_ray.functions.normalize import canonical_url, wikidata_qid
+from elevant_ray.functions.spans import word_boundary
+from elevant_ray.functions.tokens import (
+    lang_guess, md5_fingerprint, quality_features, token_count, unigrams,
+)
+
+
+# ---- word_boundary: reference doctests (case_generator.py:18-25) ----
+def test_word_boundary_reference_doctests():
+    assert word_boundary((0, 6), "Albert's birthplace is Ulm.") == (0, 8)
+    assert word_boundary((1, 19), '"Hearts and Flowers" is a song.') == (0, 20)
+    assert word_boundary((0, 6), "Soviet-backed government.") == (0, 6)
+
+
+def test_word_boundary_never_absorbs_last_char():
+    # reference quirk: right expansion stops at len(text)-1
+    assert word_boundary((0, 2), "abcd") == (0, 3)
+
+
+# ---- mention types (mention_type.py / pronoun_finder.py parity) ----
+def test_pronouns():
+    assert mt.is_pronoun("I")
+    assert mt.is_pronoun("she")
+    assert not mt.is_pronoun("US")   # acronym guard
+    assert not mt.is_pronoun("IT")
+    assert mt.is_pronoun("It")
+
+
+def test_nominal():
+    assert mt.is_nominal("the city")
+    assert mt.is_nominal("her dog")
+    assert not mt.is_nominal("the United States")  # uppercase continuation
+    assert not mt.is_nominal("the ")
+    assert not mt.is_nominal("Theory")
+
+
+def test_mention_type_matrix():
+    assert mt.mention_type("he", None, None, None, None, None) == mt.COREF_PRONOMINAL
+    assert mt.mention_type("the song", None, "song", "Q1", None, None) == mt.COREF_NOMINAL
+    assert mt.mention_type("Berlin", None, "Berlin", "Q64", None, None) == mt.ENTITY_NAMED
+    assert mt.mention_type("jazz", None, "jazz", "Q8", None, None) == mt.ENTITY_NON_NAMED
+    assert mt.mention_type("x", None, "x", "<NIL>", None, None) == mt.ENTITY_UNKNOWN
+    # explicit gt coref flag wins
+    assert mt.mention_type("Berlin", True, "Berlin", "Q64", None, None) == mt.COREF_NOMINAL
+    assert mt.mention_type("he", False, "He", "Q1", None, None) == mt.ENTITY_NAMED
+
+
+# ---- tokens / quality / langid / fingerprints ----
+def test_token_count():
+    assert token_count("  a  bb\tccc\n") == 3
+    assert token_count("") == 0
+
+
+def test_unigrams():
+    assert unigrams("Hello, World_2!") == ["hello", "world_2"]
+
+
+def test_quality_features():
+    q = quality_features("The cat and the dog. 42!")
+    assert q["n_tokens"] == 6
+    assert q["n_digit"] == 2
+    assert q["stopword_count"] == 3  # the, and, the
+
+
+def test_lang_guess():
+    assert lang_guess("the cat is in the house and it was fine") == "en"
+    assert lang_guess("der Hund und die Katze ist nicht da") == "de"
+    assert lang_guess("xyzzy plugh 12345") == "other"
+
+
+def test_md5_fingerprint_normalization():
+    assert md5_fingerprint("Hello   World") == md5_fingerprint("  hello world\n")
+    assert md5_fingerprint("a") != md5_fingerprint("b")
+
+
+# ---- minhash / simhash ----
+def test_minhash_similarity_ordering():
+    a = " ".join(f"word{i}" for i in range(200))
+    b = " ".join(f"word{i}" if i != 100 else "changed" for i in range(200))
+    c = " ".join(f"other{i}" for i in range(200))
+    sa = minhash_signature(shingle_hashes(a))
+    sb = minhash_signature(shingle_hashes(b))
+    sc = minhash_signature(shingle_hashes(c))
+    sim_ab = float(np.mean(sa == sb))
+    sim_ac = float(np.mean(sa == sc))
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_minhash_deterministic():
+    s1 = minhash_signature(shingle_hashes("some stable text here"))
+    s2 = minhash_signature(shingle_hashes("some stable text here"))
+    assert np.array_equal(s1, s2)
+
+
+def test_band_keys_shared_for_near_dups():
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 30
+    b = a + "tail"
+    ka = set(band_keys(minhash_signature(shingle_hashes(a))))
+    kb = set(band_keys(minhash_signature(shingle_hashes(b))))
+    assert ka & kb
+
+
+def test_simhash():
+    a = simhash64("the quick brown fox " * 20)
+    b = simhash64("the quick brown fox " * 20 + "tail")
+    c = simhash64("orthogonal topic entirely different words " * 20)
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+# ---- greedy longest-alias NER (maximum_matching_ner.py:107-123 parity) ----
+def test_alias_mentions_longest_match():
+    aliases = {"New York", "New York City", "York"}
+    text = "Visit New York City today."
+    assert alias_mentions(text, aliases) == [(6, 19)]
+
+
+def test_alias_mentions_greedy_skip():
+    aliases = {"AB", "CD"}
+    assert alias_mentions("AB CD", aliases) == [(0, 2), (3, 5)]
+
+
+def test_capitalized_runs():
+    assert capitalized_run_mentions("Meet John Smith in Paris.") == [(0, 4), (5, 15), (19, 24)]
+
+
+# ---- URL canonicalization ----
+def test_canonical_url():
+    assert canonical_url("https://www.Example.com/a/b/") == "example.com/a/b"
+    assert canonical_url("http://example.com/a?utm_source=x&id=3#f") == "example.com/a?id=3"
+    assert canonical_url("example.com//a///b") == "example.com/a/b"
+    assert canonical_url("HTTPS://WWW.EXAMPLE25.com/articles/3") == "example25.com/articles/3"
+    assert canonical_url("https://example.com/") == "example.com"
+    assert canonical_url("https://example.com/?utm_campaign=z") == "example.com"
+
+
+def test_canonical_url_matches_synth_closed_form():
+    from elevant_ray.sources.pages import canonical_expected, page_url
+
+    for doc_id in range(200):
+        assert canonical_url(page_url(doc_id)) == canonical_expected(doc_id)
+
+
+# ---- QID normalization (knowledge_base_mapper.py:56-117 parity) ----
+def test_wikidata_qid():
+    t2q = {"Berlin": "Q64", "ulm": "Q3012"}
+    red = {"Berlin, Germany": "Berlin"}
+    assert wikidata_qid("http://www.wikidata.org/entity/Q64", t2q) == "Q64"
+    assert wikidata_qid("https://en.wikipedia.org/wiki/Berlin", t2q) == "Q64"
+    assert wikidata_qid("http://dbpedia.org/resource/Berlin%2C_Germany", t2q, red) == "Q64"
+    assert wikidata_qid("Q123", t2q) == "Q123"          # bare QID
+    assert wikidata_qid("Ulm", t2q) == "Q3012"           # lowercase-first retry
+    assert wikidata_qid("NIL", t2q) == "<NIL>"
+    assert wikidata_qid("", t2q) == "<NIL>"
+    assert wikidata_qid("http://ex.org/notInWiki/xyz", t2q) == "<NIL>"
+    assert wikidata_qid("https://en.wikipedia.org/wiki/Nowhere", t2q) == "<NO_MAPPING>"
