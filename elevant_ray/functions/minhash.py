@@ -91,14 +91,11 @@ def simhash64(text: str) -> int:
 
     acc = np.zeros(64, dtype=np.int64)
     for w in unigrams(text):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
+        acc += bits.astype(np.int64) * 2 - 1
+    packed = np.packbits(acc > 0, bitorder="little").tobytes()
+    return int.from_bytes(packed, "little")
 
 
 def hamming64(a: int, b: int) -> int:
