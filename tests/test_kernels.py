@@ -132,7 +132,7 @@ def test_alias_mentions_greedy_skip():
 
 
 def test_capitalized_runs():
-    assert capitalized_run_mentions("Meet John Smith in Paris.") == [(0, 4), (5, 15), (19, 24)]
+    assert capitalized_run_mentions("Meet John Smith in Paris.") == [(0, 15), (19, 24)]
 
 
 # ---- URL canonicalization ----
