@@ -165,7 +165,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         sec_col.append(
             [{"begin": b, "end": e, "title": t} for (b, e), t in secs]
         )
-    keep = [n for n in batch.column_names if n != "html"]
+    # drop the wide html column and any pre-existing extraction outputs
+    # (CC-style inputs ship a `text` column; extraction is authoritative)
+    drop = {"html", "text", "hyperlinks", "title_synonyms", "sections"}
+    keep = [n for n in batch.column_names if n not in drop]
     out = batch.select(keep)
     out = out.append_column("text", pa.array(texts, type=pa.string()))
     out = out.append_column("hyperlinks", pa.array(links_col, type=pa.list_(LINK_STRUCT)))

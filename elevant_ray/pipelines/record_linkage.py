@@ -1,0 +1,135 @@
+"""Flagship pipeline: blocking + pairwise scoring + transitive clustering
+over Common-Crawl-style pages (the north-star DAG).
+
+    read pages ──extract──▶ dedup(url) ──▶ LSH+URL blocking ──▶
+    candidate pairs ──scorer──▶ match edges ──hash-min CC──▶ clusters
+                                            └─▶ pairwise F1 vs gold
+
+Every wide step is keyed: dedup on ``url``; blocking groupbys on
+``band_key``; pair verification joins hash-partitioned on the pair
+endpoints; CC on ``node``.  Gold pairs come from the deterministic page
+generator (pages born from the same source document are duplicates), so
+the pairwise-F1 gate runs end-to-end with no external data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from elevant_ray.functions.extract import extract_batch
+from elevant_ray.functions.normalize import canonical_url
+from elevant_ray.stages.clustering import clusters_to_pairs, connected_components
+from elevant_ray.stages.dedup import dedup_first_by, lsh_candidate_pairs
+from elevant_ray.stages.scoring import verify_pairs
+
+
+def add_canon_column(batch: pa.Table) -> pa.Table:
+    canon = [canonical_url(u) for u in batch.column("url").to_pylist()]
+    return batch.append_column("canon", pa.array(canon, pa.string()))
+
+
+def prepare_pages(pages, do_extract: bool = True):
+    """pages(url, warc_ts, html, …) → extracted + canonicalized + deduped
+    (one row per url, earliest warc_ts wins)."""
+    if do_extract and "html" in pages.schema().names:
+        pages = pages.map_batches(extract_batch, batch_format="pyarrow")
+    pages = pages.map_batches(add_canon_column, batch_format="pyarrow")
+    # keep scalar columns only: linkage needs (url, canon, text[, doc_id]);
+    # nested annotation columns belong to the linking pipeline and don't
+    # survive pandas map_groups anyway (ray guide: keep nested in Arrow)
+    keep = [c for c in ("url", "warc_ts", "canon", "text", "lang", "doc_id")
+            if c in pages.schema().names]
+    pages = pages.select_columns(keep)
+    return dedup_first_by(pages, key="url", order_col="warc_ts")
+
+
+def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
+    """Blocking (LSH bands + short-doc shingles + canonical-url key) →
+    verified match edges(left, right, lev_sim, …)."""
+    # content channel: LSH candidate pairs on url ids
+    content_pairs = lsh_candidate_pairs(pages, id_col="url")
+
+    # url channel: pages sharing a canonical url (e.g. scheme variants)
+    def canon_pairs(group):
+        import pandas as pd
+
+        members = sorted(group["url"].unique())
+        left, right = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                left.append(members[i])
+                right.append(members[j])
+        return pd.DataFrame({"left": left, "right": right})
+
+    url_pairs = (pages.select_columns(["canon", "url"])
+                 .groupby("canon")
+                 .map_groups(canon_pairs, batch_format="pandas"))
+
+    from elevant_ray.stages.util import as_arrow
+
+    pairs = content_pairs.union(as_arrow(url_pairs))
+    pairs = as_arrow(pairs.groupby(["left", "right"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"))
+
+    scored = verify_pairs(pairs, pages, id_col="url",
+                          threshold=threshold, num_partitions=num_partitions)
+    return scored
+
+
+def cluster_pages(pages, threshold: float = 0.75, num_partitions: int = 16):
+    """Full DAG → (labels Dataset(node, label), scored pairs Dataset)."""
+    scored = match_edges(pages, threshold, num_partitions)
+    edges = scored.filter(lambda r: r["is_match"]) \
+        .select_columns(["left", "right"])
+    labels = connected_components(edges, num_partitions=num_partitions)
+    return labels, scored
+
+
+def gold_pairs_from_doc_ids(pages_with_doc_id):
+    """Gold same-entity url pairs: pages generated from the same doc_id
+    (the synthetic ground truth — mirrors + exact-dup urls)."""
+    import pandas as pd
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(group["url"].unique())
+        left, right = [], []
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                left.append(members[i])
+                right.append(members[j])
+        return pd.DataFrame({"left": left, "right": right})
+
+    return (pages_with_doc_id.select_columns(["doc_id", "url"])
+            .groupby("doc_id").map_groups(expand, batch_format="pandas"))
+
+
+def run_record_linkage(sf_dir: str, threshold: float = 0.75,
+                       num_partitions: int = 16,
+                       checkpoint_dir: Optional[str] = None):
+    """End-to-end on synthesized pages; returns dict with labels dataset,
+    pairwise-F1 dict, and row counts.  With `checkpoint_dir`, each stage
+    checkpoints to Parquet and a rerun resumes (state/checkpoint.py)."""
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.evaluation import pairwise_f1
+
+    pages_raw = synth_pages(sf_dir, include_doc_id=True)
+    pages = prepare_pages(pages_raw)
+
+    if checkpoint_dir:
+        from elevant_ray.state.checkpoint import fingerprint_paths, run_stage
+
+        fp = fingerprint_paths(f"{sf_dir}/documents.parquet")
+        pages, _ = run_stage(lambda: pages, f"{checkpoint_dir}/pages",
+                             "prepare_pages", fp)
+
+    labels, scored = cluster_pages(pages, threshold, num_partitions)
+    pred_pairs = clusters_to_pairs(labels)
+    # planted gold = pages born from the same source document; recall on
+    # these must be 1.0.  Precision is measured against the brute-force
+    # single-node oracle instead (pipelines/oracle.py, see tests) —
+    # the corpus itself contains legitimate cross-document near-dups.
+    gold = gold_pairs_from_doc_ids(pages)
+    planted = pairwise_f1(pred_pairs, gold, num_partitions=num_partitions)
+    return {"labels": labels, "scored": scored, "planted_pairs": planted}

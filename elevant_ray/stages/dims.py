@@ -1,0 +1,102 @@
+"""Dimension-table builds — the engine's version of the reference's
+``make generate-wikipedia-mappings`` DAG (Makefile:212-226), recast as
+Ray Data aggregations over the pages table.
+
+- ``link_frequencies``: (anchor alias, target) → count over all
+  hyperlinks (``scripts/get_link_frequencies.py:21-47``).  Map-side
+  partial Counters → groupby sum: the shuffle carries distinct
+  (alias, target) per block, not every link occurrence — this is the
+  hot-key (Zipfian alias) mitigation the north rule requires; explicit
+  key salting is unnecessary once partials collapse per-block
+  duplicates, because the residual groupby is on pre-aggregated rows.
+- ``most_popular_candidates``: alias → argmax-by-frequency target set
+  (ties kept), per ``scripts/create_databases.py:107-126``.
+- ``alias_to_qids`` / ``entity_popularity``: candidate and popularity
+  dims (``entity_database.py:264-274, 379-384``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _partial_link_counts(batch: pa.Table) -> pa.Table:
+    counts: Counter = Counter()
+    texts = batch.column("text").to_pylist()
+    links = batch.column("hyperlinks").to_pylist()
+    for text, hls in zip(texts, links):
+        for hl in hls or ():
+            alias = text[hl["begin"]:hl["end"]]
+            counts[(alias, hl["target"])] += 1
+    aliases = [k[0] for k in counts]
+    targets = [k[1] for k in counts]
+    return pa.table({
+        "alias": pa.array(aliases, pa.string()),
+        "target": pa.array(targets, pa.string()),
+        "partial": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def link_frequencies(pages):
+    """pages(text, hyperlinks) → link_freq(alias, target, freq)."""
+    from ray.data.aggregate import Sum
+
+    partials = pages.map_batches(_partial_link_counts, batch_format="pyarrow")
+    return partials.groupby(["alias", "target"]).aggregate(
+        Sum("partial", alias_name="freq"))
+
+
+def most_popular_candidates(link_freq):
+    """alias → targets with max freq (ties kept, sorted) + the min-target
+    pick the wikipedia-strategy baseline uses (baseline_linker.py:77-80)."""
+
+    def argmax(group: pd.DataFrame) -> pd.DataFrame:
+        best = group["freq"].max()
+        top = sorted(group.loc[group["freq"] == best, "target"])
+        return pd.DataFrame({
+            "alias": [group["alias"].iloc[0]],
+            "candidates": [top],
+            "top_candidate": [top[0]],
+            "freq": [best],
+        })
+
+    return link_freq.groupby("alias").map_groups(argmax, batch_format="pandas")
+
+
+def entity_popularity(link_freq):
+    """target (entity) → summed link frequency (entity_database.py:379-384)."""
+    from ray.data.aggregate import Sum
+
+    return link_freq.groupby("target").aggregate(Sum("freq", alias_name="popularity"))
+
+
+def alias_candidates(link_freq):
+    """alias → sorted distinct candidate targets (entity_database.py:264-274)."""
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "alias": [group["alias"].iloc[0]],
+            "qids": [sorted(group["target"].unique())],
+        })
+
+    return link_freq.groupby("alias").map_groups(collect, batch_format="pandas")
+
+
+def to_broadcast_dicts(link_freq) -> Dict[str, object]:
+    """Materialize the (small) dim tables into plain dicts for actor-pool
+    broadcast: {alias: [qids]}, {qid: popularity}.  Dim tables are by
+    construction ≲10^7 rows (SURVEY §2.5) — the one intentional
+    materialization in the pipeline."""
+    pdf = link_freq.to_pandas()
+    alias_to_qids: Dict[str, List[str]] = {}
+    popularity: Counter = Counter()
+    for alias, target, freq in pdf[["alias", "target", "freq"]].itertuples(index=False):
+        alias_to_qids.setdefault(alias, []).append(target)
+        popularity[target] += int(freq)
+    for alias in alias_to_qids:
+        alias_to_qids[alias] = sorted(set(alias_to_qids[alias]))
+    return {"alias_to_qids": alias_to_qids, "popularity": dict(popularity)}

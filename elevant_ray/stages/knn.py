@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column.
+
+Brute-force cosine top-k: the query matrix is broadcast once via
+``ray.put`` (never re-shipped per batch); each batch computes a float64
+matmul against it and emits only its per-batch top-k rows per query;
+a final tiny groupby keeps the global top-k.  Shuffle volume is
+O(queries × k × blocks), independent of the corpus size.
+
+``ivf_topk`` is the scale path: k-means-lite coarse quantizer (fit on a
+sample, broadcast centroids), probe only the closest `nprobe` partitions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col: Sequence[Sequence[float]]) -> np.ndarray:
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """→ Dataset(query_id, neighbor_id, rank) — rank 1..k by cosine desc,
+    ties broken by smaller neighbor_id; self-matches excluded."""
+    import ray
+
+    qset = set(query_ids)
+    qtab = embeddings.filter(lambda row: row[id_col] in qset).to_pandas()
+    qtab = qtab.sort_values(id_col)
+    qids = qtab[id_col].to_numpy()
+    qmat = _as_matrix(qtab[vec_col].to_list())
+    qref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(qref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column(vec_col).to_pylist())
+        sims = mat @ mat_q.T                      # (batch, nq)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, len(ids))                 # +1 to survive self-drop
+        for qi, qid in enumerate(ids_q):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            for t in top:
+                if ids[t] == qid:
+                    continue
+                out_q.append(int(qid))
+                out_n.append(int(ids[t]))
+                out_s.append(float(col[t]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = embeddings.map_batches(partial_topk, batch_format="pyarrow",
+                                      batch_size=4096)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
+
+
+def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 2048, kmeans_iters: int = 8):
+    """IVF variant: assign rows to nearest of `n_cells` centroids (fit on
+    a driver-side sample — the only materialized piece, bounded by
+    `sample_size`), keep only rows whose cell is among each query's
+    `nprobe` nearest cells, then brute-force within the probed subset."""
+    import ray
+
+    sample = embeddings.limit(sample_size).to_pandas()
+    smat = _as_matrix(sample[vec_col].to_list())
+    rng = np.random.RandomState(7)
+    cent = smat[rng.choice(len(smat), size=min(n_cells, len(smat)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = smat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / (n if n else 1.0)
+    cent_ref = ray.put(cent)
+
+    qset = set(query_ids)
+    qtab = embeddings.filter(lambda row: row[id_col] in qset).to_pandas()
+    qtab = qtab.sort_values(id_col)
+    qids = qtab[id_col].to_numpy()
+    qmat = _as_matrix(qtab[vec_col].to_list())
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probed = {}
+    for qid, cells in zip(qids, qcells):
+        for c in cells:
+            probed.setdefault(int(c), []).append(int(qid))
+    probed_ref = ray.put(probed)
+    qref = ray.put((qids, qmat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(cent_ref)
+        probe_map = ray.get(probed_ref)
+        ids_q, mat_q = ray.get(qref)
+        qpos = {int(q): i for i, q in enumerate(ids_q)}
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column(vec_col).to_pylist())
+        cells = np.argmax(mat @ centroids.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(cells):
+            quids = probe_map.get(int(c), ())
+            if not quids:
+                continue
+            mask = cells == c
+            sub_ids = ids[mask]
+            sub = mat[mask]
+            sims = sub @ mat_q[[qpos[q] for q in quids]].T
+            for qi, qid in enumerate(quids):
+                col = sims[:, qi]
+                kk = min(k + 1, len(sub_ids))
+                top = np.argpartition(-col, kk - 1)[:kk] if len(sub_ids) > kk else np.arange(len(sub_ids))
+                for t in top:
+                    if sub_ids[t] == qid:
+                        continue
+                    out_q.append(int(qid))
+                    out_n.append(int(sub_ids[t]))
+                    out_s.append(float(col[t]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=4096)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")

@@ -1,0 +1,194 @@
+"""Pairwise scoring stages.
+
+Two scorers:
+
+1. ``verify_pairs`` — record-linkage pair verification over candidate
+   pairs: token-sequence Levenshtein similarity + shingle Jaccard +
+   canonical-url equality, vectorized per batch after two hash-joins to
+   attach both sides' texts.  Emits match edges for clustering.
+
+2. ``EntityScorer`` — the ELEVANT popularity scorer as a stateful actor
+   pool: alias → candidate QIDs → argmax by popularity, with the
+   reference's deterministic tie-breaks
+   (``baseline_linker.py:43-50``: ``max((score, qid))`` i.e. larger QID
+   string on score ties for the wikidata strategy;
+   ``baseline_linker.py:77-80``: ``min(candidates)`` among the
+   most-popular set for the wikipedia strategy).  Dicts are loaded once
+   per actor from the object store (``ray.put`` broadcast — the Ray
+   analog of the reference's forkserver preload, ``link_text.py:83-84``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+import pyarrow as pa
+
+from elevant_ray.functions.dates import is_date
+from elevant_ray.functions.minhash import jaccard, shingle_hashes
+from elevant_ray.functions.tokens import unigrams
+
+NIL = "<NIL>"
+
+
+def token_lev_similarity(a: List[str], b: List[str]) -> float:
+    """1 - levenshtein(a, b) / max(len) over token sequences (numpy DP)."""
+    n, m = len(a), len(b)
+    if n == 0 and m == 0:
+        return 1.0
+    if n == 0 or m == 0:
+        return 0.0
+    ai = np.array([hash(t) for t in a])
+    bi = np.array([hash(t) for t in b])
+    prev = np.arange(m + 1)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (bi != ai[i - 1])
+        # running min: cur[j] = min(prev[j]+1, sub[j-1], cur[j-1]+1)
+        np.minimum(prev[1:] + 1, sub, out=sub)
+        for j in range(1, m + 1):  # dependency chain on cur[j-1]
+            c = sub[j - 1]
+            if cur[j - 1] + 1 < c:
+                c = cur[j - 1] + 1
+            cur[j] = c
+        prev = cur
+    return 1.0 - prev[m] / max(n, m)
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler string similarity (standard public formulation)."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    jaro = (matches / n1 + matches / n2 + (matches - t / 2) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b or prefix == 4:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1 - jaro)
+
+
+def score_pair_batch(batch: pa.Table, threshold: float = 0.75) -> pa.Table:
+    """Batch kernel: expects columns left, right, text_l, text_r,
+    canon_l, canon_r → appends lev_sim, shingle_jaccard, url_equal,
+    is_match."""
+    tl = batch.column("text_l").to_pylist()
+    tr = batch.column("text_r").to_pylist()
+    cl = batch.column("canon_l").to_pylist()
+    cr = batch.column("canon_r").to_pylist()
+    lev, jac, ueq, match = [], [], [], []
+    for a, b, ca, cb in zip(tl, tr, cl, cr):
+        ue = ca == cb
+        if ue:
+            lv, jc = 1.0, 1.0
+        else:
+            lv = token_lev_similarity(unigrams(a), unigrams(b))
+            jc = jaccard(shingle_hashes(a), shingle_hashes(b)) if lv >= threshold else 0.0
+        lev.append(lv)
+        jac.append(jc)
+        ueq.append(ue)
+        match.append(ue or lv >= threshold)
+    out = batch.append_column("lev_sim", pa.array(lev, pa.float64()))
+    out = out.append_column("shingle_jaccard", pa.array(jac, pa.float64()))
+    out = out.append_column("url_equal", pa.array(ueq, pa.bool_()))
+    out = out.append_column("is_match", pa.array(match, pa.bool_()))
+    return out
+
+
+def verify_pairs(pairs, pages, id_col: str = "url",
+                 threshold: float = 0.75, num_partitions: int = 16):
+    """Attach both sides' (text, canonical url) via two hash-partitioned
+    joins, then score.  `pages` must carry columns (id_col, text, canon).
+    Returns the scored pair Dataset; filter on `is_match` for edges."""
+    side = pages.select_columns([id_col, "text", "canon"])
+
+    left_side = side.rename_columns({id_col: "left", "text": "text_l", "canon": "canon_l"})
+    right_side = side.rename_columns({id_col: "right", "text": "text_r", "canon": "canon_r"})
+    joined = pairs.join(left_side, "inner", num_partitions, on=("left",))
+    joined = joined.join(right_side, "inner", num_partitions, on=("right",))
+    return joined.map_batches(
+        lambda b: score_pair_batch(b, threshold=threshold), batch_format="pyarrow")
+
+
+class EntityScorer:
+    """Actor-pool stage: mention batches → predicted QID.
+
+    State (loaded once per actor in ``__init__`` from object-store refs):
+    - alias→candidate QID list (dimension table);
+    - QID→popularity (sitelinks / global link frequency);
+    Strategies mirror the reference:
+    - "wikidata": argmax popularity, ties → max QID string
+      (baseline_linker.py:43-50);
+    - "wikipedia": among max-link-frequency candidates take min QID
+      (baseline_linker.py:77-80 + create_databases.py:107-126 argmax).
+    """
+
+    def __init__(self, alias_to_qids_ref, popularity_ref,
+                 strategy: str = "wikidata", drop_dates: bool = True,
+                 uppercase_only: bool = False):
+        import ray
+
+        self.alias_to_qids: Dict[str, List[str]] = ray.get(alias_to_qids_ref)
+        self.popularity: Dict[str, int] = ray.get(popularity_ref)
+        self.strategy = strategy
+        self.drop_dates = drop_dates
+        self.uppercase_only = uppercase_only
+
+    def _select(self, candidates: Set[str]) -> Optional[str]:
+        if not candidates:
+            return None
+        if self.strategy == "wikipedia":
+            best = max(self.popularity.get(c, 0) for c in candidates)
+            top = [c for c in candidates if self.popularity.get(c, 0) == best]
+            return min(top)
+        scored = [(self.popularity.get(c, 0), c) for c in candidates]
+        return max(scored)[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mentions = batch.column("mention").to_pylist()
+        preds: List[Optional[str]] = []
+        cand_col: List[List[str]] = []
+        keep = []
+        for text in mentions:
+            if (self.uppercase_only and text.islower()) or \
+                    (self.drop_dates and is_date(text)):
+                keep.append(False)
+                preds.append(None)
+                cand_col.append([])
+                continue
+            keep.append(True)
+            cands = set(self.alias_to_qids.get(text, ()))
+            chosen = self._select(cands)
+            preds.append(chosen if chosen is not None else NIL)
+            cand_col.append(sorted(cands))
+        out = batch.append_column("pred_qid", pa.array(preds, pa.string()))
+        out = out.append_column("candidates", pa.array(cand_col, pa.list_(pa.string())))
+        out = out.filter(pa.array(keep, pa.bool_()))
+        return out

@@ -1,0 +1,95 @@
+"""Per-partition Parquet checkpoints with lineage manifests.
+
+North rule: "resumable from checkpoint with per-partition lineage +
+metrics".  The reference has no checkpointing (any crash rescans the
+whole JSONL — ``link_text.py:77``); the engine writes each stage's
+output as a directory of Parquet parts plus a ``manifest.json`` holding
+(stage name, input fingerprint, per-partition row counts, wall time).
+``run_stage`` skips recomputation when a manifest matches the input
+fingerprint — that is mid-pipeline resume: finished stages are read
+back from Parquet, unfinished ones re-run.
+
+At multi-node scale the manifest lives next to the data (shared FS /
+object store); writes go to a temp dir then atomic-rename so a torn
+write never looks complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Optional
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def is_complete(out_dir: str, input_fingerprint: str) -> bool:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            manifest = json.load(f)
+        return manifest.get("input_fingerprint") == input_fingerprint \
+            and manifest.get("complete") is True
+    except (OSError, ValueError):
+        return False
+
+
+def write_checkpoint(ds, out_dir: str, stage: str, input_fingerprint: str,
+                     extra_metrics: Optional[dict] = None):
+    """Write `ds` to `out_dir` atomically with a lineage manifest.
+    Returns a Dataset reading the checkpoint back (so downstream stages
+    consume Parquet, not live lineage — partition loss re-reads, not
+    re-computes)."""
+    import ray.data as rd
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds.write_parquet(tmp_dir)
+    files = [f for f in os.listdir(tmp_dir) if f.endswith(".parquet")]
+    import pyarrow.parquet as pq
+
+    per_part = {f: pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+                for f in files}
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fingerprint,
+        "partitions": per_part,
+        "row_count": sum(per_part.values()),
+        "wall_time_s": round(time.time() - t0, 3),
+        "complete": True,
+        **(extra_metrics or {}),
+    }
+    with open(_manifest_path(tmp_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp_dir, out_dir)
+    return rd.read_parquet(out_dir)
+
+
+def run_stage(build_fn, out_dir: str, stage: str, input_fingerprint: str):
+    """Resume-aware stage runner: if a complete checkpoint for this input
+    exists, read it back; otherwise build + checkpoint."""
+    import ray.data as rd
+
+    if is_complete(out_dir, input_fingerprint):
+        return rd.read_parquet(out_dir), True
+    ds = build_fn()
+    return write_checkpoint(ds, out_dir, stage, input_fingerprint), False
+
+
+def fingerprint_paths(*paths: str) -> str:
+    """Input fingerprint = stable hash over (path, size, mtime) triples."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        except OSError:
+            h.update(f"{p}:missing".encode())
+    return h.hexdigest()

@@ -1,0 +1,62 @@
+"""End-to-end record-linkage tests: the distributed blocking + scoring +
+CC pipeline must reproduce the single-node brute-force oracle's clusters
+with pairwise F1 ≥ 0.99 (north rule), and must recall every planted
+duplicate."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def linkage_result(ray_session):
+    from elevant_ray.pipelines.record_linkage import (
+        cluster_pages, clusters_to_pairs, gold_pairs_from_doc_ids, prepare_pages,
+    )
+    from elevant_ray.sources.pages import synth_pages
+
+    pages = prepare_pages(synth_pages(SF_DIR, include_doc_id=True)).materialize()
+    labels, scored = cluster_pages(pages, num_partitions=4)
+    pred = clusters_to_pairs(labels)
+    pred_pairs = {(r["left"], r["right"]) for r in pred.take_all()}
+    pages_df = pages.to_pandas()
+    gold_planted = {(r["left"], r["right"])
+                    for r in gold_pairs_from_doc_ids(pages).take_all()}
+    return pages_df, pred_pairs, gold_planted
+
+
+def test_pairwise_f1_vs_bruteforce_oracle(linkage_result):
+    from elevant_ray.pipelines.oracle import (
+        bruteforce_match_pairs, cluster_pairs_from_labels, pairwise_prf,
+        transitive_closure,
+    )
+
+    pages_df, pred_pairs, _ = linkage_result
+    oracle_matches = bruteforce_match_pairs(
+        pages_df["url"].tolist(), pages_df["text"].tolist(),
+        pages_df["canon"].tolist())
+    gold = cluster_pairs_from_labels(transitive_closure(oracle_matches))
+    prf = pairwise_prf(pred_pairs, gold)
+    assert prf["f1"] >= 0.99, prf
+
+
+def test_planted_duplicates_all_recalled(linkage_result):
+    _, pred_pairs, gold_planted = linkage_result
+    missing = gold_planted - pred_pairs
+    assert not missing, f"{len(missing)} planted dup pairs missed: {sorted(missing)[:5]}"
+
+
+def test_cluster_labels_are_min_member(linkage_result, ray_session):
+    # hash-min CC invariant: every label is the lexicographic min of its
+    # component — check via the oracle's union-find on predicted pairs
+    from elevant_ray.pipelines.oracle import transitive_closure
+
+    _, pred_pairs, _ = linkage_result
+    labels = transitive_closure(sorted(pred_pairs))
+    by_label = {}
+    for node, lab in labels.items():
+        by_label.setdefault(lab, set()).add(node)
+    for lab, members in by_label.items():
+        assert lab == min(members | {lab})
