@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship record-linkage pipeline (blocking +
+pairwise scoring + transitive clustering) on sf0.001 pages synthesized
+from the documents table.  ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2); ``oracle_sql()`` provides
+DuckDB-equivalent SQL for everything SQL-expressible (same column names,
+same rounding).  Non-SQL-expressible pipelines (markup extraction,
+MinHash blocking, clustering, ELEVANT evaluation) are registered without
+oracle SQL → rows-only checks; their semantics are covered by the pytest
+differential suite instead (tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,748 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from elevant_ray.functions.tokens import DE_STOP, EN_STOP
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(ds, spec: dict):
+    def f(batch: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            idx = batch.column_names.index(col)
+            batch = batch.set_column(
+                idx, col, pc.round(batch.column(col), ndigits=nd))
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish; exact DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(
+            b.column("l_shipdate"), pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Count(alias_name="count_order"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
+                             "sum_disc_price": 2, "avg_qty": 6, "avg_price": 4})
+
+
+def q3_top_orders(sf_dir: str):
+    """Broadcast semi-join on the small side (customer segment) + hash
+    join lineitem⋈orders + grouped revenue + top-k."""
+    import datetime
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = datetime.datetime(1998, 1, 1)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = {r["c_custkey"] for r in
+            cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").take_all()}
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k in ks for k in b.column("o_custkey").to_pylist()],
+                        pa.bool_())
+        b = b.filter(mask)
+        return b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
+
+    orders = orders.map_batches(sel_orders, batch_format="pyarrow")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def sel_line(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), pa.scalar(cutoff)))
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    line = line.map_batches(sel_line, batch_format="pyarrow")
+    joined = line.join(orders, "inner", 8, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+    out = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue"))
+    out = _round_cols(out, {"revenue": 2})
+    return out.sort(["revenue", "o_orderdate", "l_orderkey"],
+                    descending=[True, False, False]).limit(10)
+
+
+def region_revenue(sf_dir: str):
+    """Star join via broadcast dims (region→nation→customer) — no
+    shuffle until the final tiny groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nation = {r["n_nationkey"]: region[r["n_regionkey"]]
+              for r in _read(sf_dir, "nation").take_all()}
+    cust = {r["c_custkey"]: nation[r["c_nationkey"]]
+            for r in _read(sf_dir, "customer",
+                           ["c_custkey", "c_nationkey"]).take_all()}
+    cust_ref = ray.put(cust)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_region(b: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        regions = [cmap[k] for k in b.column("o_custkey").to_pylist()]
+        return b.append_column("r_name", pa.array(regions, pa.string())) \
+            .select(["o_orderkey", "r_name"])
+
+    orders = orders.map_batches(o_region, batch_format="pyarrow")
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("rev", r).select(["l_orderkey", "rev"])
+
+    line = line.map_batches(rev, batch_format="pyarrow")
+    joined = line.join(orders, "inner", 8, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+    out = joined.groupby("r_name").aggregate(Sum("rev", alias_name="revenue"))
+    return _round_cols(out, {"revenue": 2}).sort("r_name")
+
+
+def order_priority_counts(sf_dir: str):
+    import datetime
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def sel(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        return b.filter(m)
+
+    ds = ds.map_batches(sel, batch_format="pyarrow")
+    return ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count")).sort("o_orderpriority")
+
+
+def top_customer_order(sf_dir: str):
+    """Per-customer argmax order by totalprice, tie-break min orderkey —
+    the reference's most-popular-candidate argmax pattern
+    (create_databases.py:107-126) on relational data."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(1)
+        return g[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(ds.groupby("o_custkey").map_groups(
+        argmax, batch_format="pandas")).sort("o_custkey")
+
+
+def part_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+    out = ds.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"))
+    return _round_cols(out, {"avg_price": 4}).sort("p_type")
+
+
+def supplier_nation_balance(sf_dir: str):
+    """supplier⋈nation broadcast join + grouped sum."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    nref = ray.put(nation)
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        return b.append_column("n_name", pa.array(
+            [nm[k] for k in b.column("s_nationkey").to_pylist()], pa.string()))
+
+    ds = ds.map_batches(add_nation, batch_format="pyarrow")
+    out = ds.groupby("n_name").aggregate(
+        Sum("s_acctbal", alias_name="total_balance"),
+        Count(alias_name="n_suppliers"))
+    return _round_cols(out, {"total_balance": 2}).sort("n_name")
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        return b.append_column("hour", hour)
+
+    ds = ds.map_batches(trunc, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    return _round_cols(out, {"sum_value": 2}).sort(["event_type", "hour"])
+
+
+def events_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) per user: sort-within-group
+    + gap scan — ordering assumption: (ts, event_id) within user."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_sess = (gaps.isna() | (gaps > 1800)).astype(int)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_sess.sum())],
+            "n_events": [len(g)],
+        })
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas")).sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis / dedup / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def unigram_counts(sf_dir: str):
+    from elevant_ray.stages.text_stats import unigram_counts as uc
+
+    return uc(_read(sf_dir, "documents", ["text"]))
+
+
+def doc_quality(sf_dir: str):
+    from elevant_ray.stages.text_stats import doc_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+    out = out.select_columns(["doc_id", "n_chars", "n_tokens", "n_alpha",
+                              "n_digit", "stopword_count"])
+    return out.sort("doc_id")
+
+
+def lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import lang_guess
+
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang_pred": pa.array(
+                             [lang_guess(t) for t in b.column("text").to_pylist()],
+                             pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import md5_fingerprint
+
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fingerprint": pa.array(
+                             [md5_fingerprint(t) for t in b.column("text").to_pylist()],
+                             pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact content dedup: min doc_id per normalized-text fingerprint."""
+    from elevant_ray.stages.dedup import dedup_exact_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_exact_text(ds)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+def dedup_minhash(sf_dir: str):
+    """Near-dup clustering over documents: LSH candidates → verify →
+    hash-min CC; returns (doc_id, cluster) — NOT SQL-expressible."""
+    import pyarrow as _pa
+
+    from elevant_ray.stages.clustering import connected_components
+    from elevant_ray.stages.dedup import lsh_candidate_pairs
+    from elevant_ray.stages.scoring import verify_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: _pa.Table) -> _pa.Table:
+        ids = [f"{i:012d}" for i in b.column("doc_id").to_pylist()]
+        return _pa.table({"id": _pa.array(ids, _pa.string()),
+                          "text": b.column("text"),
+                          "canon": _pa.array(ids, _pa.string())})
+
+    docs = ds.map_batches(prep, batch_format="pyarrow")
+    pairs = lsh_candidate_pairs(docs, id_col="id")
+    scored = verify_pairs(pairs, docs, id_col="id", num_partitions=8)
+    edges = scored.filter(lambda r: r["is_match"]).select_columns(["left", "right"])
+    labels = connected_components(edges, num_partitions=8)
+
+    def fmt(b: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "doc_id": _pa.array([int(x) for x in b.column("node").to_pylist()], _pa.int64()),
+            "cluster": _pa.array([int(x) for x in b.column("label").to_pylist()], _pa.int64()),
+        })
+
+    return labels.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
+
+
+def knn_cosine(sf_dir: str):
+    from elevant_ray.stages.knn import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute_force(ds, query_ids=list(range(10)), k=5)
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(out).sort(["query_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# pages / ELEVANT pipelines (markup-derived; rows-only checks except the
+# closed-form URL canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def url_canonicalize(sf_dir: str):
+    """Canonical blocking key per document URL — closed-form SQL oracle."""
+    from elevant_ray.functions.normalize import canonical_url
+    from elevant_ray.sources.pages import page_url
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "canon": pa.array([canonical_url(page_url(i)) for i in ids], pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def extract_pages(sf_dir: str):
+    """pages → extracted text + annotation counts (byte-identical text
+    invariant covered by tests/test_extract.py)."""
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "n_chars": pc.utf8_length(b.column("text")),
+            "n_links": pc.list_value_length(b.column("hyperlinks")),
+            "n_synonyms": pc.list_value_length(b.column("title_synonyms")),
+            "n_sections": pc.list_value_length(b.column("sections")),
+        })
+
+    return pages.map_batches(counts, batch_format="pyarrow").sort("url")
+
+
+def link_frequencies(sf_dir: str):
+    """The reference's get_link_frequencies dataflow over synthesized
+    pages: (anchor alias, target) → count."""
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import link_frequencies as lf
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    return lf(pages).sort(["alias", "target"])
+
+
+def most_popular_candidates(sf_dir: str):
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import link_frequencies as lf
+    from elevant_ray.stages.dims import most_popular_candidates as mpc
+    from elevant_ray.stages.util import as_arrow
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    out = as_arrow(mpc(lf(pages))).select_columns(
+        ["alias", "top_candidate", "freq"])
+    return out.sort("alias")
+
+
+def linkage_clusters(sf_dir: str):
+    """Flagship: blocking + scoring + CC cluster label per url."""
+    from elevant_ray.pipelines.record_linkage import cluster_pages, prepare_pages
+    from elevant_ray.sources.pages import synth_pages
+
+    pages = prepare_pages(synth_pages(sf_dir))
+    labels, _ = cluster_pages(pages, num_partitions=8)
+    return labels.rename_columns({"node": "url", "label": "cluster"}).sort("url")
+
+
+def entity_linking(sf_dir: str):
+    """ELEVANT baseline-linker semantics over synthesized pages:
+    hyperlink-anchor mentions → alias candidates → popularity argmax
+    (min-QID tie-break).  Gold = the hyperlink target itself, so
+    oracle-style accuracy is computable downstream."""
+    import ray
+
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import link_frequencies as lf
+    from elevant_ray.stages.dims import to_broadcast_dicts
+    from elevant_ray.stages.scoring import EntityScorer
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    dims = to_broadcast_dicts(lf(pages))
+    a_ref = ray.put(dims["alias_to_qids"])
+    p_ref = ray.put(dims["popularity"])
+
+    def mentions(b: pa.Table) -> pa.Table:
+        urls, ments, golds = [], [], []
+        for url, text, links in zip(b.column("url").to_pylist(),
+                                    b.column("text").to_pylist(),
+                                    b.column("hyperlinks").to_pylist()):
+            for hl in links or ():
+                urls.append(url)
+                ments.append(text[hl["begin"]:hl["end"]])
+                golds.append(hl["target"])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "mention": pa.array(ments, pa.string()),
+                         "gold": pa.array(golds, pa.string())})
+
+    ments = pages.map_batches(mentions, batch_format="pyarrow")
+    scored = ments.map_batches(
+        EntityScorer, fn_constructor_kwargs={
+            "alias_to_qids_ref": a_ref, "popularity_ref": p_ref,
+            "strategy": "wikipedia", "drop_dates": False},
+        batch_format="pyarrow", concurrency=2, batch_size=1024)
+    return scored.sort(["url", "mention", "gold"])
+
+
+def linking_eval_counts(sf_dir: str):
+    """ELEVANT evaluation aggregate over the linking pipeline: gold =
+    hyperlink targets, predictions = popularity-linked mentions →
+    (mode, category, kind, value) counts table."""
+    import pandas as pd
+
+    from elevant_ray.stages.evaluation import count_cases, evaluate_document
+
+    linked = entity_linking(sf_dir)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts = Counter()
+        df = b.to_pandas()
+        for (url,), g in df.groupby(["url"]):
+            labels, preds = [], []
+            for i, row in enumerate(g.itertuples(index=False)):
+                labels.append({"id": i, "begin": i * 10, "end": i * 10 + 5,
+                               "entity_id": row.gold, "name": row.gold,
+                               "parent": None, "children": [],
+                               "optional": False, "type": "OTHER",
+                               "coref": None, "desc": False})
+                preds.append({"begin": i * 10, "end": i * 10 + 5,
+                              "entity_id": row.pred_qid,
+                              "candidates": list(row.candidates),
+                              "linked_by": "popularity"})
+            text = " " * ((len(labels)) * 10 + 6)
+            cases = evaluate_document(text, labels, preds)
+            counts.update(count_cases(cases))
+        keys = sorted(counts)
+        return pa.table({
+            "mode": pa.array([k[0] for k in keys], pa.string()),
+            "category": pa.array([k[1] for k in keys], pa.string()),
+            "kind": pa.array([k[2] for k in keys], pa.string()),
+            "partial": pa.array([counts[k] for k in keys], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    # one url never spans batches after the sort in entity_linking; to be
+    # safe the partial counters are still summed by key afterwards
+    agg = (linked.map_batches(per_batch, batch_format="pyarrow")
+           .groupby(["mode", "category", "kind"])
+           .aggregate(Sum("partial", alias_name="value")))
+    return agg.sort(["mode", "category", "kind"])
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 → cluster labels."""
+    return linkage_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # relational core
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "region_revenue": region_revenue,
+        "order_priority_counts": order_priority_counts,
+        "top_customer_order": top_customer_order,
+        "part_type_stats": part_type_stats,
+        "supplier_nation_balance": supplier_nation_balance,
+        # events
+        "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        # text analysis
+        "doc_token_counts": doc_token_counts,
+        "unigram_counts": unigram_counts,
+        "doc_quality": doc_quality,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        # dedup
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        # similarity search
+        "knn_cosine": knn_cosine,
+        # pages / ELEVANT
+        "url_canonicalize": url_canonicalize,
+        "extract_pages": extract_pages,
+        "link_frequencies": link_frequencies,
+        "most_popular_candidates": most_popular_candidates,
+        "linkage_clusters": linkage_clusters,
+        "entity_linking": entity_linking,
+        "linking_eval_counts": linking_eval_counts,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = _sql_list(EN_STOP)
+_DE = _sql_list(DE_STOP)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "top_customer_order": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) = 1
+            ORDER BY o_custkey
+        """,
+        "part_type_stats": """
+            SELECT p_type, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "supplier_nation_balance": """
+            SELECT n_name, round(sum(s_acctbal), 2) AS total_balance,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, hour
+            ORDER BY event_type, hour
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events),
+            f AS (
+                SELECT user_id,
+                       CASE WHEN pts IS NULL
+                                 OR date_diff('second', pts, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e)
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM f GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "unigram_counts": """
+            SELECT token, count(*)::BIGINT AS count
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY token
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+                   length(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                      x -> list_contains({_EN}, x)))::BIGINT
+                       AS stopword_count
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN en = 0 AND de = 0 THEN 'other'
+                        WHEN en >= de THEN 'en' ELSE 'de' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       length(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                          x -> list_contains({_EN}, x))) AS en,
+                       length(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                          x -> list_contains({_DE}, x))) AS de
+                FROM documents)
+            ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'example' || (doc_id % 50) || '.com/articles/' || doc_id ||
+                   CASE WHEN doc_id % 5 = 2 THEN '?id=' || doc_id ELSE '' END
+                       AS canon
+            FROM documents ORDER BY doc_id
+        """,
+        # extract_pages / link_frequencies / most_popular_candidates /
+        # linkage_clusters / entity_linking / linking_eval_counts /
+        # dedup_minhash: markup- and sketch-derived → rows-only checks;
+        # semantics covered by the pytest differential suite.
+    }

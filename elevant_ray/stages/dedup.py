@@ -124,8 +124,16 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
                     left.append(members[i])
                     right.append(members[j])
         else:
-            # skew guard: chain keeps the block connected for CC
-            for a, b in zip(members, members[1:]):
+            # skew guard for hot keys: star-to-min + adjacent chain.
+            # The star keeps the (verified) component diameter at 2 so
+            # hash-min CC converges in O(1) rounds even for huge dup
+            # groups; the chain is a fallback path when the hub pair
+            # fails verification but neighbors match.
+            hub = members[0]
+            for b in members[1:]:
+                left.append(hub)
+                right.append(b)
+            for a, b in zip(members[1:], members[2:]):
                 left.append(a)
                 right.append(b)
         return pd.DataFrame({"left": left, "right": right})

@@ -33,26 +33,30 @@ NIL = "<NIL>"
 
 
 def token_lev_similarity(a: List[str], b: List[str]) -> float:
-    """1 - levenshtein(a, b) / max(len) over token sequences (numpy DP)."""
+    """1 - levenshtein(a, b) / max(len) over token sequences.
+
+    Fully vectorized DP row update: with unit costs the left-to-right
+    dependency ``cur[j] = min(best[j], cur[j-1] + 1)`` unrolls to a
+    prefix minimum — ``cur[j] = j + min(i, min_{k<=j}(best[k] - k))`` —
+    so each row is O(m) numpy ops instead of an interpreted loop.
+    """
     n, m = len(a), len(b)
     if n == 0 and m == 0:
         return 1.0
     if n == 0 or m == 0:
         return 0.0
+    if n < m:  # fewer rows over the longer side
+        a, b, n, m = b, a, m, n
     ai = np.array([hash(t) for t in a])
     bi = np.array([hash(t) for t in b])
+    ks = np.arange(1, m + 1)
     prev = np.arange(m + 1)
     for i in range(1, n + 1):
+        best = np.minimum(prev[:-1] + (bi != ai[i - 1]), prev[1:] + 1)
+        acc = np.minimum.accumulate(best - ks)
         cur = np.empty(m + 1, dtype=np.int64)
         cur[0] = i
-        sub = prev[:-1] + (bi != ai[i - 1])
-        # running min: cur[j] = min(prev[j]+1, sub[j-1], cur[j-1]+1)
-        np.minimum(prev[1:] + 1, sub, out=sub)
-        for j in range(1, m + 1):  # dependency chain on cur[j-1]
-            c = sub[j - 1]
-            if cur[j - 1] + 1 < c:
-                c = cur[j - 1] + 1
-            cur[j] = c
+        cur[1:] = ks + np.minimum(acc, i)
         prev = cur
     return 1.0 - prev[m] / max(n, m)
 

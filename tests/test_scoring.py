@@ -1,0 +1,64 @@
+"""Scoring kernels: vectorized Levenshtein vs a trusted slow DP,
+Jaro-Winkler spot values, scorer tie-break parity."""
+
+from __future__ import annotations
+
+import random
+
+from elevant_ray.stages.scoring import jaro_winkler, token_lev_similarity
+
+
+def slow_lev(a, b):
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+def test_token_lev_matches_slow_dp():
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    for _ in range(300):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        want = 1.0 - slow_lev(a, b) / max(len(a), len(b)) \
+            if (a or b) else 1.0
+        assert abs(token_lev_similarity(a, b) - want) < 1e-12, (a, b)
+
+
+def test_token_lev_edges():
+    assert token_lev_similarity([], []) == 1.0
+    assert token_lev_similarity(["a"], []) == 0.0
+    assert token_lev_similarity(["a", "b"], ["a", "b"]) == 1.0
+    assert token_lev_similarity(["a", "b", "c", "d"], ["a", "x", "c", "d"]) == 0.75
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler("martha", "marhta") == 0.9611111111111111
+    assert jaro_winkler("dixon", "dicksonx") == 0.8133333333333332
+    assert jaro_winkler("", "abc") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+
+
+def test_entity_scorer_tie_breaks(ray_session):
+    import ray
+
+    from elevant_ray.stages.scoring import EntityScorer
+
+    alias = {"x": ["Q5", "Q10", "Q2"]}
+    pop = {"Q5": 7, "Q10": 7, "Q2": 3}
+    a_ref, p_ref = ray.put(alias), ray.put(pop)
+
+    # wikidata strategy: max (score, qid) — ties → larger QID string
+    # (baseline_linker.py:43-50): "Q5" > "Q10" lexicographically
+    s = EntityScorer(a_ref, p_ref, strategy="wikidata", drop_dates=False)
+    assert s._select({"Q5", "Q10", "Q2"}) == "Q5"
+
+    # wikipedia strategy: min among most-popular (baseline_linker.py:77-80)
+    s2 = EntityScorer(a_ref, p_ref, strategy="wikipedia", drop_dates=False)
+    assert s2._select({"Q5", "Q10", "Q2"}) == "Q10"
