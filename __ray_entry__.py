@@ -370,7 +370,9 @@ def dedup_minhash(sf_dir: str):
     docs = ds.map_batches(prep, batch_format="pyarrow")
     pairs = lsh_candidate_pairs(docs, id_col="id")
     scored = verify_pairs(pairs, docs, id_col="id", num_partitions=8)
-    edges = scored.filter(lambda r: r["is_match"]).select_columns(["left", "right"])
+    edges = scored.map_batches(
+        lambda b: b.filter(b.column("is_match")).select(["left", "right"]),
+        batch_format="pyarrow")
     labels = connected_components(edges, num_partitions=8)
 
     def fmt(b: _pa.Table) -> _pa.Table:

@@ -46,33 +46,10 @@ def prepare_pages(pages, do_extract: bool = True):
 
 
 def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
-    """Blocking (LSH bands + short-doc shingles + canonical-url key) →
-    verified match edges(left, right, lev_sim, …)."""
-    # content channel: LSH candidate pairs on url ids
-    content_pairs = lsh_candidate_pairs(pages, id_col="url")
-
-    # url channel: pages sharing a canonical url (e.g. scheme variants)
-    def canon_pairs(group):
-        import pandas as pd
-
-        members = sorted(group["url"].unique())
-        left, right = [], []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                left.append(members[i])
-                right.append(members[j])
-        return pd.DataFrame({"left": left, "right": right})
-
-    url_pairs = (pages.select_columns(["canon", "url"])
-                 .groupby("canon")
-                 .map_groups(canon_pairs, batch_format="pandas"))
-
-    from elevant_ray.stages.util import as_arrow
-
-    pairs = content_pairs.union(as_arrow(url_pairs))
-    pairs = as_arrow(pairs.groupby(["left", "right"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"))
-
+    """Blocking (LSH bands + canonical-url key, fused into one explode +
+    one groupby — see lsh_candidate_pairs) → verified match
+    edges(left, right, lev_sim, …)."""
+    pairs = lsh_candidate_pairs(pages, id_col="url", canon_col="canon")
     scored = verify_pairs(pairs, pages, id_col="url",
                           threshold=threshold, num_partitions=num_partitions)
     return scored
@@ -81,8 +58,9 @@ def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
 def cluster_pages(pages, threshold: float = 0.75, num_partitions: int = 16):
     """Full DAG → (labels Dataset(node, label), scored pairs Dataset)."""
     scored = match_edges(pages, threshold, num_partitions)
-    edges = scored.filter(lambda r: r["is_match"]) \
-        .select_columns(["left", "right"])
+    edges = scored.map_batches(
+        lambda b: b.filter(b.column("is_match")).select(["left", "right"]),
+        batch_format="pyarrow")
     labels = connected_components(edges, num_partitions=num_partitions)
     return labels, scored
 

@@ -7,90 +7,137 @@ requires cross-document transitive clustering.  Pattern: the classic
 hash-min label propagation (cf. the reference's frontier-expansion type
 closure, ``scripts/create_all_types_mapping.py:15-49``, and BTS, ICDE
 2024 in PAPERS.md): every node starts labeled with itself; each round
-sends labels across edges both ways and keeps the per-node minimum;
-converges in O(log diameter) rounds.  Each round is one hash join +
-one groupby-min, both hash-partitioned on the node key — no driver-side
-union-find, no full materialization of anything but the (node, label)
-table, which is one row per node.
+sends labels across edges and keeps the per-node minimum; converges in
+O(log diameter) rounds.
 
-For dup-cluster graphs (diameter ≤ 3) this converges in 2-3 rounds.
+Three scale/latency optimizations over the textbook loop:
+
+1. **Local contraction** (BTS-style): each edge block is first collapsed
+   with an in-memory union-find; the loop then runs on (node → local
+   root) star edges.  Within-block paths cost zero rounds, so the round
+   count is O(log #blocks-spanned), not O(log diameter).
+2. **One join per round**: edges are pre-exploded into both orientations
+   once, so a round is one hash join + one union + one groupby-min.
+3. **Checksum convergence**: labels only ever shrink, so a 64-bit
+   content checksum of the (node, label) table decides convergence with
+   a streaming sum over the already-materialized label table — no extra
+   join.
+
+Each iteration's label table is materialized: it is the iteration state
+(one row per node).  At 10^12-edge scale each round checkpoints this
+table to Parquet instead (state/checkpoint.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
-def _distinct_nodes(edges):
-    def explode(batch: pa.Table) -> pa.Table:
-        vals = pa.concat_arrays([
-            batch.column("left").combine_chunks().cast(pa.string()),
-            batch.column("right").combine_chunks().cast(pa.string()),
-        ])
-        return pa.table({"node": vals})
+def _local_contract(batch: pa.Table) -> pa.Table:
+    """Union-find over one edge block → star edges (node, root)."""
+    left = batch.column("left").to_pylist()
+    right = batch.column("right").to_pylist()
+    parent: dict = {}
 
-    nodes = edges.map_batches(explode, batch_format="pyarrow")
-    return nodes.groupby("node").map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(left, right):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins the root slot → deterministic labels
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    nodes = list(parent)
+    roots = [find(n) for n in nodes]
+    return pa.table({"left": pa.array(nodes, pa.string()),
+                     "right": pa.array(roots, pa.string())})
+
+
+def _checksum_batch(batch: pa.Table) -> pa.Table:
+    """Order-insensitive uint64 checksum partial of (node, label) rows
+    (vectorized: pandas siphash per row, wrapping sum across rows)."""
+    df = batch.select(["node", "label"]).to_pandas()
+    hashes = pd.util.hash_pandas_object(
+        df["node"] + "\x00" + df["label"], index=False).to_numpy(np.uint64)
+    acc = int(np.add.reduce(hashes, dtype=np.uint64)) if len(hashes) else 0
+    return pa.table({"cs": pa.array([acc - (1 << 63)], pa.int64())})
+
+
+def _checksum(labels) -> int:
+    return labels.map_batches(_checksum_batch, batch_format="pyarrow").sum("cs")
 
 
 def connected_components(edges, num_partitions: int = 16,
                          max_iters: int = 25):
     """edges(left, right) → labels(node, label) with label = min node id
-    (lexicographic) of the component.  Deterministic.
-
-    Each iteration's label table is materialized: it is the iteration
-    state (one row per node) and re-deriving it through the whole lineage
-    every round would be quadratic work.  At 10^12-edge scale each round
-    checkpoints this table to Parquet instead (state/checkpoint.py).
-    """
+    (lexicographic) of the component.  Deterministic under any
+    partitioning / batch order (min is commutative; local contraction
+    roots are min-ids too)."""
     from ray.data.aggregate import Min
-
-    labels = _distinct_nodes(edges).map_batches(
-        lambda b: b.append_column("label", b.column("node")),
-        batch_format="pyarrow").materialize()
 
     edges = edges.map_batches(
         lambda b: pa.table({
             "left": b.column("left").combine_chunks().cast(pa.string()),
             "right": b.column("right").combine_chunks().cast(pa.string()),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow")
 
+    # BTS-style per-block contraction; drop self-loops, keep both
+    # orientations so one join per round reaches every neighbor.
+    # materialized once: both `und` and the initial labels derive from it,
+    # and without this the whole upstream DAG (blocking + scoring) would
+    # re-execute for each derivation
+    star = edges.map_batches(_local_contract, batch_format="pyarrow",
+                             batch_size=65536).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(b.column("left"), b.column("right"))
+        b = b.filter(mask)
+        return pa.table({
+            "src": pa.concat_arrays([b.column("left").combine_chunks(),
+                                     b.column("right").combine_chunks()]),
+            "dst": pa.concat_arrays([b.column("right").combine_chunks(),
+                                     b.column("left").combine_chunks()]),
+        })
+
+    und = star.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # initial labels: every endpoint labels itself (contracted star edges
+    # contain every node of the original graph as a `left` endpoint)
+    labels = star.map_batches(
+        lambda b: pa.table({"node": b.column("left"),
+                            "label": b.column("right")}),
+        batch_format="pyarrow")
+    labels = labels.groupby("node").aggregate(
+        Min("label", alias_name="label")).materialize()
+
+    cs_prev = _checksum(labels)
     for _ in range(max_iters):
-        # labels of left endpoints flow to right nodes and vice versa
-        to_right = (edges.join(labels, "inner", num_partitions, on=("left",),
-                               right_on=("node",))
-                    .select_columns(["right", "label"])
-                    .rename_columns({"right": "node"}))
-        to_left = (edges.join(labels, "inner", num_partitions, on=("right",),
-                              right_on=("node",))
-                   .select_columns(["left", "label"])
-                   .rename_columns({"left": "node"}))
-        proposals = labels.select_columns(["node", "label"]) \
-            .union(to_right).union(to_left)
-        new_labels = proposals.groupby("node").aggregate(
+        moved = (und.join(labels, "inner", num_partitions, on=("src",),
+                          right_on=("node",))
+                 .select_columns(["dst", "label"])
+                 .rename_columns({"dst": "node"}))
+        proposals = labels.union(moved)
+        labels = proposals.groupby("node").aggregate(
             Min("label", alias_name="label")).materialize()
-
-        # convergence: any node whose label shrank this round?
-        changed = (new_labels.join(labels, "inner", num_partitions,
-                                   on=("node",), left_suffix="_new",
-                                   right_suffix="_old")
-                   .map_batches(_count_changed, batch_format="pyarrow")
-                   .sum("changed"))
-        labels = new_labels
-        if not changed:
+        cs_new = _checksum(labels)
+        if cs_new == cs_prev:
             break
+        cs_prev = cs_new
     return labels
-
-
-def _count_changed(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    lab_new = batch.column("label_new" if "label_new" in batch.column_names else "label")
-    lab_old = batch.column("label_old")
-    n = pc.sum(pc.cast(pc.not_equal(lab_new, lab_old), pa.int64())).as_py() or 0
-    return pa.table({"changed": pa.array([n], pa.int64())})
 
 
 def clusters_to_pairs(labels, max_cluster: int = 1000):
