@@ -367,13 +367,16 @@ def dedup_minhash(sf_dir: str):
                           "text": b.column("text"),
                           "canon": _pa.array(ids, _pa.string())})
 
-    docs = ds.map_batches(prep, batch_format="pyarrow")
-    pairs = lsh_candidate_pairs(docs, id_col="id")
-    scored = verify_pairs(pairs, docs, id_col="id", num_partitions=8)
+    # pinned once: three consumers (blocking + both verify-join sides)
+    docs = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    pairs = lsh_candidate_pairs(docs, id_col="id",
+                                num_partitions=_shuffle_parts())
+    scored = verify_pairs(pairs, docs, id_col="id",
+                          num_partitions=_shuffle_parts())
     edges = scored.map_batches(
         lambda b: b.filter(b.column("is_match")).select(["left", "right"]),
         batch_format="pyarrow")
-    labels = connected_components(edges, num_partitions=8)
+    labels = connected_components(edges, num_partitions=_shuffle_parts())
 
     def fmt(b: _pa.Table) -> _pa.Table:
         return _pa.table({
@@ -392,6 +395,135 @@ def knn_cosine(sf_dir: str):
     from elevant_ray.stages.util import as_arrow
 
     return as_arrow(out).sort(["query_id", "rank"])
+
+
+def knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN (scale path): coarse k-means cells,
+    probe nprobe nearest — rows-only (approximate by construction);
+    recall vs the brute-force oracle is asserted in tests."""
+    from elevant_ray.stages.knn import ivf_topk
+    from elevant_ray.stages.util import as_arrow
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, query_ids=list(range(10)), k=5,
+                   n_cells=8, nprobe=4)
+    return as_arrow(out).sort(["query_id", "rank"])
+
+
+def neardup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
+    embeddings are near-orthogonal; production near-dup would use
+    ~0.95).  Exact, with a closed-form SQL oracle."""
+    import pyarrow.compute as _pc
+
+    from elevant_ray.stages.knn import cosine_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_neardup_pairs(ds, threshold=0.35)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        sim = _pc.round(b.column("sim"), ndigits=4)
+        out = pa.table({"left": b.column("left"),
+                        "right": b.column("right"), "sim": sim})
+        return out.filter(_pc.greater_equal(out.column("sim"),
+                                            pa.scalar(0.4)))
+
+    return pairs.map_batches(fmt, batch_format="pyarrow") \
+        .sort(["left", "right"])
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup clustering: banded simhash self-join (recall 1.0
+    for hamming ≤ 3 by pigeonhole) → hash-min CC → every doc labeled
+    (singletons keep their own id via a left-outer join)."""
+    from elevant_ray.stages.clustering import connected_components
+    from elevant_ray.stages.dedup import simhash_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = [f"{i:012d}" for i in b.column("doc_id").to_pylist()]
+        return pa.table({"id": pa.array(ids, pa.string()),
+                         "text": b.column("text")})
+
+    docs = ds.map_batches(prep, batch_format="pyarrow")
+    pairs = simhash_candidate_pairs(docs, id_col="id",
+                                    num_partitions=_shuffle_parts())
+    edges = pairs.select_columns(["left", "right"])
+    labels = connected_components(edges, num_partitions=_shuffle_parts())
+
+    joined = docs.select_columns(["id"]).join(
+        labels, "left_outer", _shuffle_parts(), on=("id",),
+        right_on=("node",))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lab = _pc.coalesce(b.column("label"), b.column("id"))
+        return pa.table({
+            "doc_id": pa.array([int(x) for x in b.column("id").to_pylist()],
+                               pa.int64()),
+            "cluster": pa.array([int(x) for x in lab.to_pylist()],
+                                pa.int64()),
+        })
+
+    return joined.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact token-3-gram Jaccard pairs ≥ 0.5 (every gram is a blocking
+    key → recall 1.0; one self-join + one grouped count)."""
+    from elevant_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = [f"{i:012d}" for i in b.column("doc_id").to_pylist()]
+        return pa.table({"id": pa.array(ids, pa.string()),
+                         "text": b.column("text")})
+
+    docs = ds.map_batches(prep, batch_format="pyarrow")
+    pairs = ngram_jaccard_pairs(docs, id_col="id", n=3, threshold=0.5,
+                                num_partitions=_shuffle_parts())
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "left": pa.array([int(x) for x in b.column("left").to_pylist()],
+                             pa.int64()),
+            "right": pa.array([int(x) for x in b.column("right").to_pylist()],
+                              pa.int64()),
+            "jac": b.column("jac"),
+        })
+
+    return pairs.map_batches(fmt, batch_format="pyarrow") \
+        .sort(["left", "right"])
+
+
+def multimodal_features(sf_dir: str):
+    """Multimodal actor-pool plumbing: documents → synthetic media
+    (binary payload + typed metadata) → image-feature actor stage →
+    per-doc stats.  Decode is a deterministic stub (no image libs in
+    this container) — the Ray-side schema/actors/batching are real."""
+    import pyarrow.compute as _pc
+
+    from elevant_ray.stages.multimodal import ImageFeatureStage, synth_media_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    feats = media.map_batches(ImageFeatureStage, concurrency=2,
+                              batch_size=64, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "px_mean": _pc.round(b.column("px_mean"), ndigits=4),
+            "px_std": _pc.round(b.column("px_std"), ndigits=4),
+            "dim": pa.array(
+                [len(v) for v in b.column("feature").to_pylist()],
+                pa.int64()),
+        })
+
+    return feats.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -461,13 +593,26 @@ def most_popular_candidates(sf_dir: str):
     return out.sort("alias")
 
 
+def _shuffle_parts() -> int:
+    """Shuffle partition count: half the CPUs, capped.
+
+    Hash-shuffle partitions are backed by aggregator ACTORS that reserve
+    CPU slots for the whole execution; partitions ≈ CPUs starves the map
+    stages feeding the shuffle (measured 2-4× slowdowns).  Partition
+    count should track data volume, not cores — at bench scale a
+    handful of partitions already saturates the exchange."""
+    import ray
+
+    return min(16, max(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+
 def linkage_clusters(sf_dir: str):
     """Flagship: blocking + scoring + CC cluster label per url."""
     from elevant_ray.pipelines.record_linkage import cluster_pages, prepare_pages
     from elevant_ray.sources.pages import synth_pages
 
     pages = prepare_pages(synth_pages(sf_dir))
-    labels, _ = cluster_pages(pages, num_partitions=8)
+    labels, _ = cluster_pages(pages, num_partitions=_shuffle_parts())
     return labels.rename_columns({"node": "url", "label": "cluster"}).sort("url")
 
 
@@ -540,6 +685,10 @@ def linking_eval_counts(sf_dir: str):
                               "linked_by": "popularity"})
             text = " " * ((len(labels)) * 10 + 6)
             cases = evaluate_document(text, labels, preds)
+            from elevant_ray.functions.errors import label_errors
+
+            for mode in ("IGNORED", "REQUIRED"):
+                label_errors(cases, mode=mode)
             counts.update(count_cases(cases))
         keys = sorted(counts)
         return pa.table({
@@ -591,8 +740,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         # similarity search
         "knn_cosine": knn_cosine,
+        "knn_ivf": knn_ivf,
+        "neardup_embedding": neardup_embedding,
+        # multimodal (stubbed decode, real Ray plumbing)
+        "multimodal_features": multimodal_features,
         # pages / ELEVANT
         "url_canonicalize": url_canonicalize,
         "extract_pages": extract_pages,
@@ -761,8 +916,38 @@ def oracle_sql() -> dict[str, str]:
                        AS canon
             FROM documents ORDER BY doc_id
         """,
+        "dedup_ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 3
+                       THEN [array_to_string(toks[i:i+2], ' ')
+                             for i in range(1, len(toks)-1)]
+                       ELSE [array_to_string(toks, ' ')] END) AS grams
+              FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS sz FROM g)
+            SELECT a.doc_id AS left, b.doc_id AS right,
+                   round(count(*)::DOUBLE / (a.sz + b.sz - count(*)), 6) AS jac
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+            HAVING jac >= 0.5
+            ORDER BY 1, 2
+        """,
+        "neardup_embedding": """
+            SELECT a.vec_id AS left, b.vec_id AS right,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+            ORDER BY 1, 2
+        """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
-        # dedup_minhash: markup- and sketch-derived → rows-only checks;
-        # semantics covered by the pytest differential suite.
+        # dedup_minhash / dedup_simhash (sketch-derived), knn_ivf
+        # (approximate by construction), multimodal_features (stub
+        # decoder): rows-only checks; semantics covered by the pytest
+        # differential suite.
     }

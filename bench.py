@@ -46,7 +46,12 @@ BENCH_QUERIES = [
     "lang_id",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "knn_cosine",
+    "knn_ivf",
+    "neardup_embedding",
+    "multimodal_features",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
@@ -123,19 +128,101 @@ def run_one(sf_dir: str, num_cpus: int, name: str) -> dict:
             "num_cpus": num_cpus}
 
 
-def run_scaling(sf_dir: str, levels=(8, 32)) -> dict:
+def _scaled_input(sf_dir: str, replicate: int, concat: int = 5) -> str:
+    """Deterministically scale documents.parquet into /tmp so the scaling
+    run is compute-bound, not overhead-bound.
+
+    Two axes:
+    - `concat`: each synthetic doc is the concatenation of `concat`
+      consecutive base texts (~1.5 KB at concat=5) — Common-Crawl pages
+      are KBs of extracted text, and per-page extract/minhash cost must
+      dominate Ray's fixed per-op overhead for the scaling measurement
+      to mean anything;
+    - `replicate`: replica r gets doc_id + r*10^7 (url-distinct; all
+      planted mod-patterns preserved since 10^7 % {5,10,25,50} == 0) and
+      every token suffixed with the replica index, so shingle sets never
+      collide across replicas — workload per replica is identical,
+      cross-replica similarity ~0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = (f"/tmp/graft_scaled_{os.path.basename(sf_dir.rstrip('/'))}"
+               f"_x{replicate}_c{concat}")
+    out_path = f"{out_dir}/documents.parquet"
+    if os.path.exists(out_path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    ids = src.column("doc_id").to_pylist()
+    base = src.column("text").to_pylist()
+    langs = src.column("lang").to_pylist()
+    n = len(base)
+    # slot-tag every token so the 5 copies of a base segment are all
+    # DISTINCT token streams: without this, docs i and i+1 share 4/5
+    # segments and the whole corpus becomes one near-dup chain (measured:
+    # ~40× more candidate pairs and a giant merged cluster)
+    texts = [" ".join(" ".join(f"{t}s{j}" for t in base[(i + j) % n].split())
+                      for j in range(concat))
+             for i in range(n)] if concat > 1 else base
+
+    writer = pq.ParquetWriter(out_path, pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]))
+    for r in range(replicate):
+        if r == 0:
+            rep_ids, rep_texts = ids, texts
+        else:
+            suffix = str(r)
+            rep_ids = [i + r * 10_000_000 for i in ids]
+            rep_texts = [" ".join(t + suffix for t in txt.split())
+                         for txt in texts]
+        writer.write_table(pa.table({
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "text": pa.array(rep_texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }), row_group_size=4096)
+    writer.close()
+    return out_dir
+
+
+def run_scaling(sf_dir: str, levels=(8, 32), replicate: int = 0,
+                repeats: int = 2) -> dict:
     """Fresh-process runs of the flagship pipeline at each parallelism
-    level; pages/s throughput + scaling efficiency."""
+    level; pages/s throughput + scaling efficiency.
+
+    `replicate`: 0 = auto (replicate the documents table to ~100k docs
+    so per-page compute dominates Ray's fixed per-op overhead); 1 = use
+    `sf_dir` as-is."""
+    import duckdb
+
+    if replicate == 0:
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        replicate = max(1, round(500_000 / max(n_docs, 1)))
+    if replicate > 1:
+        sf_dir = _scaled_input(sf_dir, replicate)
+        print(f"# scaling input: {sf_dir} ({replicate}x replicated, 5x concat)",
+              file=sys.stderr)
     pages = _num_pages(sf_dir)
     results = {}
     for cpus in levels:
-        cmd = [sys.executable, os.path.abspath(__file__), "--one", FLAGSHIP,
-               "--num-cpus", str(cpus), "--sf-dir", sf_dir]
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        child = json.loads(out.stdout.strip().splitlines()[-1])
-        results[cpus] = child
-        print(f"# scaling num_cpus={cpus}: {child['elapsed']:.3f}s "
-              f"-> {pages / child['elapsed']:.1f} pages/s", file=sys.stderr)
+        best = None
+        for rep in range(repeats):
+            cmd = [sys.executable, os.path.abspath(__file__), "--one",
+                   FLAGSHIP, "--num-cpus", str(cpus), "--sf-dir", sf_dir]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True)
+            child = json.loads(out.stdout.strip().splitlines()[-1])
+            print(f"# scaling num_cpus={cpus} rep{rep}: "
+                  f"{child['elapsed']:.3f}s "
+                  f"-> {pages / child['elapsed']:.1f} pages/s",
+                  file=sys.stderr)
+            # min over repeats: the host box is shared, so the fastest
+            # run is the least-interfered estimate of true cost
+            if best is None or child["elapsed"] < best["elapsed"]:
+                best = child
+        results[cpus] = best
     lo, hi = levels
     thr = {c: pages / results[c]["elapsed"] for c in levels}
     eff = thr[hi] / (thr[lo] * (hi / lo))
@@ -157,6 +244,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replicate", type=int, default=0,
+                    help="scaling-input replication factor (0 = auto)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="scaling runs per level (min taken; shared host)")
     ap.add_argument("--one", metavar="QUERY", default=None)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of BENCH_QUERIES")
@@ -165,7 +256,8 @@ def main() -> None:
     if args.one:
         payload = run_one(args.sf_dir, args.num_cpus, args.one)
     elif args.scaling:
-        payload = run_scaling(args.sf_dir)
+        payload = run_scaling(args.sf_dir, replicate=args.replicate,
+                              repeats=args.repeats)
     else:
         names = args.queries.split(",") if args.queries else BENCH_QUERIES
         payload = run_bench(args.sf_dir, args.num_cpus, names)

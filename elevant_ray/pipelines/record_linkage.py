@@ -33,23 +33,37 @@ def add_canon_column(batch: pa.Table) -> pa.Table:
 def prepare_pages(pages, do_extract: bool = True):
     """pages(url, warc_ts, html, …) → extracted + canonicalized + deduped
     (one row per url, earliest warc_ts wins)."""
-    if do_extract and "html" in pages.schema().names:
+    # ONE schema probe, on the raw input (each ds.schema() call on a
+    # longer lineage triggers its own sampling execution)
+    raw_names = set(pages.schema().names)
+    if do_extract and "html" in raw_names:
         pages = pages.map_batches(extract_batch, batch_format="pyarrow")
     pages = pages.map_batches(add_canon_column, batch_format="pyarrow")
     # keep scalar columns only: linkage needs (url, canon, text[, doc_id]);
     # nested annotation columns belong to the linking pipeline and don't
     # survive pandas map_groups anyway (ray guide: keep nested in Arrow)
-    keep = [c for c in ("url", "warc_ts", "canon", "text", "lang", "doc_id")
-            if c in pages.schema().names]
+    _types = {"url": pa.string(), "warc_ts": pa.timestamp("us"),
+              "canon": pa.string(), "text": pa.string(),
+              "lang": pa.string(), "doc_id": pa.int64()}
+    keep = [c for c in _types if c in raw_names | {"canon", "text"}]
     pages = pages.select_columns(keep)
-    return dedup_first_by(pages, key="url", order_col="warc_ts")
+    # schema passed statically: ds.schema() on the full lineage would
+    # trigger an extra sampling execution per call
+    return dedup_first_by(pages, key="url", order_col="warc_ts",
+                          schema=pa.schema([(c, _types[c]) for c in keep]))
 
 
 def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
     """Blocking (LSH bands + canonical-url key, fused into one explode +
     one groupby — see lsh_candidate_pairs) → verified match
     edges(left, right, lev_sim, …)."""
-    pairs = lsh_candidate_pairs(pages, id_col="url", canon_col="canon")
+    # `pages` fans out to THREE consumers (blocking + both join sides of
+    # verification); without pinning, each consumer re-executes the whole
+    # extract+dedup lineage.  Materialize once here — at 10^12-doc scale
+    # this is the per-partition Parquet checkpoint (state/checkpoint.py).
+    pages = pages.materialize()
+    pairs = lsh_candidate_pairs(pages, id_col="url", canon_col="canon",
+                                num_partitions=num_partitions)
     scored = verify_pairs(pairs, pages, id_col="url",
                           threshold=threshold, num_partitions=num_partitions)
     return scored
@@ -96,13 +110,27 @@ def run_record_linkage(sf_dir: str, threshold: float = 0.75,
     pages = prepare_pages(pages_raw)
 
     if checkpoint_dir:
+        # every wide stage checkpoints: a rerun after a crash reads back
+        # the finished stages' Parquet (+ manifest lineage) and re-runs
+        # only what's missing
         from elevant_ray.state.checkpoint import fingerprint_paths, run_stage
 
         fp = fingerprint_paths(f"{sf_dir}/documents.parquet")
         pages, _ = run_stage(lambda: pages, f"{checkpoint_dir}/pages",
                              "prepare_pages", fp)
-
-    labels, scored = cluster_pages(pages, threshold, num_partitions)
+        scored, _ = run_stage(
+            lambda: match_edges(pages, threshold, num_partitions),
+            f"{checkpoint_dir}/edges", "match_edges", fp)
+        labels, _ = run_stage(
+            lambda: connected_components(
+                scored.map_batches(
+                    lambda b: b.filter(b.column("is_match"))
+                    .select(["left", "right"]),
+                    batch_format="pyarrow"),
+                num_partitions=num_partitions),
+            f"{checkpoint_dir}/labels", "connected_components", fp)
+    else:
+        labels, scored = cluster_pages(pages, threshold, num_partitions)
     pred_pairs = clusters_to_pairs(labels)
     # planted gold = pages born from the same source document; recall on
     # these must be 1.0.  Precision is measured against the brute-force

@@ -144,11 +144,19 @@ def synth_pages(sf_dir: str, include_doc_id: bool = False):
     ``doc_id`` is kept only when asked for (test joins); production
     pipelines key on ``url`` as the north rule intends.
     """
+    import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
-    pages = ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+    # the testdata is ONE small parquet file (often one row group) → the
+    # read yields one block and every downstream map would run on one
+    # core.  Split to ~2×CPUs blocks so synth/extract parallelize.  At
+    # production scale the input is thousands of files and this is a
+    # near-no-op.
+    n_blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    pages = ds.repartition(n_blocks) \
+        .map_batches(synth_pages_batch, batch_format="pyarrow")
     if not include_doc_id:
         pages = pages.drop_columns(["doc_id"])
     return pages

@@ -91,7 +91,13 @@ def connected_components(edges, num_partitions: int = 16,
         lambda b: pa.table({
             "left": b.column("left").combine_chunks().cast(pa.string()),
             "right": b.column("right").combine_chunks().cast(pa.string()),
-        }), batch_format="pyarrow")
+        }), batch_format="pyarrow").materialize()
+
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "label": pa.array([], pa.string())}))
 
     # BTS-style per-block contraction; drop self-loops, keep both
     # orientations so one join per round reaches every neighbor.
@@ -113,7 +119,9 @@ def connected_components(edges, num_partitions: int = 16,
                                      b.column("left").combine_chunks()]),
         })
 
-    und = star.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # derived lazily from the materialized star each round — a cheap map,
+    # not worth its own materialization pass
+    und = star.map_batches(both_dirs, batch_format="pyarrow")
 
     # initial labels: every endpoint labels itself (contracted star edges
     # contain every node of the original graph as a `left` endpoint)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import List
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 from elevant_ray.functions.minhash import (
@@ -24,7 +24,7 @@ from elevant_ray.functions.minhash import (
 from elevant_ray.functions.tokens import md5_fingerprint
 
 
-def dedup_first_by(ds, key: str, order_col: str):
+def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
     """Exact dedup: keep, per `key` group, the row with the smallest
     (`order_col`, then serialized-row lexicographic) — deterministic
     under any partitioning.
@@ -40,10 +40,15 @@ def dedup_first_by(ds, key: str, order_col: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    schema = ds.schema()
+    if schema is None:
+        # ds.schema() triggers a sampling execution of the upstream
+        # lineage — callers that know their schema statically should
+        # pass it to avoid the extra pass
+        s = ds.schema()
+        schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(s.names, s.types)])
     names = list(schema.names)
-    arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in zip(schema.names, schema.types)])
+    arrow_schema = schema
 
     def pack(batch: pa.Table) -> pa.Table:
         order = batch.column(order_col)
@@ -126,7 +131,7 @@ def add_simhash_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
                         max_block: int = 64, canon_col: str = None,
-                        **minhash_kwargs):
+                        num_partitions: int = 16, **minhash_kwargs):
     """pages → distinct candidate pairs (left < right) from shared
     blocking keys.
 
@@ -161,44 +166,234 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
         return pa.table({"band_key": pa.array(keys, pa.string()),
                          id_col: pa.array(ids, batch.column(id_col).type)})
 
-    exploded = with_keys.map_batches(explode, batch_format="pyarrow")
+    exploded = with_keys.map_batches(explode, batch_format="pyarrow") \
+        .materialize()  # three consumers: sampler, cold path, hot path
 
-    # vectorized group-collect (hash aggregate) — NOT map_groups, whose
-    # per-group pandas calls dominate when most LSH keys are singletons
-    from ray.data.aggregate import Unique
+    # ---- skew guard: sampled hot-key detection -------------------------
+    # A per-key groupby over ALL keys costs O(#groups) Python calls
+    # (most LSH keys are singletons — measured 25µs/group, i.e. minutes
+    # at 10^6+ keys), so hot keys are detected on a deterministic 10%
+    # row sample instead.  A key with true count C appears in the sample
+    # Binomial(C, 0.1) times; threshold 3 flags C=64 with p≈0.98 and
+    # C≥128 with p≈0.9999.  A missed borderline key costs at most
+    # ~C² ≈ 16k surplus candidate pairs in the cold path — bounded,
+    # and the verifier rejects the junk.  False-positive hot keys are
+    # merely routed through the (correct, slower-per-key) hot path.
+    sample_rate, sample_mod = 0.1, 10
+    from ray.data.aggregate import Count
 
-    blocks = exploded.groupby("band_key").aggregate(
-        Unique(on=id_col, alias_name="members"))
+    def sample(batch: pa.Table) -> pa.Table:
+        import zlib
 
-    def expand_blocks(batch: pa.Table) -> pa.Table:
-        left, right = [], []
-        for members in batch.column("members").to_pylist():
-            ms = sorted(set(members))
-            if len(ms) < 2:
-                continue
-            if len(ms) <= max_block:
-                for i in range(len(ms)):
-                    for j in range(i + 1, len(ms)):
-                        left.append(ms[i])
-                        right.append(ms[j])
-            else:
-                # skew guard for hot keys: star-to-min + adjacent chain.
-                # The star keeps the (verified) component diameter at 2
-                # so hash-min CC converges in O(1) rounds even for huge
-                # dup groups; the chain is a fallback path when the hub
-                # pair fails verification but neighbors match.
-                hub = ms[0]
-                for b in ms[1:]:
-                    left.append(hub)
-                    right.append(b)
-                for a, b in zip(ms[1:], ms[2:]):
-                    left.append(a)
-                    right.append(b)
-        return pa.table({"left": pa.array(left, pa.string()),
-                         "right": pa.array(right, pa.string())})
+        keep = [zlib.crc32(f"{k}\x00{i}".encode()) % sample_mod == 0
+                for k, i in zip(batch.column("band_key").to_pylist(),
+                                batch.column(id_col).to_pylist())]
+        return batch.filter(pa.array(keep, pa.bool_()))
 
-    pairs = blocks.map_batches(expand_blocks, batch_format="pyarrow")
+    threshold = max(2, int(max_block * sample_rate // 2))
+    def only_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n"), threshold))
+
+    counts = (exploded.map_batches(sample, batch_format="pyarrow")
+              .groupby("band_key").aggregate(Count(alias_name="n")))
+    hot_keys = {r["band_key"] for r in
+                counts.map_batches(only_hot, batch_format="pyarrow").take_all()}
+
+    def split(batch: pa.Table, want_hot: bool) -> pa.Table:
+        mask = [(k in hot_keys) == want_hot
+                for k in batch.column("band_key").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    # ---- cold path: vectorized hash self-join on band_key --------------
+    cold = exploded.map_batches(lambda b: split(b, False),
+                                batch_format="pyarrow")
+    rhs = cold.rename_columns({id_col: "_rid"})
+    joined = cold.join(rhs, "inner", num_partitions, on=("band_key",))
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        l = batch.column(id_col).cast(pa.string())
+        r = batch.column("_rid").cast(pa.string())
+        mask = pc.less(l, r)
+        return pa.table({"left": l.filter(mask), "right": r.filter(mask)})
+
+    cold_pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
+
+    # ---- hot path: per-key collect + star/chain expansion --------------
+    pairs = cold_pairs
+    if hot_keys:
+        from ray.data.aggregate import Unique
+
+        hot = exploded.map_batches(lambda b: split(b, True),
+                                   batch_format="pyarrow")
+        blocks = hot.groupby("band_key").aggregate(
+            Unique(on=id_col, alias_name="members"))
+
+        def expand_blocks(batch: pa.Table) -> pa.Table:
+            left, right = [], []
+            for members in batch.column("members").to_pylist():
+                ms = sorted(str(m) for m in set(members))
+                if len(ms) < 2:
+                    continue
+                if len(ms) <= max_block:
+                    for i in range(len(ms)):
+                        for j in range(i + 1, len(ms)):
+                            left.append(ms[i])
+                            right.append(ms[j])
+                else:
+                    # star-to-min + adjacent chain: keeps the (verified)
+                    # component diameter at 2 so hash-min CC converges in
+                    # O(1) rounds even for huge dup groups; the chain is a
+                    # fallback when the hub pair fails verification but
+                    # neighbors match.
+                    hub = ms[0]
+                    for b in ms[1:]:
+                        left.append(hub)
+                        right.append(b)
+                    for a, b in zip(ms[1:], ms[2:]):
+                        left.append(a)
+                        right.append(b)
+            return pa.table({"left": pa.array(left, pa.string()),
+                             "right": pa.array(right, pa.string())})
+
+        hot_pairs = blocks.map_batches(expand_blocks, batch_format="pyarrow")
+        pairs = cold_pairs.union(hot_pairs)
+
     return distinct_pairs(pairs)
+
+
+def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
+                            max_hamming: int = 3, num_partitions: int = 16):
+    """SimHash near-dup pairs with hamming distance ≤ `max_hamming`.
+
+    The 64-bit simhash is split into ``max_hamming + 1`` bands of
+    ``64 // (max_hamming + 1)`` bits; by pigeonhole any pair within the
+    hamming budget agrees EXACTLY on at least one band → recall is 1.0
+    (deterministic, unlike MinHash banding).  Band keys are self-joined
+    (vectorized hash join); both sides' full hashes ride along in the
+    join rows, so verification is a numpy XOR-popcount — no extra join.
+    Returns distinct pairs (left, right, hamming)."""
+    import pyarrow.compute as pc
+
+    nbands = max_hamming + 1
+    width = 64 // nbands
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids, band_keys_, hashes = [], [], []
+        for rid, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            h = simhash64(text)
+            for b in range(nbands):
+                chunk = (h >> (b * width)) & ((1 << width) - 1)
+                ids.append(rid)
+                band_keys_.append(f"{b}:{chunk:x}")
+                hashes.append(h - (1 << 63))        # signed int64 view
+        return pa.table({"band_key": pa.array(band_keys_, pa.string()),
+                         id_col: pa.array(ids, batch.column(id_col).type),
+                         "_h": pa.array(hashes, pa.int64())})
+
+    exploded = ds.map_batches(keys, batch_format="pyarrow")
+    rhs = exploded.rename_columns({id_col: "_rid", "_h": "_rh"})
+    joined = exploded.join(rhs, "inner", num_partitions, on=("band_key",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        l = batch.column(id_col).cast(pa.string())
+        r = batch.column("_rid").cast(pa.string())
+        mask = pc.less(l, r)
+        batch = pa.table({"left": l, "right": r,
+                          "_h": batch.column("_h"),
+                          "_rh": batch.column("_rh")}).filter(mask)
+        a = batch.column("_h").to_numpy().astype(np.uint64)
+        b = batch.column("_rh").to_numpy().astype(np.uint64)
+        x = a ^ b
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):                      # vectorized popcount
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        keep = ham <= max_hamming
+        return pa.table({
+            "left": batch.column("left").filter(pa.array(keep)),
+            "right": batch.column("right").filter(pa.array(keep)),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    # distinct over (left, right), min hamming kept (same value each way)
+    from ray.data.aggregate import Min
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(verified.groupby(["left", "right"]).aggregate(
+        Min("hamming", alias_name="hamming")))
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
+                        n: int = 3, threshold: float = 0.5,
+                        num_partitions: int = 16):
+    """EXACT n-gram Jaccard pairs ≥ threshold.
+
+    Every distinct token n-gram hash is a blocking key (recall 1.0 for
+    any J > 0); the per-gram self-join yields one row per shared gram,
+    and a single grouped Count with both sides' set sizes riding along
+    computes |∩| → J = |∩| / (|A| + |B| - |∩|).  All vectorized; the
+    only per-group cost is O(#candidate pairs)."""
+    from elevant_ray.functions.tokens import unigrams
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, gs, sizes = [], [], []
+        for rid, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            toks = unigrams(text)
+            gset = {" ".join(toks[i:i + n])
+                    for i in range(max(len(toks) - n + 1, 0))} or {""}
+            for g in gset:
+                ids.append(rid)
+                gs.append(g)
+                sizes.append(len(gset))
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         id_col: pa.array(ids, batch.column(id_col).type),
+                         "_sz": pa.array(sizes, pa.int64())})
+
+    exploded = ds.map_batches(grams, batch_format="pyarrow")
+    rhs = exploded.rename_columns({id_col: "_rid", "_sz": "_rsz"})
+    joined = exploded.join(rhs, "inner", num_partitions, on=("gram",))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        l = batch.column(id_col).cast(pa.string())
+        r = batch.column("_rid").cast(pa.string())
+        mask = pc.less(l, r)
+        return pa.table({"left": l, "right": r,
+                         "sz_l": batch.column("_sz"),
+                         "sz_r": batch.column("_rsz")}).filter(mask)
+
+    from ray.data.aggregate import Count
+
+    shared = (joined.map_batches(orient, batch_format="pyarrow")
+              .groupby(["left", "right", "sz_l", "sz_r"])
+              .aggregate(Count(alias_name="inter")))
+
+    def jac(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inter = batch.column("inter").cast(pa.float64())
+        union = pc.subtract(
+            pc.add(batch.column("sz_l").cast(pa.float64()),
+                   batch.column("sz_r").cast(pa.float64())), inter)
+        j = pc.divide(inter, union)
+        out = pa.table({"left": batch.column("left"),
+                        "right": batch.column("right"),
+                        "jac": pc.round(j, ndigits=6)})
+        return out.filter(pc.greater_equal(out.column("jac"),
+                                           pa.scalar(float(threshold))))
+
+    return shared.map_batches(jac, batch_format="pyarrow")
 
 
 def distinct_pairs(pairs):

@@ -331,6 +331,8 @@ def evaluate_document(
                             (_label_is_quantity(lb) or _label_is_datetime(lb))),
             "has_nonopt_children": False,
             "n_candidates": len(pred.get("candidates") or ()) if pred else 0,
+            "candidates": sorted(pred.get("candidates") or ()) if pred else [],
+            "gt_name": lb.get("name"),
             "child_linking": None,
             "child_ner": None,
             "mention_type": mention_type(
@@ -371,6 +373,8 @@ def evaluate_document(
             "true_qty_dt": False,
             "has_nonopt_children": False,
             "n_candidates": len(pred.get("candidates") or ()),
+            "candidates": sorted(pred.get("candidates") or ()),
+            "gt_name": None,
             "child_linking": None,
             "child_ner": None,
             "mention_type": mention_type(
@@ -468,6 +472,10 @@ def count_cases(cases: List[dict]) -> Counter:
                 else:
                     for t in _type_ids(case["pred_types"]):
                         counts[(mode, "type:" + t, "fp")] += 1
+            # error-category counts weighted by factor
+            # (evaluator.py:196-204: error_counts[mode][label] += factor)
+            for label in case.get("error_labels", {}).get(mode, ()):
+                counts[(mode, "error:" + label, "count")] += case["factor"]
     return counts
 
 
@@ -515,6 +523,11 @@ def results_from_counts(counts: Counter) -> dict:
                 counts[(mode, "type:" + t, "tp")],
                 counts[(mode, "type:" + t, "fp")],
                 counts[(mode, "type:" + t, "fn")])
+        # error-category breakdown (evaluator.py:216-352 subset: raw
+        # factor-weighted counts per error label)
+        mode_out["error_categories"] = {
+            k[1][6:]: counts[k] for k in sorted(counts)
+            if k[0] == mode and k[1].startswith("error:")}
         out[mode] = mode_out
     return out
 
@@ -581,6 +594,11 @@ def aggregate_counts(docs, qid_meta_ref=None):
             cases = evaluate_document(row["text"], row["labels"] or [],
                                       row["predictions"] or [],
                                       evaluation_span=span, qid_meta=meta)
+            from elevant_ray.functions.errors import label_errors
+
+            hl = {(h["begin"], h["end"]) for h in row.get("hyperlinks") or ()}
+            for mode in MODES:
+                label_errors(cases, dims=meta, hyperlink_spans=hl, mode=mode)
             counts.update(count_cases(cases))
         keys = list(counts.keys())
         return pa.table({

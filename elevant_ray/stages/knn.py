@@ -73,6 +73,45 @@ def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
         final_topk, batch_format="pandas")
 
 
+def cosine_neardup_pairs(embeddings, threshold: float = 0.9,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact embedding near-dup pairs: cosine(a, b) ≥ threshold,
+    left < right.
+
+    The normalized full matrix is broadcast ONCE via ``ray.put`` and
+    each batch does one matmul against it — O(N·d) broadcast state,
+    O(N²/B) compute spread over blocks, zero shuffles.  This is the
+    oracle-checkable exact path; at 10^9+ rows swap the broadcast side
+    for sign-LSH buckets (random hyperplane bands, same self-join
+    machinery as stages/dedup.py) and verify within buckets."""
+    import ray
+
+    full = embeddings.select_columns([id_col, vec_col]).to_pandas()
+    full = full.sort_values(id_col)
+    all_ids = full[id_col].to_numpy(np.int64)
+    all_mat = _as_matrix(full[vec_col].to_list())
+    ref = ray.put((all_ids, all_mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column(vec_col).to_pylist())
+        sims = mat @ mat_all.T                     # (batch, N)
+        bi, ai = np.nonzero(sims >= threshold)
+        l, r, s = [], [], []
+        for b, a in zip(bi, ai):
+            if ids[b] < ids_all[a]:                # each pair exactly once
+                l.append(int(ids[b]))
+                r.append(int(ids_all[a]))
+                s.append(float(sims[b, a]))
+        return pa.table({"left": pa.array(l, pa.int64()),
+                         "right": pa.array(r, pa.int64()),
+                         "sim": pa.array(s, pa.float64())})
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow",
+                                  batch_size=4096)
+
+
 def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
              n_cells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

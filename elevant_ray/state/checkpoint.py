@@ -67,7 +67,9 @@ def write_checkpoint(ds, out_dir: str, stage: str, input_fingerprint: str,
     with open(_manifest_path(tmp_dir), "w") as f:
         json.dump(manifest, f, indent=1)
     os.rename(tmp_dir, out_dir)
-    return rd.read_parquet(out_dir)
+    # file_extensions: the manifest.json lives next to the data and must
+    # not be parsed as parquet
+    return rd.read_parquet(out_dir, file_extensions=["parquet"])
 
 
 def run_stage(build_fn, out_dir: str, stage: str, input_fingerprint: str):
@@ -76,7 +78,7 @@ def run_stage(build_fn, out_dir: str, stage: str, input_fingerprint: str):
     import ray.data as rd
 
     if is_complete(out_dir, input_fingerprint):
-        return rd.read_parquet(out_dir), True
+        return rd.read_parquet(out_dir, file_extensions=["parquet"]), True
     ds = build_fn()
     return write_checkpoint(ds, out_dir, stage, input_fingerprint), False
 

@@ -1,0 +1,185 @@
+"""Tests for the scale-addition operator families: SimHash pairs,
+exact n-gram Jaccard, embedding near-dup/IVF ANN, multimodal stages.
+
+Each distributed operator is checked against a single-process
+brute-force oracle on the same inputs (the engine's standing test
+pattern — SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_table(texts):
+    import ray.data as rd
+
+    ids = [f"{i:06d}" for i in range(len(texts))]
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })), ids
+
+
+class TestSimhashPairs:
+    def test_recall_and_precision_vs_bruteforce(self, ray_session):
+        from elevant_ray.functions.minhash import hamming64, simhash64
+        from elevant_ray.stages.dedup import simhash_candidate_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight").split()
+        texts = []
+        for i in range(30):
+            toks = list(base)
+            toks[i % len(toks)] = f"tok{i}"
+            texts.append(" ".join(toks))
+        texts += [texts[0], " ".join(base)]  # exact dup + near dup
+
+        ds, ids = _docs_table(texts)
+        got = {(r["left"], r["right"], r["hamming"]) for r in
+               simhash_candidate_pairs(ds, id_col="id", max_hamming=3,
+                                       num_partitions=4).take_all()}
+
+        hashes = [simhash64(t) for t in texts]
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                h = hamming64(hashes[i], hashes[j])
+                if h <= 3:
+                    want.add((ids[i], ids[j], h))
+        assert got == want          # exact: banding recall is 1.0
+        assert any(h == 0 for _, _, h in got)   # the planted exact dup
+
+    def test_empty_edges_cluster_to_singletons(self, ray_session):
+        # texts far apart -> no pairs; dedup_simhash query must still
+        # label every doc with its own id (left-outer join path)
+        import __ray_entry__ as m
+
+        out = m.queries()["dedup_simhash"](SF_DIR).to_pandas()
+        assert len(out) > 0
+        assert (out["cluster"] <= out["doc_id"]).all()
+
+
+class TestNgramJaccard:
+    def test_exact_vs_bruteforce(self, ray_session):
+        from elevant_ray.functions.tokens import unigrams
+        from elevant_ray.stages.dedup import ngram_jaccard_pairs
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",   # near dup
+            "one two three four five six seven eight",
+            "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+            "tiny",                                           # < n tokens
+            "tiny",                                           # dup of tiny
+        ]
+        ds, ids = _docs_table(texts)
+        got = {(r["left"], r["right"]): r["jac"] for r in
+               ngram_jaccard_pairs(ds, id_col="id", n=3, threshold=0.3,
+                                   num_partitions=4).take_all()}
+
+        def gramset(t):
+            toks = unigrams(t)
+            return ({" ".join(toks[i:i + 3])
+                     for i in range(max(len(toks) - 2, 0))} or {""}) \
+                if len(toks) >= 3 else {" ".join(toks)}
+
+        want = {}
+        gs = [gramset(t) for t in texts]
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                inter = len(gs[i] & gs[j])
+                if not inter:
+                    continue
+                jac = inter / len(gs[i] | gs[j])
+                if round(jac, 6) >= 0.3:
+                    want[(ids[i], ids[j])] = round(jac, 6)
+        assert got == pytest.approx(want)
+        assert got[(ids[0], ids[3])] == 1.0       # exact dup
+        assert got[(ids[4], ids[5])] == 1.0       # short-doc dup
+
+
+class TestEmbeddingNearDup:
+    def test_pairs_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from elevant_ray.stages.knn import cosine_neardup_pairs
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 16)
+        vecs[7] = vecs[3] + 0.01 * rng.randn(16)   # planted near-dup
+        vecs[25] = vecs[11]                        # exact dup
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }))
+        got = {(r["left"], r["right"]) for r in
+               cosine_neardup_pairs(ds, threshold=0.95).take_all()}
+
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        want = {(i, j) for i in range(40) for j in range(i + 1, 40)
+                if sims[i, j] >= 0.95}
+        assert got == want
+        assert (3, 7) in got and (11, 25) in got
+
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        import __ray_entry__ as m
+
+        brute = m.queries()["knn_cosine"](SF_DIR).to_pandas()
+        ivf = m.queries()["knn_ivf"](SF_DIR).to_pandas()
+        b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        v = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
+        assert len(ivf) == len(brute)
+
+
+class TestMultimodal:
+    def test_media_schema_and_determinism(self, ray_session):
+        from elevant_ray.stages.multimodal import synth_media_batch
+
+        batch = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+        m1, m2 = synth_media_batch(batch), synth_media_batch(batch)
+        assert m1.equals(m2)                       # deterministic payloads
+        kinds = set(m1.column("kind").to_pylist())
+        assert kinds == {"image", "audio", "video"}
+        for row in m1.to_pylist():
+            if row["kind"] == "image":
+                assert len(row["payload"]) == row["width"] * row["height"]
+
+    def test_actor_pool_stages_end_to_end(self, ray_session):
+        import ray.data as rd
+
+        from elevant_ray.stages.multimodal import media_features
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64())}))
+        images, audio, frames = media_features(docs, concurrency=2,
+                                               batch_size=8)
+        img = images.to_pandas()
+        assert len(img) == 10                      # doc_id % 3 == 0
+        assert all(len(v) == 16 for v in img["feature"])
+        assert (img["px_mean"] > 0).all()
+
+        aud = audio.to_pandas()
+        assert len(aud) == 10
+        assert all(len(e) == n for e, n in zip(aud["energy"],
+                                               aud["n_windows"]))
+
+        fr = frames.to_pandas()
+        assert len(fr) > 0
+        # every sampled frame is a full-frame byte slice
+        assert set(fr["frame_idx"]) <= set(range(0, 8, 2))
+
+    def test_feature_stage_deterministic_across_runs(self, ray_session):
+        import __ray_entry__ as m
+
+        a = m.queries()["multimodal_features"](SF_DIR).to_pandas()
+        b = m.queries()["multimodal_features"](SF_DIR).to_pandas()
+        assert a.equals(b)
+        assert (a["dim"] == 16).all()
