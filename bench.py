@@ -248,6 +248,8 @@ def main() -> None:
                     help="scaling-input replication factor (0 = auto)")
     ap.add_argument("--repeats", type=int, default=2,
                     help="scaling runs per level (min taken; shared host)")
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated num_cpus levels for --scaling (N,4N)")
     ap.add_argument("--one", metavar="QUERY", default=None)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of BENCH_QUERIES")
@@ -256,8 +258,9 @@ def main() -> None:
     if args.one:
         payload = run_one(args.sf_dir, args.num_cpus, args.one)
     elif args.scaling:
-        payload = run_scaling(args.sf_dir, replicate=args.replicate,
-                              repeats=args.repeats)
+        levels = tuple(int(x) for x in args.levels.split(","))
+        payload = run_scaling(args.sf_dir, levels=levels,
+                              replicate=args.replicate, repeats=args.repeats)
     else:
         names = args.queries.split(",") if args.queries else BENCH_QUERIES
         payload = run_bench(args.sf_dir, args.num_cpus, names)

@@ -64,8 +64,12 @@ def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
     pages = pages.materialize()
     pairs = lsh_candidate_pairs(pages, id_col="url", canon_col="canon",
                                 num_partitions=num_partitions)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     scored = verify_pairs(pairs, pages, id_col="url",
-                          threshold=threshold, num_partitions=num_partitions)
+                          threshold=threshold, num_partitions=num_partitions,
+                          score_parallelism=2 * cpus)
     return scored
 
 

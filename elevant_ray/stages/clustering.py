@@ -66,17 +66,18 @@ def _local_contract(batch: pa.Table) -> pa.Table:
 
 
 def _checksum_batch(batch: pa.Table) -> pa.Table:
-    """Order-insensitive uint64 checksum partial of (node, label) rows
-    (vectorized: pandas siphash per row, wrapping sum across rows)."""
-    df = batch.select(["node", "label"]).to_pandas()
+    """Order-insensitive uint64 checksum partial of a 2-string-column
+    table (vectorized: pandas siphash per row, wrapping sum)."""
+    a, b = batch.column_names[0], batch.column_names[1]
+    df = batch.to_pandas()
     hashes = pd.util.hash_pandas_object(
-        df["node"] + "\x00" + df["label"], index=False).to_numpy(np.uint64)
+        df[a] + "\x00" + df[b], index=False).to_numpy(np.uint64)
     acc = int(np.add.reduce(hashes, dtype=np.uint64)) if len(hashes) else 0
     return pa.table({"cs": pa.array([acc - (1 << 63)], pa.int64())})
 
 
-def _checksum(labels) -> int:
-    return labels.map_batches(_checksum_batch, batch_format="pyarrow").sum("cs")
+def _edge_checksum(edges) -> int:
+    return edges.map_batches(_checksum_batch, batch_format="pyarrow").sum("cs")
 
 
 def connected_components(edges, num_partitions: int = 16,
@@ -101,51 +102,33 @@ def connected_components(edges, num_partitions: int = 16,
 
     # BTS-style per-block contraction; drop self-loops, keep both
     # orientations so one join per round reaches every neighbor.
-    # materialized once: both `und` and the initial labels derive from it,
-    # and without this the whole upstream DAG (blocking + scoring) would
-    # re-execute for each derivation
+    # Alternating sort-contract (cf. Kiveris et al., "Connected
+    # Components in MapReduce and Beyond", SoCC'14 — the alternating
+    # algorithm): each pass sorts the star-edge table by one endpoint
+    # (co-locating every node's edges) and runs an in-block union-find.
+    # A pass is ONE range-partitioned sort + ONE map — no hash joins, no
+    # aggregator actor pools — and the edge table stays one row per
+    # node.  Converges in O(log) passes; the earlier textbook hash-min
+    # loop (2 joins + 2 aggregates per round, one round PER HOP of
+    # component diameter) took 13+ expensive rounds on chain-shaped
+    # near-dup components.
     star = edges.map_batches(_local_contract, batch_format="pyarrow",
                              batch_size=65536).materialize()
-
-    def both_dirs(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.not_equal(b.column("left"), b.column("right"))
-        b = b.filter(mask)
-        return pa.table({
-            "src": pa.concat_arrays([b.column("left").combine_chunks(),
-                                     b.column("right").combine_chunks()]),
-            "dst": pa.concat_arrays([b.column("right").combine_chunks(),
-                                     b.column("left").combine_chunks()]),
-        })
-
-    # derived lazily from the materialized star each round — a cheap map,
-    # not worth its own materialization pass
-    und = star.map_batches(both_dirs, batch_format="pyarrow")
-
-    # initial labels: every endpoint labels itself (contracted star edges
-    # contain every node of the original graph as a `left` endpoint)
-    labels = star.map_batches(
-        lambda b: pa.table({"node": b.column("left"),
-                            "label": b.column("right")}),
-        batch_format="pyarrow")
-    labels = labels.groupby("node").aggregate(
-        Min("label", alias_name="label")).materialize()
-
-    cs_prev = _checksum(labels)
-    for _ in range(max_iters):
-        moved = (und.join(labels, "inner", num_partitions, on=("src",),
-                          right_on=("node",))
-                 .select_columns(["dst", "label"])
-                 .rename_columns({"dst": "node"}))
-        proposals = labels.union(moved)
-        labels = proposals.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
-        cs_new = _checksum(labels)
+    cs_prev = _edge_checksum(star)
+    for i in range(max_iters):
+        key = "left" if i % 2 == 0 else "right"
+        star = star.sort(key).map_batches(
+            _local_contract, batch_format="pyarrow",
+            batch_size=65536).materialize()
+        cs_new = _edge_checksum(star)
         if cs_new == cs_prev:
+            # fixpoint: every node's edge points at its component min
             break
         cs_prev = cs_new
-    return labels
+
+    labels = star.rename_columns({"left": "node", "right": "label"}) \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+    return labels.materialize()
 
 
 def clusters_to_pairs(labels, max_cluster: int = 1000):
