@@ -236,6 +236,89 @@ def supplier_nation_balance(sf_dir: str):
     return _round_cols(out, {"total_balance": 2}).sort("n_name")
 
 
+def part_brand_sets(sf_dir: str):
+    """Group collect-set aggregation (the reference's title-synonym /
+    akronym set-union groupby, extract_title_synonyms.py:12-33): sorted
+    distinct brands per part type, serialized for order-stable compare."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "part", ["p_type", "p_brand"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        brands = sorted(set(g["p_brand"]))
+        return pd.DataFrame({"p_type": [g["p_type"].iloc[0]],
+                             "brands": [",".join(brands)],
+                             "n_brands": [len(brands)]})
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(ds.groupby("p_type").map_groups(
+        collect, batch_format="pandas")).sort("p_type")
+
+
+def customer_except(sf_dir: str):
+    """Set difference: customers who ordered in 1996 but not in 1997.
+    Distinct via groupby; the small exclusion side is broadcast
+    (ray.put) instead of an anti-join shuffle."""
+    import datetime
+
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    y96 = datetime.datetime(1996, 1, 1)
+    y97 = datetime.datetime(1997, 1, 1)
+    y98 = datetime.datetime(1998, 1, 1)
+
+    def in_range(lo, hi):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                        pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+            return b.filter(m).select(["o_custkey"])
+        return f
+
+    cust97 = set(
+        ds.map_batches(in_range(y97, y98), batch_format="pyarrow")
+        .unique("o_custkey"))
+    ref = ray.put(cust97)
+
+    def anti(b: pa.Table) -> pa.Table:
+        excl = ray.get(ref)
+        mask = pa.array([k not in excl for k in b.column("o_custkey").to_pylist()],
+                        pa.bool_())
+        return b.filter(mask)
+
+    kept = (ds.map_batches(in_range(y96, y97), batch_format="pyarrow")
+            .map_batches(anti, batch_format="pyarrow"))
+    # distinct via groupby-count, drop the count
+    from ray.data.aggregate import Count
+
+    out = kept.groupby("o_custkey").aggregate(Count(alias_name="_c"))
+    return out.select_columns(["o_custkey"]).sort("o_custkey")
+
+
+def type_closure(sf_dir: str):
+    """Distributed transitive closure with min-depth (the reference's
+    type-hierarchy closure, create_all_types_mapping.py:15-49) over a
+    deterministic DAG derived from part keys: k → k//7 and k → k//3."""
+    from elevant_ray.stages.graph import transitive_closure
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for k in b.column("p_partkey").to_pylist():
+            if k > 0:
+                src.extend((k, k))
+                dst.extend((k // 7, k // 3))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    closure = transitive_closure(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        num_partitions=_shuffle_parts())
+    return closure.sort(["src", "dst"])
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + sessionization
 # ---------------------------------------------------------------------------
@@ -277,6 +360,31 @@ def events_sessions(sf_dir: str):
 
     return as_arrow(ds.groupby("user_id").map_groups(
         sessions, batch_format="pandas")).sort("user_id")
+
+
+def events_attribution(sf_dir: str):
+    """As-of join: attribute each purchase to the user's most recent
+    view at-or-before it (stages/asof.py — union + one keyed shuffle +
+    in-group searchsorted merge)."""
+    from elevant_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    purchases = (ev.filter(expr="event_type == 'purchase'")
+                 .select_columns(["user_id", "event_id", "ts"]))
+
+    def as_src(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "src_event_id": b.column("event_id"),
+                         "src_ts": b.column("ts")})
+
+    views = (ev.filter(expr="event_type == 'view'")
+             .map_batches(as_src, batch_format="pyarrow"))
+    out = asof_join(purchases, views, key="user_id",
+                    left_ts="ts", right_ts="src_ts",
+                    left_cols=["event_id", "ts"],
+                    right_cols=["src_event_id", "src_ts"],
+                    num_partitions=_shuffle_parts())
+    return out.sort("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +445,29 @@ def doc_fingerprint(sf_dir: str):
                          "fingerprint": pa.array(
                              [md5_fingerprint(t) for t in b.column("text").to_pylist()],
                              pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def split_assign(sf_dir: str):
+    """Deterministic train/dev/test split by content-independent hash
+    bucket (engine replacement for the reference's seeded-shuffle split,
+    split_dataset.py:17-140: hash split needs no global shuffle, is
+    stable under repartitioning, and doubles as seeded sampling —
+    filter bucket < k)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+                   for i in ids]
+        split = ["test" if x < 10 else "dev" if x < 20 else "train"
+                 for x in buckets]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "split": pa.array(split, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
@@ -728,9 +859,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_order": top_customer_order,
         "part_type_stats": part_type_stats,
         "supplier_nation_balance": supplier_nation_balance,
+        "part_brand_sets": part_brand_sets,
+        "customer_except": customer_except,
+        "type_closure": type_closure,
+        "split_assign": split_assign,
         # events
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "events_attribution": events_attribution,
         # text analysis
         "doc_token_counts": doc_token_counts,
         "unigram_counts": unigram_counts,
@@ -825,6 +961,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_suppliers
             FROM supplier JOIN nation ON n_nationkey = s_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        "part_brand_sets": """
+            SELECT p_type,
+                   array_to_string(list_sort(list_distinct(list(p_brand))), ',')
+                       AS brands,
+                   count(DISTINCT p_brand) AS n_brands
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "customer_except": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            ORDER BY o_custkey
+        """,
+        "type_closure": """
+            WITH RECURSIVE edges AS (
+                SELECT p_partkey AS src, p_partkey // 7 AS dst
+                FROM part WHERE p_partkey > 0
+                UNION
+                SELECT p_partkey, p_partkey // 3
+                FROM part WHERE p_partkey > 0),
+            walk(src, dst, depth) AS (
+                SELECT src, dst, 1 FROM edges
+                UNION ALL
+                SELECT w.src, e.dst, w.depth + 1
+                FROM walk w JOIN edges e ON w.dst = e.src)
+            SELECT src, dst, min(depth)::BIGINT AS depth
+            FROM walk GROUP BY src, dst ORDER BY src, dst
+        """,
+        "split_assign": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 10 THEN 'test'
+                        WHEN bucket < 20 THEN 'dev'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::INT64 % 100
+                             AS bucket
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "events_attribution": """
+            SELECT p.user_id, p.event_id, p.ts,
+                   v.src_event_id, v.src_ts
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, event_id AS src_event_id, ts AS src_ts
+                  FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.src_ts
+            ORDER BY p.event_id
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -398,11 +398,13 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
 
 def distinct_pairs(pairs):
     """Distinct (left, right) via hash aggregate — vectorized shuffle,
-    no per-group Python (a pair hit by 32 LSH bands arrives 32×)."""
+    no per-group Python (a pair hit by 32 LSH bands arrives 32×).
+    Output schema is pinned: this feeds the verify joins."""
     from ray.data.aggregate import Count
 
-    from elevant_ray.stages.util import as_arrow
+    from elevant_ray.stages.util import pin_schema
 
-    out = as_arrow(pairs.groupby(["left", "right"]).aggregate(
-        Count(alias_name="_n")))
-    return out.select_columns(["left", "right"])
+    out = pairs.groupby(["left", "right"]).aggregate(
+        Count(alias_name="_n"))
+    return pin_schema(out, pa.schema([("left", pa.string()),
+                                      ("right", pa.string())]))

@@ -623,13 +623,19 @@ def pairwise_f1(pred_pairs, gold_pairs, num_partitions: int = 8) -> dict:
     Computed via a full outer hash join on the pair key."""
     import pyarrow as pa
 
+    from elevant_ray.stages.util import pin_schema
+
+    pair_schema = pa.schema([("left", pa.string()), ("right", pa.string())])
+
     def tag(ds, name):
         return ds.map_batches(
             lambda b, n=name: b.append_column(n, pa.array([True] * len(b), pa.bool_())),
             batch_format="pyarrow")
 
-    p = tag(pred_pairs, "in_pred")
-    g = tag(gold_pairs, "in_gold")
+    p = tag(pin_schema(pred_pairs.select_columns(["left", "right"]),
+                       pair_schema), "in_pred")
+    g = tag(pin_schema(gold_pairs.select_columns(["left", "right"]),
+                       pair_schema), "in_gold")
     joined = p.join(g, "full_outer", num_partitions,
                     on=("left", "right"))
 

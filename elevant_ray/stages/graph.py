@@ -1,0 +1,140 @@
+"""Graph-shaped operators: distributed transitive closure with min-depth.
+
+The reference computes a type transitive closure single-process with a
+recursive DFS over ``subclass_of`` edges, tracking minimum depth
+(``scripts/create_all_types_mapping.py:15-49``).  The engine
+re-expresses it as **min-plus path doubling**: keep a Dataset of
+(src, dst, min_depth) path summaries, and each round compose it with
+itself (square it) under the (min, +) semiring:
+
+    paths₁ = edges                                  (depth 1)
+    paths₂ₗ = min-dedupe(pathsₗ ∪ (pathsₗ ∘ pathsₗ))
+
+Composition is a tagged-union co-group on the mid node — rows keyed by
+path head meet rows keyed by path tail in ONE hash-partitioned
+``groupby``, cross-producted per group.  No ``Dataset.join`` anywhere:
+Ray's join operator loses block schemas on empty shuffle partitions
+(guaranteed by small late-round frontiers), and the co-group costs the
+same single shuffle.
+
+Doubling converges in ceil(log₂ depth)+1 rounds (2 shuffles each) vs
+`depth` rounds for naive BFS — the shuffle-count win dominates because
+every Ray all-to-all carries fixed aggregator-actor cost on top of data
+volume.  The trade-off is intermediate fan-out (a (s,t) pair is derived
+once per mid node on a shortest path), bounded by closure_size × depth —
+fine for the shallow dimension-scale hierarchies this mirrors (the
+reference's Wikidata subclass graph has depth < 20).
+
+Cycles are handled naturally: depths only decrease under (min, +) and
+pair count only grows, so the (count, Σdepth) pair is a monotone
+convergence witness; reflexive pairs surface with their min cycle
+length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CLOSURE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                            ("depth", pa.int64())])
+
+
+def _with_schema(batch: pa.Table) -> pa.Table:
+    """Groupby aggregates emit schema-less empty blocks for empty shuffle
+    partitions; pin every block (empty included) to the closure schema."""
+    if batch.num_columns == 0:
+        return CLOSURE_SCHEMA.empty_table()
+    return batch.select(CLOSURE_SCHEMA.names).cast(CLOSURE_SCHEMA)
+
+
+def _dedupe_min_depth(ds):
+    from ray.data.aggregate import Min
+
+    return ds.groupby(["src", "dst"]).aggregate(
+        Min("depth", alias_name="depth")).map_batches(
+            _with_schema, batch_format="pyarrow")
+
+
+_COMPOSE_BUCKETS = 64
+
+
+def _compose(paths):
+    """paths ∘ paths under (min, +): co-group rows keyed by ``dst`` with
+    rows keyed by ``src`` on the shared mid node, one shuffle.
+
+    The shuffle key is a HASH BUCKET of the mid node, not the node
+    itself: ``map_groups`` pays per-group Python overhead (one UDF call
+    per group — minutes at 10⁴⁺ mid nodes), while a bucket groupby makes
+    ~64 calls, each running the exact-key composition as one vectorized
+    pandas hash merge in C.  Same co-location guarantee (equal keys hash
+    to equal buckets), ~200× fewer UDF invocations."""
+
+    def tag_head(b: pa.Table) -> pa.Table:
+        return pa.table({"bkt": pc.bit_wise_and(
+            b.column("dst"), pa.scalar(_COMPOSE_BUCKETS - 1, pa.int64())),
+            "k": b.column("dst"),
+            "side": pa.array([0] * b.num_rows, pa.int8()),
+            "n": b.column("src"), "d": b.column("depth")})
+
+    def tag_tail(b: pa.Table) -> pa.Table:
+        return pa.table({"bkt": pc.bit_wise_and(
+            b.column("src"), pa.scalar(_COMPOSE_BUCKETS - 1, pa.int64())),
+            "k": b.column("src"),
+            "side": pa.array([1] * b.num_rows, pa.int8()),
+            "n": b.column("dst"), "d": b.column("depth")})
+
+    combined = (paths.map_batches(tag_head, batch_format="pyarrow")
+                .union(paths.map_batches(tag_tail, batch_format="pyarrow")))
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                              "dst": pd.Series([], dtype="int64"),
+                              "depth": pd.Series([], dtype="int64")})
+        if len(g) == 0 or "side" not in g.columns:
+            return empty
+        a = g[g["side"] == 0][["k", "n", "d"]]
+        b = g[g["side"] == 1][["k", "n", "d"]]
+        if a.empty or b.empty:
+            return empty
+        m = a.merge(b, on="k", suffixes=("_a", "_b"))
+        return pd.DataFrame({
+            "src": m["n_a"].to_numpy(dtype="int64"),
+            "dst": m["n_b"].to_numpy(dtype="int64"),
+            "depth": (m["d_a"] + m["d_b"]).to_numpy(dtype="int64"),
+        })
+
+    from elevant_ray.stages.util import as_arrow
+
+    # as_arrow: map_groups leaves pandas blocks; union with the Arrow
+    # `paths` blocks requires one block type
+    return as_arrow(combined.groupby("bkt").map_groups(
+        cross, batch_format="pandas"))
+
+
+def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64):
+    """All (src, dst, depth) reachability pairs with minimum path
+    length, as a Dataset.  ``edges`` is a Dataset(src, dst); duplicate
+    edges are deduped up front.  Terminates on cyclic graphs too (see
+    module docstring); ``max_rounds`` is only a runaway bound."""
+    edges = edges.select_columns(["src", "dst"])
+    edges = edges.map_batches(
+        lambda b: b.append_column(
+            "depth", pa.array([1] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    paths = _dedupe_min_depth(edges).materialize()
+    prev = (paths.count(), paths.sum("depth") or 0)
+
+    for _ in range(max_rounds):
+        grown = _dedupe_min_depth(
+            paths.union(_compose(paths))).materialize()
+        cur = (grown.count(), grown.sum("depth") or 0)
+        # squaring only adds pairs or lowers depths, so equal
+        # (count, Σdepth) ⇒ fixpoint
+        if cur == prev:
+            return grown
+        paths, prev = grown, cur
+
+    raise RuntimeError(
+        f"transitive_closure: no fixpoint after {max_rounds} rounds")
