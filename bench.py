@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "region_revenue",
     "events_hourly",
     "events_sessions",
+    "events_attribution",
+    "split_assign",
     "unigram_counts",
     "doc_quality",
     "lang_id",

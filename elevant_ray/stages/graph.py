@@ -49,10 +49,10 @@ def _with_schema(batch: pa.Table) -> pa.Table:
     return batch.select(CLOSURE_SCHEMA.names).cast(CLOSURE_SCHEMA)
 
 
-def _dedupe_min_depth(ds):
+def _dedupe_min_depth(ds, num_partitions: int = 8):
     from ray.data.aggregate import Min
 
-    return ds.groupby(["src", "dst"]).aggregate(
+    return ds.groupby(["src", "dst"], num_partitions=num_partitions).aggregate(
         Min("depth", alias_name="depth")).map_batches(
             _with_schema, batch_format="pyarrow")
 
@@ -60,7 +60,7 @@ def _dedupe_min_depth(ds):
 _COMPOSE_BUCKETS = 64
 
 
-def _compose(paths):
+def _compose(paths, num_partitions: int = 8):
     """paths ∘ paths under (min, +): co-group rows keyed by ``dst`` with
     rows keyed by ``src`` on the shared mid node, one shuffle.
 
@@ -109,8 +109,8 @@ def _compose(paths):
 
     # as_arrow: map_groups leaves pandas blocks; union with the Arrow
     # `paths` blocks requires one block type
-    return as_arrow(combined.groupby("bkt").map_groups(
-        cross, batch_format="pandas"))
+    return as_arrow(combined.groupby("bkt", num_partitions=num_partitions)
+                    .map_groups(cross, batch_format="pandas"))
 
 
 def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64):
@@ -123,12 +123,18 @@ def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64):
         lambda b: b.append_column(
             "depth", pa.array([1] * b.num_rows, pa.int64())),
         batch_format="pyarrow")
-    paths = _dedupe_min_depth(edges).materialize()
+    # repartition before each materialize: the groupby emits one block
+    # per (hash partition × upstream operator), and union sums block
+    # counts — left alone, blocks triple per round and per-task fixed
+    # overhead swamps the (tiny) data (measured 5s → 400s by round 3)
+    paths = _dedupe_min_depth(edges, num_partitions) \
+        .repartition(num_partitions).materialize()
     prev = (paths.count(), paths.sum("depth") or 0)
 
     for _ in range(max_rounds):
         grown = _dedupe_min_depth(
-            paths.union(_compose(paths))).materialize()
+            paths.union(_compose(paths, num_partitions)),
+            num_partitions).repartition(num_partitions).materialize()
         cur = (grown.count(), grown.sum("depth") or 0)
         # squaring only adds pairs or lowers depths, so equal
         # (count, Σdepth) ⇒ fixpoint
