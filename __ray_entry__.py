@@ -700,6 +700,37 @@ def extract_pages(sf_dir: str):
     return pages.map_batches(counts, batch_format="pyarrow").sort("url")
 
 
+def benchmark_stats(sf_dir: str):
+    """Benchmark-statistics aggregate (benchmark_statistics.py analog)
+    over the synthesized corpus: hyperlink anchors play the gold-label
+    role.  Long-format (stat, key, value) — rows-only (labels derive
+    from extraction, not SQL-expressible); exactness covered by
+    tests/test_ops2.py."""
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.benchmark_stats import benchmark_statistics
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch,
+                                            batch_format="pyarrow")
+
+    def as_articles(b: pa.Table) -> pa.Table:
+        labels = [[{"begin": h["begin"], "end": h["end"],
+                    "entity_id": h["target"], "name": h["target"],
+                    "coref": None, "type": None}
+                   for h in links]
+                  for links in b.column("hyperlinks").to_pylist()]
+        lt = pa.list_(pa.struct([
+            ("begin", pa.int32()), ("end", pa.int32()),
+            ("entity_id", pa.string()), ("name", pa.string()),
+            ("coref", pa.bool_()), ("type", pa.string())]))
+        return pa.table({"text": b.column("text"),
+                         "labels": pa.array(labels, lt)})
+
+    return benchmark_statistics(
+        pages.map_batches(as_articles, batch_format="pyarrow"),
+        num_partitions=_shuffle_parts())
+
+
 def link_frequencies(sf_dir: str):
     """The reference's get_link_frequencies dataflow over synthesized
     pages: (anchor alias, target) → count."""
@@ -887,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages / ELEVANT
         "url_canonicalize": url_canonicalize,
         "extract_pages": extract_pages,
+        "benchmark_stats": benchmark_stats,
         "link_frequencies": link_frequencies,
         "most_popular_candidates": most_popular_candidates,
         "linkage_clusters": linkage_clusters,

@@ -137,3 +137,132 @@ class TestJsonlRoundtrip:
         back = read_articles_jsonl(str(p)).to_pandas()
         assert back["title"].isna().all()
         assert len(back["labels"][0]) == 0
+
+
+CONLL_SAMPLE = """-DOCSTART- (1 testa)
+CRICKET
+LEICESTERSHIRE\tB\tLEICESTERSHIRE\tLeicestershire\thttp://en.wikipedia.org/wiki/Leicestershire_CCC
+TAKE
+OVER
+AT
+TOP
+London\tB\tLondon\t--NME--
+1996-08-30
+-DOCSTART- (2 testa)
+Phil\tB\tPhil Simmons\tPhil_Simmons\thttp://en.wikipedia.org/wiki/Phil_Simmons
+Simmons\tI\tPhil Simmons\tPhil_Simmons\thttp://en.wikipedia.org/wiki/Phil_Simmons
+took
+West\tB\tWest Indies\tWest_Indies\thttp://en.wikipedia.org/wiki/West_Indies
+Indies\tI\tWest Indies\tWest_Indies\thttp://en.wikipedia.org/wiki/West_Indies
+-DOCSTART- (3 testa)
+New\tB\tNew Zealand\tNew_Zealand\thttp://en.wikipedia.org/wiki/New_Zealand
+Zealand\tB\tNew Zealand\tnull
+won
+"""
+
+
+class TestConllReader:
+    def test_parse_spans_and_entities(self):
+        from elevant_ray.sources.conll import NIL, parse_conll
+
+        arts = parse_conll(CONLL_SAMPLE)
+        assert len(arts) == 3
+        a0 = arts[0]
+        assert a0["text"] == ("CRICKET LEICESTERSHIRE TAKE OVER AT TOP "
+                              "London 1996-08-30")
+        spans = [(l["begin"], l["end"], l["entity_id"]) for l in a0["labels"]]
+        # mention text recovered exactly from the span
+        for b, e, _ in spans:
+            assert a0["text"][b:e] in ("LEICESTERSHIRE", "London")
+        assert spans[0][2].endswith("Leicestershire_CCC")
+        assert spans[1][2] == NIL
+
+        a1 = arts[1]
+        assert [a1["text"][l["begin"]:l["end"]] for l in a1["labels"]] == \
+            ["Phil Simmons", "West Indies"]
+        # B/null directly after an open label CONTINUES it
+        # (aida_conll_benchmark_reader.py:74 comment); the label closes
+        # at the next O token
+        a2 = arts[2]
+        assert [a2["text"][l["begin"]:l["end"]] for l in a2["labels"]] == \
+            ["New Zealand"]
+
+    def test_uri_mapping_and_null_continuation(self):
+        from elevant_ray.sources.conll import parse_conll
+
+        qid = {"http://en.wikipedia.org/wiki/Phil_Simmons": "Q2087431"}
+        arts = parse_conll(CONLL_SAMPLE, uri_to_qid=qid)
+        a1 = arts[1]
+        assert a1["labels"][0]["entity_id"] == "Q2087431"
+        # unmapped URIs pass through verbatim
+        assert a1["labels"][1]["entity_id"].endswith("West_Indies")
+
+    def test_ray_reader_with_split(self, ray_session, tmp_path):
+        from elevant_ray.sources.conll import read_conll_benchmark
+
+        p = tmp_path / "bench.tsv"
+        p.write_text(CONLL_SAMPLE)
+        ds = read_conll_benchmark(str(p))
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(df["doc_id"]) == [0, 1, 2]
+        assert df["labels"][0][0]["entity_id"].endswith("Leicestershire_CCC")
+        train = read_conll_benchmark(str(p), split="train").to_pandas()
+        assert len(train) == 3  # all articles fall in [0, 945]
+
+
+class TestAlignByPrefix:
+    def test_prefix_join_and_collision_count(self, ray_session):
+        from elevant_ray.stages.align import align_predictions_by_text
+
+        arts = _ds(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["alpha " * 30, "beta " * 30, "gamma " * 30]}))
+        preds = _ds(pa.table({
+            "text": ["alpha " * 30, "gamma " * 30, "unmatched text"],
+            "pred_qid": ["Q1", "Q3", "Q9"]}))
+        out = align_predictions_by_text(arts, preds, num_partitions=2) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == [1, 3]
+        assert list(out["pred_qid"]) == ["Q1", "Q3"]
+        assert (out["prefix_collisions"] == 1).all()
+
+    def test_collision_resolves_to_min_doc_id(self, ray_session):
+        from elevant_ray.stages.align import align_predictions_by_text
+
+        shared = "same prefix " * 20
+        arts = _ds(pa.table({"doc_id": [7, 4], "text": [shared, shared]}))
+        preds = _ds(pa.table({"text": [shared], "pred_qid": ["Q5"]}))
+        out = align_predictions_by_text(arts, preds, num_partitions=2).to_pandas()
+        assert list(out["doc_id"]) == [4]
+        assert list(out["prefix_collisions"]) == [2]
+
+
+class TestBenchmarkStats:
+    def test_exact_counts(self, ray_session):
+        from elevant_ray.stages.benchmark_stats import benchmark_statistics
+
+        lt = pa.list_(pa.struct([
+            ("begin", pa.int32()), ("end", pa.int32()),
+            ("entity_id", pa.string()), ("name", pa.string()),
+            ("coref", pa.bool_()), ("type", pa.string())]))
+        arts = _ds(pa.table({
+            "text": pa.array(["Alpha Beta works here.", "it runs fine"]),
+            "labels": pa.array([
+                [{"begin": 0, "end": 10, "entity_id": "Q1",
+                  "name": "Alpha Beta", "coref": None, "type": "Q215627"}],
+                [{"begin": 0, "end": 2, "entity_id": "Q2", "name": "it",
+                  "coref": True, "type": None}],
+            ], lt)}))
+        df = benchmark_statistics(arts, num_partitions=2).to_pandas()
+        got = {(r.stat, r.key): r.value for r in df.itertuples()}
+        assert got[("text", "articles")] == 2
+        assert got[("text", "labels")] == 2
+        assert got[("text", "words")] == 7
+        assert got[("mention_type", "ENTITY_NAMED")] == 1
+        assert got[("mention_type", "COREF_PRONOMINAL")] == 1
+        assert got[("multi_word", "2")] == 1
+        assert got[("multi_word", "1")] == 1
+        assert got[("case", "capitalized")] == 1
+        assert got[("case", "lowercased")] == 1
+        assert got[("entity_type", "Q215627")] == 1
+        assert got[("entity_type", "OTHER")] == 1
