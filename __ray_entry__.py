@@ -56,7 +56,10 @@ def _sql_list(words) -> str:
 
 
 def q1_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    """Low-cardinality aggregate (6 groups) → per-batch Arrow group_by
+    partials + tiny global combine; means derived from sum/count at the
+    end (partial_group_agg, SURVEY.md §2.6 pattern)."""
+    from elevant_ray.stages.util import partial_group_agg
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -67,19 +70,24 @@ def q1_pricing_summary(sf_dir: str):
             b.column("l_shipdate"), pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
         disc = pc.multiply(b.column("l_extendedprice"),
                            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("disc_price", disc)
+        return b.append_column("disc_price", disc) \
+            .select(["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "disc_price"])
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
-        Count(alias_name="count_order"),
-    )
-    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2,
-                             "sum_disc_price": 2, "avg_qty": 6, "avg_price": 4})
+    agg = partial_group_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "l_extendedprice", "disc_price"],
+        count_alias="count_order", combine="driver")
+    n = agg["count_order"].astype(float)
+    out = agg[["l_returnflag", "l_linestatus"]].copy()
+    out["sum_qty"] = agg["l_quantity"].round(2)
+    out["sum_base_price"] = agg["l_extendedprice"].round(2)
+    out["sum_disc_price"] = agg["disc_price"].round(2)
+    out["avg_qty"] = (agg["l_quantity"] / n).round(6)
+    out["avg_price"] = (agg["l_extendedprice"] / n).round(4)
+    out["count_order"] = agg["count_order"]
+    return out
 
 
 def q3_top_orders(sf_dir: str):
@@ -88,12 +96,11 @@ def q3_top_orders(sf_dir: str):
     import datetime
 
     import ray
-    from ray.data.aggregate import Sum
 
     cutoff = datetime.datetime(1998, 1, 1)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     keys = {r["c_custkey"] for r in
-            cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").take_all()}
+            cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()}
     keys_ref = ray.put(keys)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -119,18 +126,41 @@ def q3_top_orders(sf_dir: str):
     line = line.map_batches(sel_line, batch_format="pyarrow")
     joined = line.join(orders, "inner", 8, on=("l_orderkey",),
                        right_on=("o_orderkey",))
+    from ray.data.aggregate import Sum
+
     out = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev", alias_name="revenue"))
-    out = _round_cols(out, {"revenue": 2})
-    return out.sort(["revenue", "o_orderdate", "l_orderkey"],
-                    descending=[True, False, False]).limit(10)
+
+    # top-k without a global sort: after the aggregate every batch holds
+    # complete groups, so the global top-10 is contained in the union of
+    # per-batch top-10s; emit ≤10 rows per batch, merge on the driver
+    import pandas as pd
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if df.empty:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], pa.timestamp("us")),
+                             "revenue": pa.array([], pa.float64())})
+        df["revenue"] = df["revenue"].round(2)
+        df = df.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True]).head(10)
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "o_orderdate", "revenue"]],
+            preserve_index=False)
+
+    parts = [b.to_pandas() for b in out.map_batches(
+        topk, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    allp = pd.concat(parts, ignore_index=True)
+    return allp.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True]).head(10) \
+        .reset_index(drop=True)
 
 
 def region_revenue(sf_dir: str):
     """Star join via broadcast dims (region→nation→customer) — no
     shuffle until the final tiny groupby."""
     import ray
-    from ray.data.aggregate import Sum
 
     region = {r["r_regionkey"]: r["r_name"]
               for r in _read(sf_dir, "region").take_all()}
@@ -161,14 +191,17 @@ def region_revenue(sf_dir: str):
     line = line.map_batches(rev, batch_format="pyarrow")
     joined = line.join(orders, "inner", 8, on=("l_orderkey",),
                        right_on=("o_orderkey",))
-    out = joined.groupby("r_name").aggregate(Sum("rev", alias_name="revenue"))
-    return _round_cols(out, {"revenue": 2}).sort("r_name")
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(joined, ["r_name"], sum_cols=["rev"],
+                            combine="driver")
+    out = agg[["r_name"]].copy()
+    out["revenue"] = agg["rev"].round(2)
+    return out
 
 
 def order_priority_counts(sf_dir: str):
     import datetime
-
-    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
 
@@ -180,8 +213,10 @@ def order_priority_counts(sf_dir: str):
         return b.filter(m)
 
     ds = ds.map_batches(sel, batch_format="pyarrow")
-    return ds.groupby("o_orderpriority").aggregate(
-        Count(alias_name="order_count")).sort("o_orderpriority")
+    from elevant_ray.stages.util import partial_group_agg
+
+    return partial_group_agg(ds, ["o_orderpriority"],
+                             count_alias="order_count", combine="driver")
 
 
 def top_customer_order(sf_dir: str):
@@ -204,20 +239,21 @@ def top_customer_order(sf_dir: str):
 
 
 def part_type_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean
+    from elevant_ray.stages.util import partial_group_agg
 
     ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
-    out = ds.groupby("p_type").aggregate(
-        Count(alias_name="n_parts"),
-        Mean("p_retailprice", alias_name="avg_price"),
-        Max("p_size", alias_name="max_size"))
-    return _round_cols(out, {"avg_price": 4}).sort("p_type")
+    agg = partial_group_agg(ds, ["p_type"], sum_cols=["p_retailprice"],
+                            count_alias="n_parts", max_cols=["p_size"],
+                            combine="driver")
+    out = agg[["p_type", "n_parts"]].copy()
+    out["avg_price"] = (agg["p_retailprice"] / agg["n_parts"]).round(4)
+    out["max_size"] = agg["p_size"]
+    return out[["p_type", "n_parts", "avg_price", "max_size"]]
 
 
 def supplier_nation_balance(sf_dir: str):
     """supplier⋈nation broadcast join + grouped sum."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     nation = {r["n_nationkey"]: r["n_name"]
               for r in _read(sf_dir, "nation").take_all()}
@@ -230,10 +266,14 @@ def supplier_nation_balance(sf_dir: str):
             [nm[k] for k in b.column("s_nationkey").to_pylist()], pa.string()))
 
     ds = ds.map_batches(add_nation, batch_format="pyarrow")
-    out = ds.groupby("n_name").aggregate(
-        Sum("s_acctbal", alias_name="total_balance"),
-        Count(alias_name="n_suppliers"))
-    return _round_cols(out, {"total_balance": 2}).sort("n_name")
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(ds, ["n_name"], sum_cols=["s_acctbal"],
+                            count_alias="n_suppliers", combine="driver")
+    out = agg[["n_name"]].copy()
+    out["total_balance"] = agg["s_acctbal"].round(2)
+    out["n_suppliers"] = agg["n_suppliers"]
+    return out
 
 
 def part_brand_sets(sf_dir: str):
