@@ -642,8 +642,11 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """Exact token-3-gram Jaccard pairs ≥ 0.5 (every gram is a blocking
-    key → recall 1.0; one self-join + one grouped count)."""
+    """Exact token-3-gram Jaccard pairs ≥ 0.5 via prefix-filtered
+    self-join (AllPairs; recall exactly 1.0, hot grams pruned by
+    rare-first prefix selection — see stages/dedup.ngram_jaccard_pairs)."""
+    import pandas as pd
+
     from elevant_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -653,21 +656,19 @@ def dedup_ngram_jaccard(sf_dir: str):
         return pa.table({"id": pa.array(ids, pa.string()),
                          "text": b.column("text")})
 
-    docs = ds.map_batches(prep, batch_format="pyarrow")
+    # pinned: consumed by the gram-frequency pass AND the per-doc pass
+    docs = ds.map_batches(prep, batch_format="pyarrow").materialize()
     pairs = ngram_jaccard_pairs(docs, id_col="id", n=3, threshold=0.5,
                                 num_partitions=_shuffle_parts())
 
-    def fmt(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "left": pa.array([int(x) for x in b.column("left").to_pylist()],
-                             pa.int64()),
-            "right": pa.array([int(x) for x in b.column("right").to_pylist()],
-                              pa.int64()),
-            "jac": b.column("jac"),
-        })
-
-    return pairs.map_batches(fmt, batch_format="pyarrow") \
-        .sort(["left", "right"])
+    # tiny result → sort on the driver (a Dataset sort is an exchange)
+    parts = [b.to_pandas()
+             for b in pairs.iter_batches(batch_format="pyarrow")]
+    out = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"left": [], "right": [], "jac": []}))
+    out["left"] = out["left"].astype("int64")
+    out["right"] = out["right"].astype("int64")
+    return out.sort_values(["left", "right"]).reset_index(drop=True)
 
 
 def multimodal_features(sf_dir: str):

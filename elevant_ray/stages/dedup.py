@@ -17,6 +17,7 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from elevant_ray.functions.minhash import (
     band_keys, minhash_signature, shingle_hashes, simhash64,
@@ -332,68 +333,179 @@ def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
         Min("hamming", alias_name="hamming")))
 
 
+def _gram_set(text: str, n: int):
+    from elevant_ray.functions.tokens import unigrams
+
+    toks = unigrams(text)
+    return {" ".join(toks[i:i + n])
+            for i in range(max(len(toks) - n + 1, 0))} or {""}
+
+
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
                         n: int = 3, threshold: float = 0.5,
                         num_partitions: int = 16):
-    """EXACT n-gram Jaccard pairs ≥ threshold.
+    """EXACT n-gram Jaccard pairs ≥ threshold via the AllPairs/PPJoin
+    prefix filter (Bayardo et al., WWW'07 — public algorithm).
 
-    Every distinct token n-gram hash is a blocking key (recall 1.0 for
-    any J > 0); the per-gram self-join yields one row per shared gram,
-    and a single grouped Count with both sides' set sizes riding along
-    computes |∩| → J = |∩| / (|A| + |B| - |∩|).  All vectorized; the
-    only per-group cost is O(#candidate pairs)."""
-    from elevant_ray.functions.tokens import unigrams
+    A naive per-gram self-join is quadratic in gram frequency (a gram
+    shared by k docs yields k² rows — hot template grams are the
+    all-to-all death at corpus scale).  The prefix filter keeps recall
+    exactly 1.0 while joining only each doc's
+    ``|G| - ceil(t·|G|) + 1`` RAREST grams (global (count, gram) order):
+    if J(A,B) ≥ t, the rarest shared gram provably lies in both
+    prefixes.  Rare-first selection simultaneously prunes the hot keys.
 
-    def grams(batch: pa.Table) -> pa.Table:
-        ids, gs, sizes = [], [], []
-        for rid, text in zip(batch.column(id_col).to_pylist(),
-                             batch.column(text_col).to_pylist()):
-            toks = unigrams(text)
-            gset = {" ".join(toks[i:i + n])
-                    for i in range(max(len(toks) - n + 1, 0))} or {""}
-            for g in gset:
-                ids.append(rid)
-                gs.append(g)
-                sizes.append(len(gset))
-        return pa.table({"gram": pa.array(gs, pa.string()),
-                         id_col: pa.array(ids, batch.column(id_col).type),
-                         "_sz": pa.array(sizes, pa.int64())})
+    Stages: per-batch gram-set map → gram-frequency groupby (count ≥ 2
+    only; singletons can never match) broadcast via ray.put → prefix
+    emission → self-join on prefix grams → distinct candidate pairs →
+    exact verification (sorted-hash intersection) against both docs'
+    full gram-hash sets, attached by two hash joins.
 
-    exploded = ds.map_batches(grams, batch_format="pyarrow")
-    rhs = exploded.rename_columns({id_col: "_rid", "_sz": "_rsz"})
-    joined = exploded.join(rhs, "inner", num_partitions, on=("gram",))
+    At corpora where the non-singleton gram vocabulary outgrows a
+    broadcast (~10⁸+), replace the ray.put dict with a join-based count
+    attach + per-doc regroup; same semantics, two more shuffles."""
+    import math
 
-    def orient(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        l = batch.column(id_col).cast(pa.string())
-        r = batch.column("_rid").cast(pa.string())
-        mask = pc.less(l, r)
-        return pa.table({"left": l, "right": r,
-                         "sz_l": batch.column("_sz"),
-                         "sz_r": batch.column("_rsz")}).filter(mask)
-
+    import numpy as np
+    import ray
     from ray.data.aggregate import Count
 
-    shared = (joined.map_batches(orient, batch_format="pyarrow")
-              .groupby(["left", "right", "sz_l", "sz_r"])
-              .aggregate(Count(alias_name="inter")))
+    from elevant_ray.stages.util import pin_schema
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for rid, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            for g in _gram_set(text, n):
+                ids.append(rid)
+                gs.append(g)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         id_col: pa.array(ids, batch.column(id_col).type)})
+
+    exploded = ds.map_batches(grams, batch_format="pyarrow")
+    counts = (exploded.groupby("gram", num_partitions=num_partitions)
+              .aggregate(Count(alias_name="c")))
+    def non_singleton(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        if not b.num_columns:
+            return b
+        return b.filter(_pc.greater_equal(b.column("c"), pa.scalar(2)))
+
+    counts = counts.map_batches(non_singleton, batch_format="pyarrow")
+    freq = {r["gram"]: r["c"] for r in counts.take_all()}
+    freq_ref = ray.put(freq)
+
+    # one fused per-doc pass: prefix grams (exploded rows) + full
+    # gram-hash blob — materialized once, consumed by BOTH self-join
+    # sides and BOTH verify joins (without the pin, each consumer
+    # re-executes the read + gram computation)
+    def doc_pass(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fr = ray.get(freq_ref)
+        ids, blobs, pgrams, sizes = [], [], [], []
+        for rid, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            gset_raw = _gram_set(text, n)
+            gset = sorted(gset_raw, key=lambda g: (fr.get(g, 1), g))
+            k = len(gset) - math.ceil(threshold * len(gset)) + 1
+            # singletons can't match — skip their join rows
+            pgrams.append([g for g in gset[:k] if g in fr])
+            sizes.append(len(gset))
+            # 64-bit hashes: collision-free in practice, so hashed
+            # intersection == string intersection; binary blob, not
+            # list<int64> — Acero joins reject nested payload columns
+            hs = sorted({int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                "big") - (1 << 63) for g in gset_raw})
+            ids.append(str(rid))
+            blobs.append(np.asarray(hs, dtype=np.int64).tobytes())
+        return pa.table({"_vid": pa.array(ids, pa.string()),
+                         "_hs": pa.array(blobs, pa.binary()),
+                         "_pg": pa.array(pgrams, pa.list_(pa.string())),
+                         "_sz": pa.array(sizes, pa.int64())})
+
+    doc_table = ds.map_batches(doc_pass, batch_format="pyarrow").materialize()
+
+    def explode_prefix(b: pa.Table) -> pa.Table:
+        ids, gs, szs = [], [], []
+        for rid, grams_, sz in zip(b.column("_vid").to_pylist(),
+                                   b.column("_pg").to_pylist(),
+                                   b.column("_sz").to_pylist()):
+            for g in grams_:
+                ids.append(rid)
+                gs.append(g)
+                szs.append(sz)
+        return pa.table({"gram": pa.array(gs, pa.string()),
+                         "left": pa.array(ids, pa.string()),
+                         "lsz": pa.array(szs, pa.int64())})
+
+    pref = doc_table.map_batches(explode_prefix, batch_format="pyarrow")
+    rhs = pref.rename_columns({"left": "right", "lsz": "rsz"})
+    cand = pref.join(rhs, "inner", num_partitions, on=("gram",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        # PPJoin length filter: J ≥ t ⇒ |∩| ≥ t·max(|A|,|B|) and
+        # |∩| ≤ min ⇒ min/max ≥ t — prunes size-mismatched candidates
+        # before the distinct shuffle; then local per-batch dedupe
+        keep = pc.and_(
+            pc.less(b.column("left"), b.column("right")),
+            pc.greater_equal(
+                pc.min_element_wise(b.column("lsz"), b.column("rsz")),
+                pc.multiply(pc.max_element_wise(b.column("lsz"),
+                                                b.column("rsz")),
+                            pa.scalar(float(threshold)))))
+        t = b.filter(keep).select(["left", "right"])
+        return t.group_by(["left", "right"]).aggregate([])
+
+    cand = cand.map_batches(orient, batch_format="pyarrow")
+    cand = distinct_pairs(cand)
+
+    # verify joins as co-groups (Ray's Dataset.join flakes on sparse
+    # inputs — see util.cogroup_join)
+    from elevant_ray.stages.util import as_arrow, cogroup_join
+
+    doc_sets = doc_table.select_columns(["_vid", "_hs"])
+    lhs_sets = doc_sets.rename_columns({"_vid": "left", "_hs": "hs_l"})
+    rhs_sets = doc_sets.rename_columns({"_vid": "right", "_hs": "hs_r"})
+    pair_schema = pa.schema([("left", pa.string()),
+                             ("right", pa.string())])
+    sets_schema_l = pa.schema([("left", pa.string()), ("hs_l", pa.binary())])
+    sets_schema_r = pa.schema([("right", pa.string()), ("hs_r", pa.binary())])
+    withl_schema = pa.schema([("left", pa.string()), ("right", pa.string()),
+                              ("hs_l", pa.binary())])
+    withl = as_arrow(cogroup_join(cand, lhs_sets, on="left",
+                                  num_partitions=num_partitions,
+                                  left_schema=pair_schema,
+                                  right_schema=sets_schema_l))
+    withb = as_arrow(cogroup_join(withl, rhs_sets, on="right",
+                                  num_partitions=num_partitions,
+                                  left_schema=withl_schema,
+                                  right_schema=sets_schema_r))
 
     def jac(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        lefts, rights, js = [], [], []
+        for left, right, hb_l, hb_r in zip(batch.column("left").to_pylist(),
+                                           batch.column("right").to_pylist(),
+                                           batch.column("hs_l").to_pylist(),
+                                           batch.column("hs_r").to_pylist()):
+            hl = np.frombuffer(hb_l, dtype=np.int64)
+            hr = np.frombuffer(hb_r, dtype=np.int64)
+            inter = len(np.intersect1d(hl, hr, assume_unique=True))
+            j = inter / (len(hl) + len(hr) - inter)
+            if j >= threshold:
+                lefts.append(left)
+                rights.append(right)
+                js.append(round(j, 6))
+        return pa.table({"left": pa.array(lefts, pa.string()),
+                         "right": pa.array(rights, pa.string()),
+                         "jac": pa.array(js, pa.float64())})
 
-        inter = batch.column("inter").cast(pa.float64())
-        union = pc.subtract(
-            pc.add(batch.column("sz_l").cast(pa.float64()),
-                   batch.column("sz_r").cast(pa.float64())), inter)
-        j = pc.divide(inter, union)
-        out = pa.table({"left": batch.column("left"),
-                        "right": batch.column("right"),
-                        "jac": pc.round(j, ndigits=6)})
-        return out.filter(pc.greater_equal(out.column("jac"),
-                                           pa.scalar(float(threshold))))
-
-    return shared.map_batches(jac, batch_format="pyarrow")
+    return pin_schema(withb, pa.schema([
+        ("left", pa.string()), ("right", pa.string()),
+        ("hs_l", pa.binary()), ("hs_r", pa.binary()),
+    ])).map_batches(jac, batch_format="pyarrow")
 
 
 def distinct_pairs(pairs):

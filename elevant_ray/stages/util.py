@@ -84,6 +84,76 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
     return gb.aggregate(*final_aggs)
 
 
+def cogroup_join(left, right, on: str, num_partitions: int = 8,
+                 buckets: int = 64, left_schema=None, right_schema=None):
+    """Inner equi-join as a tagged-union co-group: one hash-bucketed
+    ``groupby`` shuffle + a vectorized pandas merge per bucket.
+
+    Exists because Ray's ``Dataset.join`` intermittently fails on small
+    or sparse inputs — its shuffle aggregator loses the block schema for
+    partitions that receive no blocks from one side ("No match or
+    multiple matches for key field reference ...").  The co-group costs
+    the same single all-to-all and is deterministic.  Payload column
+    names must be disjoint (rename upstream); also unlike Acero, nested
+    payload columns would survive here, but pandas merge still prefers
+    scalars/binary.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    # ds.schema() on a lazy lineage triggers a sampling execution —
+    # callers that know their schemas statically should pass them
+    lschema = left_schema or left.schema().base_schema
+    rschema = right_schema or right.schema().base_schema
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != on]
+
+    def bucket_col(keys) -> "pa.Array":
+        return pa.array(
+            [zlib.crc32(str(k).encode("utf-8")) % buckets for k in keys],
+            pa.int32())
+
+    def tag(side_flag, own, other, other_schema):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {"bkt": bucket_col(b.column(on).to_pylist()),
+                    on: b.column(on),
+                    "__side": pa.array([side_flag] * b.num_rows, pa.int8())}
+            for c in own:
+                cols[c] = b.column(c)
+            for c in other:
+                cols[c] = pa.nulls(b.num_rows, other_schema.field(c).type)
+            return pa.table(cols)
+        return f
+
+    tagged = (left.map_batches(tag(0, lcols, rcols, rschema),
+                               batch_format="pyarrow")
+              .union(right.map_batches(tag(1, rcols, lcols, lschema),
+                                       batch_format="pyarrow")))
+
+    out_schema = pa.schema(
+        [lschema.field(on)] + [lschema.field(c) for c in lcols]
+        + [rschema.field(c) for c in rcols])
+
+    def merge(g: pa.Table) -> pa.Table:
+        # LOCAL Acero hash join per bucket — C++ speed, and no
+        # distributed-join empty-partition schema problem
+        import pyarrow.compute as _pc
+
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return out_schema.empty_table()
+        mask = _pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
+        l = g.filter(mask).select([on] + lcols)
+        r = g.filter(_pc.invert(mask)).select([on] + rcols)
+        if l.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        return l.join(r, keys=on, join_type="inner") \
+            .select(out_schema.names).cast(out_schema)
+
+    return tagged.groupby("bkt", num_partitions=num_partitions) \
+        .map_groups(merge, batch_format="pyarrow")
+
+
 def pin_schema(ds, schema):
     """Pin every block (empty included) to `schema`.
 
