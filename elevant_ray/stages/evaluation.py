@@ -623,7 +623,7 @@ def pairwise_f1(pred_pairs, gold_pairs, num_partitions: int = 8) -> dict:
     Computed via a full outer hash join on the pair key."""
     import pyarrow as pa
 
-    from elevant_ray.stages.util import pin_schema
+    from elevant_ray.stages.util import cogroup_join, pin_schema
 
     pair_schema = pa.schema([("left", pa.string()), ("right", pa.string())])
 
@@ -636,8 +636,14 @@ def pairwise_f1(pred_pairs, gold_pairs, num_partitions: int = 8) -> dict:
                        pair_schema), "in_pred")
     g = tag(pin_schema(gold_pairs.select_columns(["left", "right"]),
                        pair_schema), "in_gold")
-    joined = p.join(g, "full_outer", num_partitions,
-                    on=("left", "right"))
+    # full-outer co-group, not Dataset.join: pair tables are sparse and
+    # can carry empty blocks (util.cogroup_join)
+    p_schema = pa.schema(list(pair_schema) + [pa.field("in_pred", pa.bool_())])
+    g_schema = pa.schema(list(pair_schema) + [pa.field("in_gold", pa.bool_())])
+    joined = cogroup_join(p, g, on=["left", "right"],
+                          num_partitions=num_partitions,
+                          left_schema=p_schema, right_schema=g_schema,
+                          how="full_outer")
 
     def counts(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

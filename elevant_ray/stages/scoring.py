@@ -179,12 +179,29 @@ def verify_pairs(pairs, pages, id_col: str = "url",
     inherits `num_partitions` tasks; when the cluster has more slots
     than partitions, a split-repartition (no shuffle) between join and
     scorer restores full CPU usage for the pair-scoring hot loop."""
+    from elevant_ray.stages.util import cogroup_join
+
     side = pages.select_columns([id_col, "text", "canon"])
 
     left_side = side.rename_columns({id_col: "left", "text": "text_l", "canon": "canon_l"})
     right_side = side.rename_columns({id_col: "right", "text": "text_r", "canon": "canon_r"})
-    joined = pairs.join(left_side, "inner", num_partitions, on=("left",))
-    joined = joined.join(right_side, "inner", num_partitions, on=("right",))
+    # co-group joins, not Dataset.join: the pairs side legitimately has
+    # empty blocks (sparse candidates at small scale), which Ray's
+    # distributed join handles non-deterministically (util.cogroup_join)
+    pair_schema = pa.schema([("left", pa.string()), ("right", pa.string())])
+    side_schema_l = pa.schema([("left", pa.string()), ("text_l", pa.string()),
+                               ("canon_l", pa.string())])
+    side_schema_r = pa.schema([("right", pa.string()), ("text_r", pa.string()),
+                               ("canon_r", pa.string())])
+    withl_schema = pa.schema(list(pair_schema) + list(side_schema_l)[1:])
+    joined = cogroup_join(pairs, left_side, on="left",
+                          num_partitions=num_partitions,
+                          left_schema=pair_schema,
+                          right_schema=side_schema_l)
+    joined = cogroup_join(joined, right_side, on="right",
+                          num_partitions=num_partitions,
+                          left_schema=withl_schema,
+                          right_schema=side_schema_r)
     if score_parallelism and score_parallelism > num_partitions:
         joined = joined.repartition(score_parallelism)
     return joined.map_batches(

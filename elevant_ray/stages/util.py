@@ -84,41 +84,53 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
     return gb.aggregate(*final_aggs)
 
 
-def cogroup_join(left, right, on: str, num_partitions: int = 8,
-                 buckets: int = 64, left_schema=None, right_schema=None):
-    """Inner equi-join as a tagged-union co-group: one hash-bucketed
-    ``groupby`` shuffle + a vectorized pandas merge per bucket.
+def cogroup_join(left, right, on, num_partitions: int = 8,
+                 buckets: int = 64, left_schema=None, right_schema=None,
+                 how: str = "inner"):
+    """Equi-join as a tagged-union co-group: one hash-bucketed
+    ``groupby`` shuffle + a LOCAL Acero hash join per bucket.
 
-    Exists because Ray's ``Dataset.join`` intermittently fails on small
-    or sparse inputs — its shuffle aggregator loses the block schema for
-    partitions that receive no blocks from one side ("No match or
-    multiple matches for key field reference ...").  The co-group costs
-    the same single all-to-all and is deterministic.  Payload column
-    names must be disjoint (rename upstream); also unlike Acero, nested
-    payload columns would survive here, but pandas merge still prefers
-    scalars/binary.
+    Exists because Ray's ``Dataset.join`` is flaky on inputs containing
+    empty blocks: the hash-shuffle sender short-circuits empty blocks
+    (hash_shuffle.py `_shuffle_block`: `if block.num_rows == 0: return`)
+    even when that task was the one designated to broadcast schemas to
+    all partitions, so whether a join partition can build its (empty)
+    table depends on task scheduling order — "No match or multiple
+    matches for key field reference" at finalize.  The co-group costs
+    the same single all-to-all, runs the actual join vectorized in C++
+    inside each bucket, and is deterministic.
+
+    ``on``: one key column name or a list (same names on both sides).
+    ``how``: "inner", "left_outer", or "full_outer".  Payload column
+    names must be disjoint (rename upstream).
     """
     import zlib
 
     import pyarrow as pa
 
+    keys = [on] if isinstance(on, str) else list(on)
+    acero_how = {"inner": "inner", "left_outer": "left outer",
+                 "full_outer": "full outer"}[how]
     # ds.schema() on a lazy lineage triggers a sampling execution —
     # callers that know their schemas statically should pass them
     lschema = left_schema or left.schema().base_schema
     rschema = right_schema or right.schema().base_schema
-    lcols = [c for c in lschema.names if c != on]
-    rcols = [c for c in rschema.names if c != on]
+    lcols = [c for c in lschema.names if c not in keys]
+    rcols = [c for c in rschema.names if c not in keys]
 
-    def bucket_col(keys) -> "pa.Array":
+    def bucket_col(batch: pa.Table) -> "pa.Array":
+        cols = [batch.column(k).to_pylist() for k in keys]
         return pa.array(
-            [zlib.crc32(str(k).encode("utf-8")) % buckets for k in keys],
+            [zlib.crc32("\x00".join(str(v) for v in row).encode("utf-8"))
+             % buckets for row in zip(*cols)],
             pa.int32())
 
     def tag(side_flag, own, other, other_schema):
         def f(b: pa.Table) -> pa.Table:
-            cols = {"bkt": bucket_col(b.column(on).to_pylist()),
-                    on: b.column(on),
+            cols = {"bkt": bucket_col(b),
                     "__side": pa.array([side_flag] * b.num_rows, pa.int8())}
+            for k in keys:
+                cols[k] = b.column(k)
             for c in own:
                 cols[c] = b.column(c)
             for c in other:
@@ -132,23 +144,30 @@ def cogroup_join(left, right, on: str, num_partitions: int = 8,
                                        batch_format="pyarrow")))
 
     out_schema = pa.schema(
-        [lschema.field(on)] + [lschema.field(c) for c in lcols]
+        [lschema.field(k) for k in keys]
+        + [lschema.field(c) for c in lcols]
         + [rschema.field(c) for c in rcols])
+    tag_schema = pa.schema(
+        [pa.field("bkt", pa.int32()), pa.field("__side", pa.int8())]
+        + list(out_schema))
 
     def merge(g: pa.Table) -> pa.Table:
-        # LOCAL Acero hash join per bucket — C++ speed, and no
-        # distributed-join empty-partition schema problem
         import pyarrow.compute as _pc
 
         if g.num_rows == 0 or "__side" not in g.column_names:
             return out_schema.empty_table()
+        # groups can arrive with all-null padding columns degraded to
+        # null type (shuffle concat) — Acero rejects null-typed payload
+        g = g.select(tag_schema.names).cast(tag_schema)
         mask = _pc.equal(g.column("__side"), pa.scalar(0, pa.int8()))
-        l = g.filter(mask).select([on] + lcols)
-        r = g.filter(_pc.invert(mask)).select([on] + rcols)
-        if l.num_rows == 0 or r.num_rows == 0:
+        l = g.filter(mask).select(keys + lcols)
+        r = g.filter(_pc.invert(mask)).select(keys + rcols)
+        if r.num_rows == 0 and how == "inner":
             return out_schema.empty_table()
-        return l.join(r, keys=on, join_type="inner") \
-            .select(out_schema.names).cast(out_schema)
+        if l.num_rows == 0 and how == "inner":
+            return out_schema.empty_table()
+        joined = l.join(r, keys=keys, join_type=acero_how)
+        return joined.select(out_schema.names).cast(out_schema)
 
     return tagged.groupby("bkt", num_partitions=num_partitions) \
         .map_groups(merge, batch_format="pyarrow")
