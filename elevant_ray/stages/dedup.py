@@ -443,7 +443,16 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
 
     pref = doc_table.map_batches(explode_prefix, batch_format="pyarrow")
     rhs = pref.rename_columns({"left": "right", "lsz": "rsz"})
-    cand = pref.join(rhs, "inner", num_partitions, on=("gram",))
+    # co-group self-join: prefix rows can leave whole blocks empty on
+    # small corpora (all-singleton prefixes) — see util.cogroup_join
+    from elevant_ray.stages.util import cogroup_join
+
+    cand = cogroup_join(
+        pref, rhs, on="gram", num_partitions=num_partitions,
+        left_schema=pa.schema([("gram", pa.string()), ("left", pa.string()),
+                               ("lsz", pa.int64())]),
+        right_schema=pa.schema([("gram", pa.string()), ("right", pa.string()),
+                                ("rsz", pa.int64())]))
 
     def orient(b: pa.Table) -> pa.Table:
         # PPJoin length filter: J ≥ t ⇒ |∩| ≥ t·max(|A|,|B|) and
