@@ -402,6 +402,37 @@ def events_sessions(sf_dir: str):
         sessions, batch_format="pandas")).sort("user_id")
 
 
+def events_window_counts(sf_dir: str):
+    """Sliding-window aggregate (RANGE 1 hour preceding): per event, the
+    count/sum of the same user's events in [ts-1h, ts].  One keyed
+    shuffle (groupby user) + per-group sort + vectorized two-pointer
+    (searchsorted over cumsum) — the engine's windowed-aggregate shape;
+    ordering assumption: ts unique per user (holds for the testdata)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - np.timedelta64(3600, "s"), side="left")
+        idx = np.arange(len(g))
+        cs = np.concatenate([[0.0], np.cumsum(g["value"].to_numpy())])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "n_events_1h": (idx - lo + 1).astype("int64"),
+            "sum_value_1h": np.round(cs[idx + 1] - cs[lo], 2),
+        })
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(ds.groupby("user_id").map_groups(
+        window, batch_format="pandas")).sort("event_id")
+
+
 def events_attribution(sf_dir: str):
     """As-of join: attribute each purchase to the user's most recent
     view at-or-before it (stages/asof.py — union + one keyed shuffle +
@@ -939,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_attribution": events_attribution,
+        "events_window_counts": events_window_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
         "unigram_counts": unigram_counts,
@@ -1077,6 +1109,16 @@ def oracle_sql() -> dict[str, str]:
                              AS bucket
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "events_window_counts": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_events_1h,
+                   round(sum(value) OVER w, 2) AS sum_value_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_attribution": """
             SELECT p.user_id, p.event_id, p.ts,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_attribution",
+    "events_window_counts",
     "split_assign",
     "unigram_counts",
     "doc_quality",
