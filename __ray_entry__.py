@@ -402,6 +402,39 @@ def events_sessions(sf_dir: str):
         sessions, batch_format="pandas")).sort("user_id")
 
 
+def orders_nearby_counts(sf_dir: str):
+    """Range join (per-key interval self-join): for each order, the
+    count/total of the SAME customer's other orders within ±30 days.
+    One keyed shuffle (groupby custkey) + per-group sort + vectorized
+    searchsorted interval lookup — no pairwise expansion, so a
+    customer with k orders costs O(k log k), not O(k²)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def nearby(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"],
+                          kind="stable").reset_index(drop=True)
+        d = g["o_orderdate"].to_numpy()
+        price = g["o_totalprice"].to_numpy()
+        delta = np.timedelta64(30, "D")
+        lo = np.searchsorted(d, d - delta, side="left")
+        hi = np.searchsorted(d, d + delta, side="right")
+        cs = np.concatenate([[0.0], np.cumsum(price)])
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "n_nearby": (hi - lo - 1).astype("int64"),  # minus self
+            "nearby_total": np.round(cs[hi] - cs[lo] - price, 2),
+        })
+
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(ds.groupby("o_custkey").map_groups(
+        nearby, batch_format="pandas")).sort("o_orderkey")
+
+
 def events_window_counts(sf_dir: str):
     """Sliding-window aggregate (RANGE 1 hour preceding): per event, the
     count/sum of the same user's events in [ts-1h, ts].  One keyed
@@ -971,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_attribution": events_attribution,
         "events_window_counts": events_window_counts,
+        "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
         "unigram_counts": unigram_counts,
@@ -1109,6 +1143,17 @@ def oracle_sql() -> dict[str, str]:
                              AS bucket
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "orders_nearby_counts": """
+            SELECT a.o_orderkey,
+                   count(b.o_orderkey) AS n_nearby,
+                   round(coalesce(sum(b.o_totalprice), 0), 2) AS nearby_total
+            FROM orders a LEFT JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey <> b.o_orderkey
+             AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 30 DAY
+                                   AND a.o_orderdate + INTERVAL 30 DAY
+            GROUP BY a.o_orderkey ORDER BY a.o_orderkey
         """,
         "events_window_counts": """
             SELECT event_id, user_id, ts,
