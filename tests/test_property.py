@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) — pure kernels get full example
+budgets; distributed operators get a handful of examples each (every
+example is a Ray pipeline execution)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# pure kernels
+# ---------------------------------------------------------------------------
+
+url_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40)
+
+
+class TestCanonicalUrl:
+    @given(url_text)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, tail):
+        from elevant_ray.functions.normalize import canonical_url
+
+        u = "http://Example.com/" + tail
+        once = canonical_url(u)
+        assert canonical_url(once) in (once, canonical_url(once))
+        # fixpoint after at most one extra application
+        assert canonical_url(canonical_url(once)) == canonical_url(once)
+
+
+class TestWordBoundary:
+    @given(st.text(max_size=60), st.integers(0, 60), st.integers(0, 60))
+    @settings(max_examples=200, deadline=None)
+    def test_expansion_contains_span_and_is_idempotent(self, text, a, b):
+        from elevant_ray.functions.spans import word_boundary
+
+        begin, end = sorted((min(a, len(text)), min(b, len(text))))
+        if begin == end:
+            return
+        nb, ne = word_boundary((begin, end), text)
+        assert nb <= begin and ne >= end
+        assert 0 <= nb and ne <= len(text)
+        assert word_boundary((nb, ne), text) == (nb, ne)
+
+
+class TestMinhash:
+    @given(st.lists(st.sampled_from("abcdefg hij klm".split()),
+                    min_size=8, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_identical_text_identical_signature(self, words):
+        from elevant_ray.functions.minhash import (
+            minhash_signature, shingle_hashes,
+        )
+
+        text = " ".join(words)
+        s1 = minhash_signature(shingle_hashes(text))
+        s2 = minhash_signature(shingle_hashes(text))
+        assert (s1 == s2).all()
+
+
+class TestConllParse:
+    @given(st.lists(st.tuples(
+        st.sampled_from(["Alpha", "Beta", "x9", "Überraschung"]),
+        st.booleans()), min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_spans_always_recover_mention_text(self, tokens):
+        from elevant_ray.sources.conll import parse_conll
+
+        lines = ["-DOCSTART- (1 test)"]
+        for tok, labeled in tokens:
+            if labeled:
+                lines.append(f"{tok}\tB\t{tok}\tT\thttp://x/{tok}")
+            else:
+                lines.append(tok)
+        arts = parse_conll("\n".join(lines) + "\n")
+        assert len(arts) == 1
+        art = arts[0]
+        for lb in art["labels"]:
+            mention = art["text"][lb["begin"]:lb["end"]]
+            assert mention and " " not in mention or mention  # non-empty
+            assert not mention.startswith(" ") and not mention.endswith(" ")
+
+
+# ---------------------------------------------------------------------------
+# distributed operators (few examples; each is a Ray execution)
+# ---------------------------------------------------------------------------
+
+
+class TestAsofJoinProperty:
+    @given(st.lists(st.integers(0, 50), min_size=1, max_size=12, unique=True),
+           st.lists(st.integers(0, 50), min_size=0, max_size=12, unique=True))
+    @settings(max_examples=5, deadline=None)
+    def test_matches_pandas_merge_asof(self, ray_session, lts, rts):
+        import pandas as pd
+
+        import ray.data as rd
+        from elevant_ray.stages.asof import asof_join
+
+        base = datetime.datetime(2024, 1, 1)
+        lt = sorted(base + datetime.timedelta(minutes=m) for m in lts)
+        rt = sorted(base + datetime.timedelta(minutes=m) for m in rts)
+        left = pa.table({"k": [1] * len(lt), "eid": list(range(len(lt))),
+                         "ts": lt})
+        right = pa.table({"k": [1] * len(rt),
+                          "src_eid": [100 + i for i in range(len(rt))],
+                          "src_ts": rt})
+        got = asof_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                        left_ts="ts", right_ts="src_ts",
+                        left_cols=["eid", "ts"],
+                        right_cols=["src_eid", "src_ts"],
+                        num_partitions=2) \
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        if not rts:
+            # pandas merge_asof can't take an empty right frame; the
+            # expected result is trivially all-null
+            assert got["src_eid"].isna().all()
+            return
+        want = pd.merge_asof(
+            left.to_pandas().sort_values("ts"),
+            right.to_pandas().sort_values("src_ts").rename(
+                columns={"src_ts": "__rts"}),
+            left_on="ts", right_on="__rts", by="k") \
+            .sort_values("eid").reset_index(drop=True)
+        assert list(got["eid"]) == list(want["eid"])
+        g = got["src_eid"].fillna(-1).astype("int64").tolist()
+        w = want["src_eid"].fillna(-1).astype("int64").tolist()
+        assert g == w
+
+
+class TestClosureProperty:
+    @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                    min_size=1, max_size=14))
+    @settings(max_examples=5, deadline=None)
+    def test_matches_local_min_plus(self, ray_session, edge_list):
+        import ray.data as rd
+        from elevant_ray.stages.graph import transitive_closure
+
+        edges = [(a, b) for a, b in edge_list if a != b]
+        if not edges:
+            return
+        # local min-plus oracle (Floyd-Warshall)
+        nodes = sorted({n for e in edges for n in e})
+        INF = 10 ** 9
+        dist = {(a, b): INF for a in nodes for b in nodes}
+        for a, b in edges:
+            dist[(a, b)] = 1
+        for k in nodes:
+            for i in nodes:
+                for j in nodes:
+                    d = dist[(i, k)] + dist[(k, j)]
+                    if d < dist[(i, j)]:
+                        dist[(i, j)] = d
+        expected = {(a, b): d for (a, b), d in dist.items() if d < INF}
+
+        tbl = pa.table({"src": [a for a, _ in edges],
+                        "dst": [b for _, b in edges]})
+        out = transitive_closure(rd.from_arrow(tbl),
+                                 num_partitions=2).to_pandas()
+        got = {(r.src, r.dst): r.depth for r in out.itertuples()}
+        assert got == expected
