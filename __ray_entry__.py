@@ -112,7 +112,11 @@ def q3_top_orders(sf_dir: str):
         b = b.filter(mask)
         return b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
 
-    orders = orders.map_batches(sel_orders, batch_format="pyarrow")
+    # coalesce after the selective filter: empty blocks reaching the join
+    # trip Ray's scheduling-order-sensitive schema broadcast
+    # (see util.cogroup_join docstring); 8 merged blocks are never empty
+    orders = orders.map_batches(sel_orders, batch_format="pyarrow") \
+        .repartition(8)
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
