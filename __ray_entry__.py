@@ -864,6 +864,59 @@ def most_popular_candidates(sf_dir: str):
     return out.sort("alias")
 
 
+def entity_popularity(sf_dir: str):
+    """Entity → summed incoming-link frequency over synthesized pages
+    (entity_database.py:379-384 semantics as a GB(target).sum)."""
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import entity_popularity as ep
+    from elevant_ray.stages.dims import link_frequencies as lf
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    return ep(lf(pages)).sort("target")
+
+
+def alias_candidates(sf_dir: str):
+    """Alias → sorted distinct candidate set (entity_database.py:264-274),
+    list column joined to a string for stable hashing."""
+    import pyarrow.compute as _pc2
+
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import alias_candidates as ac
+    from elevant_ray.stages.dims import link_frequencies as lf
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        qids = [",".join(x) for x in b.column("qids").to_pylist()]
+        return pa.table({
+            "alias": b.column("alias"),
+            "qids": pa.array(qids, pa.string()),
+            "n_candidates": _pc2.list_value_length(b.column("qids")).cast(pa.int64()),
+        })
+
+    return ac(lf(pages)).map_batches(fmt, batch_format="pyarrow").sort("alias")
+
+
+def docs_longest(sf_dir: str):
+    """Global top-20 documents by token count (ds.sort + limit, the §2.7
+    sort/limit pattern), deterministic tie-break on doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+        })
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+            .sort(["n_tokens", "doc_id"], descending=[True, False])
+            .limit(20))
+
+
 def _shuffle_parts() -> int:
     """Shuffle partition count: half the CPUs, capped.
 
@@ -1032,6 +1085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_stats": benchmark_stats,
         "link_frequencies": link_frequencies,
         "most_popular_candidates": most_popular_candidates,
+        "entity_popularity": entity_popularity,
+        "alias_candidates": alias_candidates,
+        "docs_longest": docs_longest,
         "linkage_clusters": linkage_clusters,
         "entity_linking": entity_linking,
         "linking_eval_counts": linking_eval_counts,
@@ -1206,6 +1262,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "docs_longest": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+            FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 20
         """,
         "unigram_counts": """
             SELECT token, count(*)::BIGINT AS count
