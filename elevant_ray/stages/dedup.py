@@ -181,26 +181,32 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
     # and the verifier rejects the junk.  False-positive hot keys are
     # merely routed through the (correct, slower-per-key) hot path.
     sample_rate, sample_mod = 0.1, 10
-    from ray.data.aggregate import Count
 
-    def sample(batch: pa.Table) -> pa.Table:
+    def sample_partials(batch: pa.Table) -> pa.Table:
+        # per-batch partial counts of the sampled keys, combined on the
+        # driver: sampled rows are ~10% and most keys singletons, so a
+        # full groupby exchange here is pure fixed cost — the partials
+        # stream down to one small Counter merge instead
         import zlib
+        from collections import Counter as _Counter
 
-        keep = [zlib.crc32(f"{k}\x00{i}".encode()) % sample_mod == 0
-                for k, i in zip(batch.column("band_key").to_pylist(),
-                                batch.column(id_col).to_pylist())]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        c: _Counter = _Counter(
+            k for k, i in zip(batch.column("band_key").to_pylist(),
+                              batch.column(id_col).to_pylist())
+            if zlib.crc32(f"{k}\x00{i}".encode()) % sample_mod == 0)
+        return pa.table({"band_key": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
 
     threshold = max(2, int(max_block * sample_rate // 2))
-    def only_hot(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from collections import Counter as _DriverCounter
 
-        return batch.filter(pc.greater_equal(batch.column("n"), threshold))
-
-    counts = (exploded.map_batches(sample, batch_format="pyarrow")
-              .groupby("band_key").aggregate(Count(alias_name="n")))
-    hot_keys = {r["band_key"] for r in
-                counts.map_batches(only_hot, batch_format="pyarrow").take_all()}
+    _counts: _DriverCounter = _DriverCounter()
+    for b in exploded.map_batches(sample_partials, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b.column("band_key").to_pylist(),
+                        b.column("n").to_pylist()):
+            _counts[k] += n
+    hot_keys = {k for k, n in _counts.items() if n >= threshold}
 
     def split(batch: pa.Table, want_hot: bool) -> pa.Table:
         mask = [(k in hot_keys) == want_hot
@@ -343,7 +349,7 @@ def _gram_set(text: str, n: int):
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
                         n: int = 3, threshold: float = 0.5,
-                        num_partitions: int = 16):
+                        num_partitions: int = 16, verify: str = "auto"):
     """EXACT n-gram Jaccard pairs ≥ threshold via the AllPairs/PPJoin
     prefix filter (Bayardo et al., WWW'07 — public algorithm).
 
@@ -355,45 +361,43 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     if J(A,B) ≥ t, the rarest shared gram provably lies in both
     prefixes.  Rare-first selection simultaneously prunes the hot keys.
 
-    Stages: per-batch gram-set map → gram-frequency groupby (count ≥ 2
-    only; singletons can never match) broadcast via ray.put → prefix
-    emission → self-join on prefix grams → distinct candidate pairs →
+    Stages: per-batch gram-set map → gram doc-frequency (per-batch
+    partial Counters combined on the driver — the freq dict is
+    driver-materialized for the ray.put broadcast anyway, so a shuffle
+    groupby before it only adds an exchange; count ≥ 2 only, singletons
+    can never match) → prefix emission → self-join on prefix grams →
     exact verification (sorted-hash intersection) against both docs'
-    full gram-hash sets, attached by two hash joins.
+    full gram-hash sets.  Verification is broadcast-side when the doc
+    gram-set table fits the object store comfortably (one ray.put dict,
+    zero extra shuffles) and join-side otherwise (two co-group joins
+    attaching each side's hash blob) — ``verify`` picks
+    "auto"/"broadcast"/"join".
 
     At corpora where the non-singleton gram vocabulary outgrows a
     broadcast (~10⁸+), replace the ray.put dict with a join-based count
     attach + per-doc regroup; same semantics, two more shuffles."""
     import math
+    from collections import Counter
 
     import numpy as np
     import ray
-    from ray.data.aggregate import Count
 
     from elevant_ray.stages.util import pin_schema
 
-    def grams(batch: pa.Table) -> pa.Table:
-        ids, gs = [], []
-        for rid, text in zip(batch.column(id_col).to_pylist(),
-                             batch.column(text_col).to_pylist()):
-            for g in _gram_set(text, n):
-                ids.append(rid)
-                gs.append(g)
-        return pa.table({"gram": pa.array(gs, pa.string()),
-                         id_col: pa.array(ids, batch.column(id_col).type)})
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            c.update(_gram_set(text, n))
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "partial": pa.array(list(c.values()), pa.int64())})
 
-    exploded = ds.map_batches(grams, batch_format="pyarrow")
-    counts = (exploded.groupby("gram", num_partitions=num_partitions)
-              .aggregate(Count(alias_name="c")))
-    def non_singleton(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        if not b.num_columns:
-            return b
-        return b.filter(_pc.greater_equal(b.column("c"), pa.scalar(2)))
-
-    counts = counts.map_batches(non_singleton, batch_format="pyarrow")
-    freq = {r["gram"]: r["c"] for r in counts.take_all()}
+    freq: Counter = Counter()
+    for b in ds.map_batches(gram_partials, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for g, c in zip(b.column("gram").to_pylist(),
+                        b.column("partial").to_pylist()):
+            freq[g] += c
+    freq = {g: c for g, c in freq.items() if c >= 2}
     freq_ref = ray.put(freq)
 
     # one fused per-doc pass: prefix grams (exploded rows) + full
@@ -469,6 +473,47 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
         return t.group_by(["left", "right"]).aggregate([])
 
     cand = cand.map_batches(orient, batch_format="pyarrow")
+
+    if verify == "auto":
+        # broadcast verification needs every doc's gram-hash blob in one
+        # object-store dict: fine into the GBs, join-side beyond
+        verify = ("broadcast"
+                  if doc_table.size_bytes() <= (1 << 30) else "join")
+
+    if verify == "broadcast":
+        # candidate pairs keep only ids; both hash blobs come from the
+        # broadcast dict inside the verify map — no distinct shuffle
+        # (duplicate candidates from multi-gram prefixes re-verify in
+        # ~10µs; the global dedupe runs on the tiny ≥threshold output)
+        blob_rows = doc_table.select_columns(["_vid", "_hs"]).take_all()
+        blobs_ref = ray.put({r["_vid"]: r["_hs"] for r in blob_rows})
+
+        def verify_b(batch: pa.Table) -> pa.Table:
+            blobs = ray.get(blobs_ref)
+            lefts, rights, js = [], [], []
+            for left, right in zip(batch.column("left").to_pylist(),
+                                   batch.column("right").to_pylist()):
+                hl = np.frombuffer(blobs[left], dtype=np.int64)
+                hr = np.frombuffer(blobs[right], dtype=np.int64)
+                inter = len(np.intersect1d(hl, hr, assume_unique=True))
+                j = inter / (len(hl) + len(hr) - inter)
+                if j >= threshold:
+                    lefts.append(left)
+                    rights.append(right)
+                    js.append(round(j, 6))
+            return pa.table({"left": pa.array(lefts, pa.string()),
+                             "right": pa.array(rights, pa.string()),
+                             "jac": pa.array(js, pa.float64())})
+
+        verified = cand.map_batches(verify_b, batch_format="pyarrow")
+        from ray.data.aggregate import Max
+
+        out = verified.groupby(["left", "right"]).aggregate(
+            Max("jac", alias_name="jac"))
+        return pin_schema(out, pa.schema([
+            ("left", pa.string()), ("right", pa.string()),
+            ("jac", pa.float64())]))
+
     cand = distinct_pairs(cand)
 
     # verify joins as co-groups (Ray's Dataset.join flakes on sparse

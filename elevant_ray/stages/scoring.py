@@ -170,18 +170,50 @@ def score_pair_batch(batch: pa.Table, threshold: float = 0.75) -> pa.Table:
 
 def verify_pairs(pairs, pages, id_col: str = "url",
                  threshold: float = 0.75, num_partitions: int = 16,
-                 score_parallelism: int = None):
-    """Attach both sides' (text, canonical url) via two hash-partitioned
-    joins, then score.  `pages` must carry columns (id_col, text, canon).
-    Returns the scored pair Dataset; filter on `is_match` for edges.
+                 score_parallelism: int = None, side_mode: str = "auto"):
+    """Attach both sides' (text, canonical url), then score.  `pages`
+    must carry columns (id_col, text, canon).  Returns the scored pair
+    Dataset; filter on `is_match` for edges.
+
+    ``side_mode``: "broadcast" ships the page table once via ray.put and
+    attaches texts by dict lookup inside the scoring map — ZERO extra
+    shuffles; right up to the object-store comfort zone (~1 GB).
+    "join" attaches each side via a hash-partitioned co-group join — the
+    beyond-broadcast scale path.  "auto" picks by `pages.size_bytes()`
+    (pass a materialized `pages` so the size probe doesn't re-execute
+    the upstream plan — every current caller does).
 
     `score_parallelism`: the scorer fuses with the join output, so it
     inherits `num_partitions` tasks; when the cluster has more slots
     than partitions, a split-repartition (no shuffle) between join and
     scorer restores full CPU usage for the pair-scoring hot loop."""
+    import ray
+
     from elevant_ray.stages.util import cogroup_join
 
     side = pages.select_columns([id_col, "text", "canon"])
+
+    if side_mode == "auto":
+        side_mode = "broadcast" if pages.size_bytes() <= (1 << 30) else "join"
+
+    if side_mode == "broadcast":
+        side_ref = ray.put({r[id_col]: (r["text"], r["canon"])
+                            for r in side.take_all()})
+
+        def attach_and_score(b: pa.Table) -> pa.Table:
+            d = ray.get(side_ref)
+            lefts = b.column("left").to_pylist()
+            rights = b.column("right").to_pylist()
+            t = pa.table({
+                "left": b.column("left"), "right": b.column("right"),
+                "text_l": pa.array([d[l][0] for l in lefts], pa.string()),
+                "canon_l": pa.array([d[l][1] for l in lefts], pa.string()),
+                "text_r": pa.array([d[r][0] for r in rights], pa.string()),
+                "canon_r": pa.array([d[r][1] for r in rights], pa.string()),
+            })
+            return score_pair_batch(t, threshold=threshold)
+
+        return pairs.map_batches(attach_and_score, batch_format="pyarrow")
 
     left_side = side.rename_columns({id_col: "left", "text": "text_l", "canon": "canon_l"})
     right_side = side.rename_columns({id_col: "right", "text": "text_r", "canon": "canon_r"})

@@ -101,6 +101,15 @@ class TestNgramJaccard:
         assert got[(ids[0], ids[3])] == 1.0       # exact dup
         assert got[(ids[4], ids[5])] == 1.0       # short-doc dup
 
+        # join-side verification (the beyond-broadcast scale path) must
+        # produce the identical pair set
+        ds2, _ = _docs_table(texts)
+        got_join = {(r["left"], r["right"]): r["jac"] for r in
+                    ngram_jaccard_pairs(ds2, id_col="id", n=3, threshold=0.3,
+                                        num_partitions=4,
+                                        verify="join").take_all()}
+        assert got_join == pytest.approx(got)
+
 
 class TestEmbeddingNearDup:
     def test_pairs_vs_bruteforce(self, ray_session):
