@@ -685,11 +685,32 @@ def dedup_simhash(sf_dir: str):
         return pa.table({"id": pa.array(ids, pa.string()),
                          "text": b.column("text")})
 
+    import ray as _ray
+
     docs = ds.map_batches(prep, batch_format="pyarrow")
     pairs = simhash_candidate_pairs(docs, id_col="id",
                                     num_partitions=_shuffle_parts())
     edges = pairs.select_columns(["left", "right"])
     labels = connected_components(edges, num_partitions=_shuffle_parts())
+
+    if labels.size_bytes() <= (1 << 30):
+        # near-dup label table ≪ corpus: broadcast it and label every doc
+        # in one map (singletons keep their own id) — no outer-join
+        # exchange.  Falls back to the join when labels outgrow a
+        # broadcast (massively dup-heavy corpora).
+        lab_ref = _ray.put({r["node"]: r["label"] for r in labels.take_all()})
+
+        def fmt_b(b: pa.Table) -> pa.Table:
+            lab = _ray.get(lab_ref)
+            ids = b.column("id").to_pylist()
+            return pa.table({
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "cluster": pa.array([int(lab.get(x, x)) for x in ids],
+                                    pa.int64()),
+            })
+
+        return docs.select_columns(["id"]).map_batches(
+            fmt_b, batch_format="pyarrow").sort("doc_id")
 
     joined = docs.select_columns(["id"]).join(
         labels, "left_outer", _shuffle_parts(), on=("id",),
