@@ -478,7 +478,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
         # broadcast verification needs every doc's gram-hash blob in one
         # object-store dict: fine into the GBs, join-side beyond
         verify = ("broadcast"
-                  if doc_table.size_bytes() <= (1 << 30) else "join")
+                  if doc_table.size_bytes() <= (64 << 20) else "join")
 
     if verify == "broadcast":
         # candidate pairs keep only ids; both hash blobs come from the

@@ -177,7 +177,9 @@ def verify_pairs(pairs, pages, id_col: str = "url",
 
     ``side_mode``: "broadcast" ships the page table once via ray.put and
     attaches texts by dict lookup inside the scoring map — ZERO extra
-    shuffles; right up to the object-store comfort zone (~1 GB).
+    shuffles.  The auto cutoff is conservative (64 MB): a Python-dict
+    broadcast is deserialized once per WORKER, so a GB-sized side costs
+    every worker a multi-second unpickle + heap copy.
     "join" attaches each side via a hash-partitioned co-group join — the
     beyond-broadcast scale path.  "auto" picks by `pages.size_bytes()`
     (pass a materialized `pages` so the size probe doesn't re-execute
@@ -194,7 +196,7 @@ def verify_pairs(pairs, pages, id_col: str = "url",
     side = pages.select_columns([id_col, "text", "canon"])
 
     if side_mode == "auto":
-        side_mode = "broadcast" if pages.size_bytes() <= (1 << 30) else "join"
+        side_mode = "broadcast" if pages.size_bytes() <= (64 << 20) else "join"
 
     if side_mode == "broadcast":
         side_ref = ray.put({r[id_col]: (r["text"], r["canon"])
