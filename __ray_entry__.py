@@ -938,6 +938,31 @@ def docs_longest(sf_dir: str):
             .limit(20))
 
 
+def prior_linking(sf_dir: str):
+    """PriorLinker semantics over synthesized pages: link-frequency dims
+    built from hyperlinks, then the sliding-window prior kernel in an
+    actor-pool stage (stages/scoring.PriorLinkerStage; NOT
+    SQL-expressible)."""
+    import ray
+
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import link_frequencies as lf
+    from elevant_ray.stages.dims import to_prior_dicts
+    from elevant_ray.stages.scoring import PriorLinkerStage
+
+    pages = synth_pages(sf_dir).map_batches(
+        extract_batch, batch_format="pyarrow").materialize()
+    dicts = to_prior_dicts(lf(pages))
+    lf_ref = ray.put(dicts["link_frequencies"])
+    al_ref = ray.put(dicts["entity_aliases"])
+    out = pages.select_columns(["url", "text"]).map_batches(
+        PriorLinkerStage,
+        fn_constructor_kwargs={"link_freq_ref": lf_ref, "aliases_ref": al_ref},
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
+    return out.sort(["url", "begin"])
+
+
 def _shuffle_parts() -> int:
     """Shuffle partition count: half the CPUs, capped.
 
@@ -1111,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_longest": docs_longest,
         "linkage_clusters": linkage_clusters,
         "entity_linking": entity_linking,
+        "prior_linking": prior_linking,
         "linking_eval_counts": linking_eval_counts,
     }
 

@@ -86,6 +86,20 @@ def alias_candidates(link_freq):
     return link_freq.groupby("alias").map_groups(collect, batch_format="pandas")
 
 
+def to_prior_dicts(link_freq) -> Dict[str, object]:
+    """Materialize the prior-linker dims: nested link-frequency dict
+    {alias: {qid: freq}} (entity_database.py:78-79 shape) and its
+    inversion {qid: set(aliases)} (get_entity_aliases side).  Same
+    small-dim materialization caveat as ``to_broadcast_dicts``."""
+    pdf = link_freq.to_pandas()
+    freqs: Dict[str, Dict[str, int]] = {}
+    aliases: Dict[str, set] = {}
+    for alias, target, freq in pdf[["alias", "target", "freq"]].itertuples(index=False):
+        freqs.setdefault(alias, {})[target] = int(freq)
+        aliases.setdefault(target, set()).add(alias)
+    return {"link_frequencies": freqs, "entity_aliases": aliases}
+
+
 def to_broadcast_dicts(link_freq) -> Dict[str, object]:
     """Materialize the (small) dim tables into plain dicts for actor-pool
     broadcast: {alias: [qids]}, {qid: popularity}.  Dim tables are by

@@ -297,3 +297,50 @@ class EntityScorer:
         out = out.append_column("candidates", pa.array(cand_col, pa.list_(pa.string())))
         out = out.filter(pa.array(keep, pa.bool_()))
         return out
+
+
+class PriorLinkerStage:
+    """Actor-pool stage: page batches → prior-linker mention predictions
+    (functions/prior.py kernel — the PriorLinker sliding-window +
+    link-frequency-argmax + overlap-resolution semantics,
+    prior_linker.py:80-196).  Dicts loaded once per actor from
+    object-store refs, mirroring the forkserver preload
+    (link_text.py:83-84)."""
+
+    def __init__(self, link_freq_ref, aliases_ref=None,
+                 id_col: str = "url", text_col: str = "text",
+                 uppercase: bool = False, assume_nouns: bool = True):
+        import ray
+
+        self.link_freq: Dict[str, Dict[str, int]] = ray.get(link_freq_ref)
+        self.aliases: Dict[str, Set[str]] = (
+            ray.get(aliases_ref) if aliases_ref is not None else {})
+        self.id_col = id_col
+        self.text_col = text_col
+        self.uppercase = uppercase
+        self.assume_nouns = assume_nouns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from elevant_ray.functions.prior import prior_link_text
+
+        ids, begins, ends, mentions, qids, ntoks = [], [], [], [], [], []
+        for rid, text in zip(batch.column(self.id_col).to_pylist(),
+                             batch.column(self.text_col).to_pylist()):
+            for p in prior_link_text(text, self.link_freq,
+                                     entity_aliases=self.aliases,
+                                     uppercase=self.uppercase,
+                                     assume_nouns=self.assume_nouns):
+                ids.append(rid)
+                begins.append(p["begin"])
+                ends.append(p["end"])
+                mentions.append(p["mention"])
+                qids.append(p["entity_id"])
+                ntoks.append(p["n_tokens"])
+        return pa.table({
+            self.id_col: pa.array(ids, batch.column(self.id_col).type),
+            "begin": pa.array(begins, pa.int32()),
+            "end": pa.array(ends, pa.int32()),
+            "mention": pa.array(mentions, pa.string()),
+            "pred_qid": pa.array(qids, pa.string()),
+            "n_tokens": pa.array(ntoks, pa.int32()),
+        })
