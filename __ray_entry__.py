@@ -963,6 +963,37 @@ def prior_linking(sf_dir: str):
     return out.sort(["url", "begin"])
 
 
+def popular_linking(sf_dir: str):
+    """PopularEntitiesLinker semantics over synthesized pages: longest-
+    alias NER + lowercase-name trie scan + sitelink argmax (stages/
+    popular.py; NOT SQL-expressible).  The synthetic KB: hyperlink
+    anchors are both names and aliases of their targets; popularity =
+    summed link frequency; min_score lowered to 2 for the small synthetic
+    popularity scale."""
+    import ray
+
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import link_frequencies as lf
+    from elevant_ray.stages.dims import to_broadcast_dicts
+    from elevant_ray.stages.popular import PopularEntitiesStage
+
+    pages = synth_pages(sf_dir).map_batches(
+        extract_batch, batch_format="pyarrow").materialize()
+    d = to_broadcast_dicts(lf(pages))
+    alias_to_qids = {a: set(qs) for a, qs in d["alias_to_qids"].items()}
+    dims_ref = ray.put({
+        "name_to_qids": alias_to_qids,
+        "alias_to_qids": alias_to_qids,
+        "sitelinks": d["popularity"],
+    })
+    out = pages.select_columns(["url", "text"]).map_batches(
+        PopularEntitiesStage,
+        fn_constructor_kwargs={"dims_ref": dims_ref, "min_score": 2},
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
+    return out.sort(["url", "begin"])
+
+
 def _shuffle_parts() -> int:
     """Shuffle partition count: half the CPUs, capped.
 
@@ -1137,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": linkage_clusters,
         "entity_linking": entity_linking,
         "prior_linking": prior_linking,
+        "popular_linking": popular_linking,
         "linking_eval_counts": linking_eval_counts,
     }
 
