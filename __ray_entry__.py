@@ -994,6 +994,48 @@ def popular_linking(sf_dir: str):
     return out.sort(["url", "begin"])
 
 
+def coref_clusters(sf_dir: str):
+    """KB-coref semantics over synthesized pages: hyperlink mentions are
+    the linked entities; clusters grow by "the <type>" references (the
+    synthetic KB maps each entity to one type whose alias is a corpus
+    word).  Exploded cluster-mention rows (stages/coref.py; NOT
+    SQL-expressible)."""
+    import ray
+
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.coref import FEMALE, MALE, NEUTRAL, KBCorefStage
+
+    type_words = ["table", "key", "row", "join", "data"]
+    genders = [MALE, FEMALE, NEUTRAL]
+    n_entities = 40  # sources/pages.NUM_ENTITIES
+    dims_ref = ray.put({
+        "gender_map": {f"Entity {k}": genders[k % 3]
+                       for k in range(n_entities)},
+        "coref_types": {f"Entity {k}": [f"T{k % 5}"]
+                        for k in range(n_entities)},
+        "type_qid_aliases": {f"T{i}": {w} for i, w in enumerate(type_words)},
+    })
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch,
+                                            batch_format="pyarrow")
+
+    def as_mentions(b: pa.Table) -> pa.Table:
+        ment_type = pa.list_(pa.struct([("begin", pa.int32()),
+                                        ("end", pa.int32()),
+                                        ("entity_id", pa.string())]))
+        ments = [[{"begin": h["begin"], "end": h["end"],
+                   "entity_id": h["target"]} for h in hls or ()]
+                 for hls in b.column("hyperlinks").to_pylist()]
+        return pa.table({"url": b.column("url"), "text": b.column("text"),
+                         "mentions": pa.array(ments, ment_type)})
+
+    out = pages.map_batches(as_mentions, batch_format="pyarrow").map_batches(
+        KBCorefStage, fn_constructor_kwargs={"dims_ref": dims_ref},
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
+    return out.sort(["url", "begin", "end"])
+
+
 def _shuffle_parts() -> int:
     """Shuffle partition count: half the CPUs, capped.
 
@@ -1169,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_linking": entity_linking,
         "prior_linking": prior_linking,
         "popular_linking": popular_linking,
+        "coref_clusters": coref_clusters,
         "linking_eval_counts": linking_eval_counts,
     }
 

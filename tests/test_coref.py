@@ -1,0 +1,105 @@
+"""KB coref kernel: pronoun gender resolution, sentence windows,
+distance cutoffs, "the <type>" references
+(kb_coref_linker.py:134-315 semantics — see stages/coref.py parity map)."""
+
+from __future__ import annotations
+
+import pytest
+
+from elevant_ray.stages.coref import (FEMALE, MALE, NEUTRAL, UNKNOWN,
+                                      is_first_person_singular, is_pronoun,
+                                      kb_coref_clusters)
+
+
+def cluster_map(clusters):
+    return {c["entity_id"]: c["mentions"] for c in clusters}
+
+
+def test_is_pronoun_caps_rules():
+    assert is_pronoun("he") and is_pronoun("She") and is_pronoun("I")
+    assert not is_pronoun("US") and not is_pronoun("IT")  # all-caps blocked
+    assert is_pronoun("it")
+    assert is_first_person_singular("I") and not is_first_person_singular("i")
+
+
+def test_pronoun_resolves_to_matching_gender():
+    text = "Ada wrote programs . Bob read them . She was brilliant ."
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"},
+                {"begin": 21, "end": 24, "entity_id": "Q2"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE, "Q2": MALE}))
+    # "She" (offset 37) must attach to Ada (female), not the nearer Bob
+    assert (37, 40) in clusters["Q1"]
+    assert clusters["Q2"] == [(21, 24)]
+
+
+def test_pronoun_distance_cutoff():
+    filler = "x " * 150  # 300 chars > the 200-char pronoun window
+    text = "Ada coded . " + filler + "She returned ."
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    assert clusters["Q1"] == [(0, 3)]  # out of range -> no coref
+
+
+def test_unknown_gender_pronoun_matches_any():
+    text = "Ada spoke . They agreed ."
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    # "they" has UNKNOWN gender -> matches Ada; but UNKNOWN-gender
+    # pronouns only resolve via first-person-singular or gendered path:
+    # "They" gender is UNKNOWN and not first-person -> NOT resolved
+    assert clusters["Q1"] == [(0, 3)]
+
+
+def test_first_person_singular_resolves():
+    text = "Ada said hello . I agree ."
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    assert (17, 18) in clusters["Q1"]
+
+
+def test_the_type_reference():
+    text = "Steinway makes pianos . The company is old ."
+    mentions = [{"begin": 0, "end": 8, "entity_id": "Q5"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions,
+        gender_map={"Q5": NEUTRAL},
+        coref_types={"Q5": ["T1"]},
+        type_qid_aliases={"T1": {"Company/Firm"}}))
+    # "The company" span covers both tokens
+    assert (24, 35) in clusters["Q5"]
+
+
+def test_type_must_be_seen_before_reference():
+    # a type word BEFORE any mention carrying that type does not fire
+    text = "The company thrived . Steinway makes pianos ."
+    mentions = [{"begin": 22, "end": 30, "entity_id": "Q5"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, coref_types={"Q5": ["T1"]},
+        type_qid_aliases={"T1": {"company"}}))
+    assert clusters["Q5"] == [(22, 30)]
+
+
+def test_coref_mention_extends_cluster_chain():
+    # a resolved pronoun becomes a preceding entity itself: the second
+    # pronoun resolves through the first
+    text = "Ada coded . She slept . She woke ."
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    assert clusters["Q1"] == [(0, 3), (12, 15), (24, 27)]
+
+
+def test_query_runs_and_is_deterministic(ray_session):
+    import __ray_entry__ as m
+
+    d1 = m.queries()["coref_clusters"]("/root/testdata/sf0.001").to_pandas()
+    d2 = m.queries()["coref_clusters"]("/root/testdata/sf0.001").to_pandas()
+    assert len(d1) > 0
+    assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
+    # the synthetic type words must produce at least some coref rows
+    assert (d1["kind"] == "coref").any()
+    assert (d1["kind"] == "mention").any()
