@@ -83,13 +83,24 @@ def test_assign_parent_child_matches_reference_quirks():
     assert labels[3]["parent"] == 0
 
     import importlib.util
+    import pathlib
     import sys
+    import types
 
-    sys.path.insert(0, "/root/reference/src")
+    ref_file = pathlib.Path(
+        "/root/reference/src/elevant/utils/nested_groundtruth_handler.py")
+    if not ref_file.exists():
+        pytest.skip("reference not available")
+    # load straight from the file (other tests stub the `elevant`
+    # package in sys.modules, so find_spec cannot be trusted); its only
+    # import is GroundtruthLabel, used for typing — stub it
+    gl_mod = types.ModuleType("elevant.evaluation.groundtruth_label")
+    gl_mod.GroundtruthLabel = object
+    saved = sys.modules.get("elevant.evaluation.groundtruth_label")
+    sys.modules["elevant.evaluation.groundtruth_label"] = gl_mod
     try:
-        spec = importlib.util.find_spec("elevant.utils.nested_groundtruth_handler")
-        if spec is None:
-            pytest.skip("reference not importable")
+        spec = importlib.util.spec_from_file_location(
+            "_ref_nested_handler", ref_file)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
 
@@ -104,7 +115,10 @@ def test_assign_parent_child_matches_reference_quirks():
             assert ours["parent"] == theirs.parent
             assert ours["children"] == theirs.children
     finally:
-        sys.path.remove("/root/reference/src")
+        if saved is None:
+            sys.modules.pop("elevant.evaluation.groundtruth_label", None)
+        else:
+            sys.modules["elevant.evaluation.groundtruth_label"] = saved
 
 
 def test_read_simple_jsonl_dataset(ray_session, tmp_path):
