@@ -242,6 +242,28 @@ def top_customer_order(sf_dir: str):
         argmax, batch_format="pandas")).sort("o_custkey")
 
 
+def customer_first_order(sf_dir: str):
+    """First order per customer (argmin by date, tie min orderkey) — the
+    per-group-first pattern of the reference's abstracts mapping
+    (create_abstracts_mapping.py:14-50: GB(qid).first)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.sort_values(["o_orderdate", "o_orderkey"]).iloc[0]
+        return pd.DataFrame({
+            "o_custkey": [first["o_custkey"]],
+            "first_orderkey": [first["o_orderkey"]],
+            "first_orderdate": [first["o_orderdate"]],
+            "n_orders": [len(g)],
+        })
+
+    return orders.groupby("o_custkey").map_groups(
+        argmin, batch_format="pandas").sort("o_custkey")
+
+
 def part_type_stats(sf_dir: str):
     from elevant_ray.stages.util import partial_group_agg
 
@@ -1169,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": region_revenue,
         "order_priority_counts": order_priority_counts,
         "top_customer_order": top_customer_order,
+        "customer_first_order": customer_first_order,
         "part_type_stats": part_type_stats,
         "supplier_nation_balance": supplier_nation_balance,
         "part_brand_sets": part_brand_sets,
@@ -1269,6 +1292,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) = 1
+            ORDER BY o_custkey
+        """,
+        "customer_first_order": """
+            SELECT o_custkey,
+                   o_orderkey AS first_orderkey,
+                   o_orderdate AS first_orderdate,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_orders
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) = 1
             ORDER BY o_custkey
         """,
         "part_type_stats": """
