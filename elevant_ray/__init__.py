@@ -12,6 +12,9 @@ From-scratch re-expression of the capabilities of ad-freiburg/elevant
   clustering, evaluation, text stats, knn, dimension-table builds.
 - ``pipelines/``  end-to-end assemblies (record linkage, evaluation).
 - ``state/``      broadcast side-stores and checkpoint/resume manifests.
+- ``registry``    user-extension surface: stage registry + JSON configs
+  (the engine analog of the reference's Linkers enums / linking_system
+  factory / per-linker config files).
 
 Nothing in this package calls ``ray.init()``; sessions are owned by the
 caller (driver, bench.py, or the pytest fixture).
