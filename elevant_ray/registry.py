@@ -291,6 +291,25 @@ def _nif_reader(config):
     return read_nif
 
 
+@stage("tsv", "reader",
+       "token/entity/IOB TSV reader (tsv_benchmark_reader.py:22-86)")
+def _tsv_reader(config):
+    from elevant_ray.sources.tsv import read_tsv_benchmark
+
+    def read(path):
+        return read_tsv_benchmark(path, uri_to_qid=config.get("uri_to_qid"))
+
+    return read
+
+
+@stage("pubtator", "reader",
+       "PubTator abstract reader (pubtator_benchmark_reader.py:18-66)")
+def _pubtator_reader(config):
+    from elevant_ray.sources.tsv import read_pubtator_benchmark
+
+    return read_pubtator_benchmark
+
+
 @stage("simple-jsonl", "prediction_format",
        "Predictions in {text, spans} JSONL, joined to articles by "
        "doc_id/text prefix instead of order-zip "
