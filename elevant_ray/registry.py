@@ -326,3 +326,35 @@ def _nif_predictions(config):
     from elevant_ray.sources.nif import read_nif
 
     return read_nif
+
+
+def _external_prediction_format(fmt):
+    def factory(config):
+        from elevant_ray.sources.predictions import read_predictions
+
+        def read(path):
+            return read_predictions(
+                path, fmt,
+                title_to_qid=config.get("title_to_qid"),
+                id_to_title=config.get("id_to_title"),
+                redirects=config.get("redirects"),
+                coref=config.get("coref", False),
+                suffix=config.get("suffix"))
+
+        return read
+
+    return factory
+
+
+register_stage(StageSpec(
+    "ambiverse", "prediction_format", _external_prediction_format("ambiverse"),
+    "Ambiverse JSON results, name-remap rule "
+    "(ambiverse_prediction_reader.py:19-57)"))
+register_stage(StageSpec(
+    "wikifier", "prediction_format", _external_prediction_format("wikifier"),
+    "Wikifier .full.xml results, ?-title page-id correction "
+    "(wikifier_prediction_reader.py:20-95)"))
+register_stage(StageSpec(
+    "wexea", "prediction_format", _external_prediction_format("wexea"),
+    "WEXEA [[target|text|type]] markup over rebuilt clean text "
+    "(wexea_prediction_reader.py:23-58)"))
