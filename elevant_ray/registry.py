@@ -358,3 +358,36 @@ register_stage(StageSpec(
     "wexea", "prediction_format", _external_prediction_format("wexea"),
     "WEXEA [[target|text|type]] markup over rebuilt clean text "
     "(wexea_prediction_reader.py:23-58)"))
+
+
+@stage("epgel", "prediction_format",
+       "EPGEL paired input/output JSONL, top candidate wins "
+       "(epgel_prediction_reader.py:15-46)")
+def _epgel_predictions(config):
+    from elevant_ray.sources.predictions import read_epgel_predictions
+
+    def read(path):
+        return read_epgel_predictions(path,
+                                      input_path=config.get("input_path"))
+
+    return read
+
+
+@stage("tagme", "reader",
+       "TagMe snippet+annotation benchmark reader "
+       "(tagme_benchmark_reader.py:24-103)")
+def _tagme_reader(config):
+    from elevant_ray.sources.tsv import read_tagme_benchmark
+
+    def read(path):
+        # path = snippet file; annotation file from config or the
+        # sibling naming convention
+        ann = config.get("annotation_path")
+        if ann is None:
+            raise ValueError("tagme reader needs config['annotation_path']")
+        return read_tagme_benchmark(
+            path, ann, id_to_title=config.get("id_to_title"),
+            title_to_qid=config.get("title_to_qid"),
+            redirects=config.get("redirects"))
+
+    return read

@@ -183,6 +183,55 @@ def rebuild_wexea_text(content: str) -> str:
     return "".join(parts)
 
 
+def parse_epgel(input_content: str, output_content: str) -> List[List[dict]]:
+    """EPGEL paired input/output JSONL → per-article prediction lists
+    (``epgel_prediction_reader.py:15-46``).
+
+    The input file carries ``article_index, mention_start, mention_end``
+    per line; the output file (same line count — a mismatch yields NO
+    predictions, like the reference which only logs and returns the
+    empty per-article dicts) carries ``candidates`` ranked best-first;
+    the top candidate is the prediction, no candidates → unlinked
+    (entity_id None)."""
+    in_lines = input_content.splitlines()
+    out_lines = output_content.splitlines()
+    last_idx = json.loads(in_lines[-1])["article_index"] if in_lines else -1
+    per_article: List[List[dict]] = [[] for _ in range(last_idx + 1)]
+    if len(in_lines) != len(out_lines):
+        return per_article
+    for i_line, o_line in zip(in_lines, out_lines):
+        inp, outp = json.loads(i_line), json.loads(o_line)
+        cands = outp.get("candidates", [])
+        per_article[inp["article_index"]].append({
+            "begin": inp["mention_start"], "end": inp["mention_end"],
+            "entity_id": cands[0] if cands else None,
+            "candidates": list(cands),
+        })
+    return per_article
+
+
+def read_epgel_predictions(output_path: str,
+                           input_path: Optional[str] = None):
+    """EPGEL output file (+ its input file, defaulting to the
+    reference's ``output``→``input`` path convention,
+    epgel_prediction_reader.py:54) → Dataset(PREDICTION_SCHEMA), one
+    ``doc_idx`` per article_index."""
+    import ray.data as rd
+
+    input_path = input_path or output_path.replace("output", "input")
+    with open(input_path, "r", encoding="utf8") as fh:
+        in_content = fh.read()
+    with open(output_path, "r", encoding="utf8") as fh:
+        out_content = fh.read()
+    per_article = parse_epgel(in_content, out_content)
+    cols = {name: [] for name in PREDICTION_SCHEMA.names}
+    for idx, preds in enumerate(per_article):
+        for name, vals in _predictions_table(idx, preds).items():
+            cols[name].extend(vals)
+    return rd.from_arrow(pa.table(
+        {f.name: pa.array(cols[f.name], f.type) for f in PREDICTION_SCHEMA}))
+
+
 def _predictions_table(doc_idx: int, preds: List[dict]) -> dict:
     return {
         "doc_idx": [doc_idx] * len(preds),

@@ -191,3 +191,98 @@ def read_pubtator_benchmark(path: str):
         return len(parse_pubtator(content))
 
     return _read_per_file(path, parse_pubtator, count_docs)
+
+
+def parse_tagme(snippets: str, annotations: str,
+                id_to_title: Optional[Dict[int, str]] = None,
+                title_to_qid: Optional[Dict[str, str]] = None,
+                redirects: Optional[Dict[str, str]] = None) -> List[dict]:
+    """TagMe benchmark: a snippets TSV (``line_id \\t text``) plus an
+    annotations TSV (``article_id \\t mention \\t wikipedia_id``),
+    consumed in one forward pass with a single look-ahead annotation
+    line — the reference's exact interleave
+    (``tagme_benchmark_reader.py:24-103``):
+
+    - a mention is located with ``text.lower().find(mention)`` (the
+      annotation file carries lowercased mention strings); not found →
+      label dropped;
+    - wikipedia_id → title via the id→title dimension, missing →
+      ``<NO_MAPPING>``; else title → QID through the normalizer;
+    - an annotation whose article_id is *greater* than the current
+      snippet's id is held over for the next snippet.
+    """
+    from elevant_ray.functions.normalize import NO_MAPPING, wikidata_qid
+
+    id_to_title = id_to_title or {}
+    title_to_qid = title_to_qid or {}
+    articles: List[dict] = []
+
+    ann_iter = iter(annotations.splitlines())
+    article_id, mention_text, wikipedia_id = -1, "", -1
+    exhausted = False
+
+    for line in snippets.splitlines():
+        if not line.strip("\n"):
+            continue
+        line_id_s, text = line.strip("\n").split("\t")
+        line_id = int(line_id_s)
+        labels: List[dict] = []
+        label_id = 0
+        while True:
+            if article_id == line_id:
+                mention_start = text.lower().find(mention_text)
+                if mention_start > -1:
+                    begin = mention_start
+                    end = mention_start + len(mention_text)
+                    title = id_to_title.get(wikipedia_id)
+                    if not title:
+                        entity_id = NO_MAPPING
+                    else:
+                        entity_id = wikidata_qid(
+                            "https://en.wikipedia.org/wiki/"
+                            + title.replace(" ", "_"),
+                            title_to_qid, redirects)
+                    labels.append(_label(label_id, begin, end, entity_id))
+                    label_id += 1
+            if exhausted:
+                break
+            ann = next(ann_iter, None)
+            if ann is None:
+                # Verbatim reference behavior: the last-read annotation
+                # stays live and can re-match later snippet lines
+                # (tagme_benchmark_reader.py:71-73 reads at loop end and
+                # re-checks at the top for every subsequent snippet).
+                exhausted = True
+                break
+            aid, mention_text, wid = ann.strip("\n").split("\t")
+            article_id, wikipedia_id = int(aid), int(wid)
+            if article_id > line_id:
+                break
+        assign_parent_child(labels)
+        articles.append({"doc_id": len(articles), "title": "",
+                         "text": text, "labels": labels})
+    return articles
+
+
+def read_tagme_benchmark(snippet_path: str, annotation_path: str,
+                         id_to_title: Optional[Dict[int, str]] = None,
+                         title_to_qid: Optional[Dict[str, str]] = None,
+                         redirects: Optional[Dict[str, str]] = None):
+    """TagMe snippet + annotation files → articles Dataset.  The two
+    files interleave on a shared cursor, so the parse is one task; the
+    result is a Dataset for downstream fan-out."""
+    import ray.data as rd
+
+    with open(snippet_path, "r", encoding="utf8") as fh:
+        snippets = fh.read()
+    with open(annotation_path, "r", encoding="utf8") as fh:
+        annotations = fh.read()
+    arts = parse_tagme(snippets, annotations, id_to_title, title_to_qid,
+                       redirects)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([a["doc_id"] for a in arts], pa.int64()),
+        "title": pa.array([a["title"] for a in arts], pa.string()),
+        "text": pa.array([a["text"] for a in arts], pa.string()),
+        "labels": pa.array([a["labels"] for a in arts],
+                           pa.list_(FULL_LABEL_TYPE)),
+    }))
