@@ -373,6 +373,45 @@ def _epgel_predictions(config):
     return read
 
 
+@stage("xml", "reader",
+       "ACE/MSNBC/AQUAINT XML benchmark reader "
+       "(xml_benchmark_reader.py:27-133)")
+def _xml_reader(config):
+    from elevant_ray.sources.xmlbench import read_xml_benchmark
+
+    def read(path):
+        text_dir = config.get("text_dir")
+        if text_dir is None:
+            raise ValueError("xml reader needs config['text_dir']")
+        return read_xml_benchmark(
+            path, text_dir, title_to_qid=config.get("title_to_qid"),
+            redirects=config.get("redirects"))
+
+    return read
+
+
+@stage("refined-jsonl", "reader",
+       "ReFinED-JSONL benchmark reader "
+       "(refined_jsonl_benchmark_reader.py:23-59)")
+def _refined_reader(config):
+    from elevant_ray.sources.xmlbench import read_refined_jsonl
+
+    def read(path):
+        return read_refined_jsonl(path,
+                                  title_to_qid=config.get("title_to_qid"),
+                                  redirects=config.get("redirects"))
+
+    return read
+
+
+@stage("newscrawl", "reader",
+       "Newscrawl JSONL dump reader (newscrawl_dump_reader.py:19-32)")
+def _newscrawl_reader(config):
+    from elevant_ray.sources.xmlbench import read_newscrawl
+
+    return read_newscrawl
+
+
 @stage("tagme", "reader",
        "TagMe snippet+annotation benchmark reader "
        "(tagme_benchmark_reader.py:24-103)")
