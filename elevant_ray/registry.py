@@ -373,6 +373,33 @@ def _epgel_predictions(config):
     return read
 
 
+@stage("oke", "reader",
+       "OKE ttl reader: sameAs-resolved taIdentRefs "
+       "(oke_benchmark_reader.py:19-97)")
+def _oke_reader(config):
+    from elevant_ray.sources.nif import read_oke
+
+    def read(path):
+        return read_oke(path, title_to_qid=config.get("title_to_qid"),
+                        redirects=config.get("redirects"))
+
+    return read
+
+
+@stage("wikipedia", "reader",
+       "Wikipedia pages: hyperlinks → gold labels with alpha-expanded "
+       "spans (wikipedia_reader.py:11-36)")
+def _wikipedia_reader(config):
+    from elevant_ray.sources.xmlbench import hyperlinks_to_labels
+
+    def read(pages_ds):
+        return hyperlinks_to_labels(
+            pages_ds, title_to_qid=config.get("title_to_qid"),
+            redirects=config.get("redirects"))
+
+    return read
+
+
 @stage("xml", "reader",
        "ACE/MSNBC/AQUAINT XML benchmark reader "
        "(xml_benchmark_reader.py:27-133)")

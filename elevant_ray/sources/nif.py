@@ -98,9 +98,15 @@ def articles_to_nif(articles: List[dict],
     return "\n".join(lines)
 
 
-def parse_nif(content: str) -> List[dict]:
+def parse_nif(content: str, entity_mapper=None,
+              sort_contexts: bool = False) -> List[dict]:
     """NIF turtle (subset) → articles ``{doc_id, title, text, labels}``,
-    one per nif:Context, labels nested-linked (nif_parser.py:32-60)."""
+    one per nif:Context, labels nested-linked (nif_parser.py:32-60).
+
+    ``entity_mapper``: optional ``full taIdentRef URI -> entity id``
+    override (default: substring after the last '/').  ``sort_contexts``
+    sorts contexts by URI and drops empty-text contexts — the OKE
+    reader's reproducibility rule (oke_benchmark_reader.py:45-51)."""
     contexts: Dict[str, dict] = {}
     phrases: List[dict] = []
     for m in _STMT_RE.finditer(content):
@@ -121,8 +127,14 @@ def parse_nif(content: str) -> List[dict]:
                             "begin": int(b.group(1)), "end": int(e.group(1)),
                             "uri": ident.group(1)})
 
+    ctx_items = list(contexts.items())
+    if sort_contexts:
+        ctx_items = sorted(
+            ((u, c) for u, c in ctx_items if c["text"]),
+            key=lambda uc: uc[0])
+
     articles: List[dict] = []
-    for doc_id, (uri, ctx) in enumerate(contexts.items()):
+    for doc_id, (uri, ctx) in enumerate(ctx_items):
         base = uri.split("#", 1)[0]
         title = unquote(base[base.find("/"):]) if "/" in base else base
         labels = []
@@ -132,7 +144,9 @@ def parse_nif(content: str) -> List[dict]:
             ent = ph["uri"]
             labels.append({
                 "id": i, "begin": ph["begin"], "end": ph["end"],
-                "entity_id": ent[ent.rfind("/") + 1:], "name": "Unknown",
+                "entity_id": (entity_mapper(ent) if entity_mapper
+                              else ent[ent.rfind("/") + 1:]),
+                "name": "Unknown",
                 "parent": None, "children": [], "optional": False,
                 "type": None, "coref": None, "desc": False,
             })
@@ -142,9 +156,60 @@ def parse_nif(content: str) -> List[dict]:
     return articles
 
 
+_SAME_AS_RE = re.compile(
+    r"(?:owl:sameAs|<http://www\.w3\.org/2002/07/owl#sameAs>)\s+<([^>]+)>")
+
+
+def parse_same_as(content: str) -> Dict[str, str]:
+    """owl:sameAs subject→object mapping from the turtle subset
+    (oke_benchmark_reader.py:84-97; the reference walks an rdflib graph,
+    the engine scans per-statement blocks: the statement's leading
+    ``<uri>`` is the subject)."""
+    mapping: Dict[str, str] = {}
+    for stmt in content.split(" .\n"):
+        m_subj = re.search(r"<([^>]+)>", stmt)
+        if not m_subj:
+            continue
+        m_obj = _SAME_AS_RE.search(stmt)
+        if m_obj:
+            mapping[m_subj.group(1)] = m_obj.group(1)
+    return mapping
+
+
+def parse_oke(content: str,
+              title_to_qid: Optional[Dict[str, str]] = None,
+              redirects: Optional[Dict[str, str]] = None) -> List[dict]:
+    """OKE ttl → articles (oke_benchmark_reader.py:19-82): taIdentRefs
+    are anonymous URIs resolved through the file's owl:sameAs mapping to
+    a DBpedia URI, then normalized to a QID; refs with no sameAs entry
+    stay ``<NIL>``.  Contexts sorted by URI, empty contexts dropped."""
+    from elevant_ray.functions.normalize import NIL, wikidata_qid
+
+    same_as = parse_same_as(content)
+
+    def mapper(uri: str) -> str:
+        if uri in same_as:
+            return wikidata_qid(same_as[uri], title_to_qid or {}, redirects)
+        return NIL
+
+    return parse_nif(content, entity_mapper=mapper, sort_contexts=True)
+
+
+def read_oke(path: str,
+             title_to_qid: Optional[Dict[str, str]] = None,
+             redirects: Optional[Dict[str, str]] = None):
+    """OKE ttl file(s) → articles Dataset (per-file read tasks)."""
+    return _read_nif_like(
+        path, lambda content: parse_oke(content, title_to_qid, redirects))
+
+
 def read_nif(path: str):
     """NIF file(s) → articles Dataset (per-file read tasks, deterministic
     doc ids by file order + in-file context order)."""
+    return _read_nif_like(path, parse_nif)
+
+
+def _read_nif_like(path: str, parse_fn):
     import os
 
     import pyarrow as pa
@@ -166,7 +231,7 @@ def read_nif(path: str):
         rows: List[dict] = []
         for item in batch.to_pylist():
             with open(item["path"], "r", encoding="utf8") as fh:
-                for art in parse_nif(fh.read()):
+                for art in parse_fn(fh.read()):
                     art["doc_id"] += item["offset"]
                     rows.append(art)
         return pa.table({

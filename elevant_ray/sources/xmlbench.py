@@ -252,6 +252,48 @@ def _read_jsonl_per_file(path: str, parse, extra_cols: Tuple[str, ...] = ()):
         load, batch_size=1, batch_format="pyarrow")
 
 
+def expand_span_alpha(text: str, begin: int, end: int) -> Tuple[int, int]:
+    """Widen a span to full alphabetic runs — the WikipediaReader's
+    hyperlink-span expansion (benchmark_readers/wikipedia_reader.py:11-17;
+    NOTE: the reference's ``begin - 1 > 0`` means a span can never expand
+    to offset 0 — replicated verbatim)."""
+    while begin - 1 > 0 and text[begin - 1].isalpha():
+        begin -= 1
+    while end < len(text) and text[end].isalpha():
+        end += 1
+    return begin, end
+
+
+def hyperlinks_to_labels(pages,
+                         title_to_qid: Optional[Dict[str, str]] = None,
+                         redirects: Optional[Dict[str, str]] = None,
+                         text_col: str = "text",
+                         hyperlinks_col: str = "hyperlinks"):
+    """Pages with extracted ``hyperlinks: list<struct<begin,end,target>>``
+    → add a ``labels`` column built from the links — the engine's
+    WikipediaReader (wikipedia_reader.py:20-36): spans alpha-expanded,
+    targets mapped title→QID."""
+    title_to_qid = title_to_qid or {}
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        all_labels: List[List[dict]] = []
+        for text, links in zip(batch.column(text_col).to_pylist(),
+                               batch.column(hyperlinks_col).to_pylist()):
+            labels: List[dict] = []
+            for link in links or ():
+                b, e = expand_span_alpha(text, link["begin"], link["end"])
+                qid = wikidata_qid(
+                    "https://en.wikipedia.org/wiki/"
+                    + link["target"].replace(" ", "_"),
+                    title_to_qid, redirects)
+                labels.append(_label(len(labels), b, e, qid))
+            all_labels.append(labels)
+        return batch.append_column(
+            "labels", pa.array(all_labels, pa.list_(FULL_LABEL_TYPE)))
+
+    return pages.map_batches(to_labels, batch_format="pyarrow")
+
+
 def read_refined_jsonl(path: str,
                        title_to_qid: Optional[Dict[str, str]] = None,
                        redirects: Optional[Dict[str, str]] = None):
