@@ -183,19 +183,39 @@ def region_revenue(sf_dir: str):
         return b.append_column("r_name", pa.array(regions, pa.string())) \
             .select(["o_orderkey", "r_name"])
 
-    orders = orders.map_batches(o_region, batch_format="pyarrow")
-
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def rev(b: pa.Table) -> pa.Table:
-        r = pc.multiply(b.column("l_extendedprice"),
-                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("rev", r).select(["l_orderkey", "rev"])
-
-    line = line.map_batches(rev, batch_format="pyarrow")
-    joined = line.join(orders, "inner", 8, on=("l_orderkey",),
-                       right_on=("o_orderkey",))
     from elevant_ray.stages.util import partial_group_agg
+
+    # orderkey→region is the only thing lineitem needs from the orders
+    # side; when the whole orders table fits the broadcast cutoff (same
+    # 64 MB rule as verify_pairs), ship it once via ray.put and fold the
+    # join into the lineitem scan — zero shuffles before the tiny final
+    # groupby.  Beyond the cutoff, fall back to the hash-partitioned
+    # Dataset.join (the 100 TB path).
+    if orders.size_bytes() <= (64 << 20):
+        cmap = cust
+        omap_ref = ray.put({r["o_orderkey"]: cmap[r["o_custkey"]]
+                            for r in orders.take_all()})
+
+        def rev_region(b: pa.Table) -> pa.Table:
+            omap = ray.get(omap_ref)
+            r = pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+            regions = [omap[k] for k in b.column("l_orderkey").to_pylist()]
+            return pa.table({"r_name": pa.array(regions, pa.string()),
+                             "rev": r})
+
+        joined = line.map_batches(rev_region, batch_format="pyarrow")
+    else:
+        orders = orders.map_batches(o_region, batch_format="pyarrow")
+
+        def rev(b: pa.Table) -> pa.Table:
+            r = pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+            return b.append_column("rev", r).select(["l_orderkey", "rev"])
+
+        joined = line.map_batches(rev, batch_format="pyarrow").join(
+            orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
 
     agg = partial_group_agg(joined, ["r_name"], sum_cols=["rev"],
                             combine="driver")
@@ -533,6 +553,26 @@ def doc_token_counts(sf_dir: str):
                          "n_tokens": pa.array(n, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_token_quantiles(sf_dir: str):
+    """Exact per-language token-count percentiles (p50/p90/p99) via the
+    two-phase histogram — no sort, no per-row shuffle
+    (stages/quantiles.py)."""
+    from elevant_ray.stages.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counts = ds.map_batches(f, batch_format="pyarrow")
+    return grouped_quantiles(counts, "n_tokens", (0.5, 0.9, 0.99),
+                             group_cols=["lang"])
 
 
 def unigram_counts(sf_dir: str):
@@ -1206,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
+        "doc_token_quantiles": doc_token_quantiles,
         "unigram_counts": unigram_counts,
         "doc_quality": doc_quality,
         "lang_id": lang_id,
@@ -1413,6 +1454,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM f GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_token_quantiles": """
+            WITH c AS (SELECT lang,
+                              length(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+                       FROM documents)
+            SELECT lang, 0.5::DOUBLE AS q,
+                   quantile_disc(n, 0.5)::BIGINT AS n_tokens
+            FROM c GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9::DOUBLE, quantile_disc(n, 0.9)::BIGINT
+            FROM c GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99::DOUBLE, quantile_disc(n, 0.99)::BIGINT
+            FROM c GROUP BY lang
+            ORDER BY lang, q
         """,
         "doc_token_counts": """
             SELECT doc_id,
