@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "events_window_counts",
     "split_assign",
     "unigram_counts",
+    "doc_token_quantiles",
     "doc_quality",
     "lang_id",
     "dedup_exact",
