@@ -116,3 +116,35 @@ def test_synth_pages_text_column_is_extractor_output(reference_extractor):
     for row in pages.to_pylist():
         ref_text = _ref_extract(reference_extractor, row["html"].decode())[0]
         assert row["text"] == ref_text
+
+
+def test_sf001_corpus_byte_identity(reference_extractor):
+    """Dataset-scale invariant: every synthesized page at sf0.01 (the
+    driver's correctness scale) extracts byte-identically to the
+    reference across the full (text, hyperlinks, synonyms, sections)
+    tuple — not just the curated branch cases."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from elevant_ray.sources.pages import synth_pages_batch
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not available")
+    docs = pq.read_table(src, columns=["doc_id", "text", "lang"])
+    pages = synth_pages_batch(docs)
+    extracted = extract_batch(pages)
+    checked = 0
+    for html, row in zip(pages.column("html").to_pylist(),
+                         extracted.to_pylist()):
+        ref_text, ref_links, ref_syn, _ = _ref_extract(
+            reference_extractor, html.decode())
+        assert row["text"] == ref_text, row["url"]
+        assert row["hyperlinks"] == [
+            {"begin": b, "end": e, "target": t} for (b, e), t in ref_links
+        ], row["url"]
+        assert row["title_synonyms"] == [
+            {"begin": b, "end": e} for b, e in ref_syn], row["url"]
+        checked += 1
+    assert checked >= 500
