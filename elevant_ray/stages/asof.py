@@ -2,13 +2,16 @@
 
 Ray Data has no as-of join; the engine composes one from primitives the
 way SURVEY.md §2 prescribes for missing operators: align the two sides
-to a common schema with a side tag, union them, hash-partition by the
-equi-key via ``groupby(key)``, and merge within each group with a
-vectorized ``searchsorted`` — one shuffle total, no driver-side data.
+to a common schema with a side tag, union them, hash-partition by
+``crc-bucket(key) % buckets`` via ``groupby("bkt")`` — NOT by the raw
+key, which would pay a Python ``map_groups`` call per key — and merge
+each bucket (many keys at once) with a single vectorized
+``pandas.merge_asof(by=key)``.  One shuffle total, no driver-side data.
 
-Partitioning assumption: one key group (all left+right rows of one key)
-fits in a worker's heap.  For skewed keys, pre-split hot keys by time
-range and re-join the boundary row — not needed for the test corpora.
+Partitioning assumption: one bucket (all left+right rows whose key
+hashes to it) fits in a worker's heap; raise ``buckets`` to shrink
+them.  For a single skewed key, pre-split it by time range and re-join
+the boundary row — not needed for the test corpora.
 """
 
 from __future__ import annotations
@@ -20,9 +23,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
+    """Vectorized stable hash-bucket of a key column (int fast path,
+    crc32-of-utf8 otherwise)."""
+    import zlib
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(((v * np.uint64(2654435761)) % np.uint64(buckets))
+                        .astype(np.int32))
+    return pa.array(
+        [zlib.crc32(str(v).encode("utf-8")) % buckets for v in col.to_pylist()],
+        pa.int32())
+
+
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               left_cols: List[str], right_cols: List[str],
-              num_partitions: int = 8):
+              num_partitions: int = 8, buckets: int = 64):
     """For every left row, attach the columns of the right row with the
     largest ``right_ts`` <= ``left_ts`` within the same ``key`` group
     (left join semantics: unmatched left rows keep nulls).
@@ -38,6 +55,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {key: b.column(key), "__ts": b.column(left_ts),
+                "bkt": _bucket_of(b.column(key), buckets),
                 "__side": pa.array([1] * b.num_rows, pa.int8())}
         for c in lc:
             cols[c] = b.column(c)
@@ -47,6 +65,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
     def tag_right(b: pa.Table) -> pa.Table:
         cols = {key: b.column(key), "__ts": b.column(right_ts),
+                "bkt": _bucket_of(b.column(key), buckets),
                 "__side": pa.array([0] * b.num_rows, pa.int8())}
         for c in lc:
             cols[c] = pa.nulls(b.num_rows, left_schema.field(c).type)
@@ -58,27 +77,32 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               .union(right.map_batches(tag_right, batch_format="pyarrow")))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 1].sort_values("__ts", kind="stable")
-        r = g[g["__side"] == 0].sort_values("__ts", kind="stable")
-        out = l[[key] + lc].copy().reset_index(drop=True)
+        # one bucket = many keys; a single C-level merge_asof handles
+        # them all via by=key (vs. one Python call per key group)
+        l = g[g["__side"] == 1]
+        r = g[g["__side"] == 0]
         if len(r) == 0:
+            out = l[[key] + lc].copy().reset_index(drop=True)
             for c in rc:
                 out[c] = _all_null_series(len(l), g[c].dtype)
             return out
-        idx = np.searchsorted(r["__ts"].values, l["__ts"].values,
-                              side="right") - 1
-        safe = np.clip(idx, 0, None)
-        miss = idx < 0
+        l = l.sort_values("__ts", kind="stable")
+        r = r.sort_values("__ts", kind="stable")
+        merged = pd.merge_asof(
+            l[[key, "__ts"] + lc], r[[key, "__ts"] + rc],
+            on="__ts", by=key, direction="backward")
+        out = merged[[key] + lc].copy()
         for c in rc:
-            s = pd.Series(r[c].values[safe]).reset_index(drop=True)
-            if s.dtype.kind in "iu":
+            s = merged[c]
+            if s.dtype.kind in "iu" or (
+                    s.dtype.kind == "f"
+                    and r[c].dtype.kind in "iu"):
                 # nullable int so misses become NA, not a silent float cast
                 s = s.astype("Int64")
-            s[miss] = None
             out[c] = s
-        return out
+        return out.reset_index(drop=True)
 
-    return tagged.groupby(key).map_groups(merge, batch_format="pandas")
+    return tagged.groupby("bkt").map_groups(merge, batch_format="pandas")
 
 
 def _all_null_series(n: int, dtype) -> pd.Series:

@@ -26,14 +26,28 @@ def _as_matrix(col: Sequence[Sequence[float]]) -> np.ndarray:
     return m / norms
 
 
+def _select_queries(embeddings, query_ids: List[int], id_col: str):
+    """Vectorized `id ∈ query_ids` selection (pc.is_in mask per batch —
+    never a per-row Python predicate over the full corpus)."""
+    import pyarrow.compute as pc
+
+    qarr = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(batch.column(id_col), pa.int64()), qarr)
+        return batch.filter(mask)
+
+    return embeddings.map_batches(
+        pick, batch_format="pyarrow").to_pandas()
+
+
 def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding"):
     """→ Dataset(query_id, neighbor_id, rank) — rank 1..k by cosine desc,
     ties broken by smaller neighbor_id; self-matches excluded."""
     import ray
 
-    qset = set(query_ids)
-    qtab = embeddings.filter(lambda row: row[id_col] in qset).to_pandas()
+    qtab = _select_queries(embeddings, query_ids, id_col)
     qtab = qtab.sort_values(id_col)
     qids = qtab[id_col].to_numpy()
     qmat = _as_matrix(qtab[vec_col].to_list())
@@ -136,8 +150,7 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
                 cent[c] = v / (n if n else 1.0)
     cent_ref = ray.put(cent)
 
-    qset = set(query_ids)
-    qtab = embeddings.filter(lambda row: row[id_col] in qset).to_pandas()
+    qtab = _select_queries(embeddings, query_ids, id_col)
     qtab = qtab.sort_values(id_col)
     qids = qtab[id_col].to_numpy()
     qmat = _as_matrix(qtab[vec_col].to_list())
