@@ -251,15 +251,17 @@ def top_customer_order(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # argmax per key, vectorized across every key in the bucket
         g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(1)
+                          ascending=[False, True], kind="stable")
+        g = g.drop_duplicates("o_custkey")
         return g[["o_custkey", "o_orderkey", "o_totalprice"]]
 
-    from elevant_ray.stages.util import as_arrow
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(ds.groupby("o_custkey").map_groups(
-        argmax, batch_format="pandas")).sort("o_custkey")
+    return as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)).sort("o_custkey")
 
 
 def customer_first_order(sf_dir: str):
@@ -271,17 +273,17 @@ def customer_first_order(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def argmin(g: pd.DataFrame) -> pd.DataFrame:
-        first = g.sort_values(["o_orderdate", "o_orderkey"]).iloc[0]
-        return pd.DataFrame({
-            "o_custkey": [first["o_custkey"]],
-            "first_orderkey": [first["o_orderkey"]],
-            "first_orderdate": [first["o_orderdate"]],
-            "n_orders": [len(g)],
-        })
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+        return g.groupby("o_custkey", as_index=False).agg(
+            first_orderkey=("o_orderkey", "first"),
+            first_orderdate=("o_orderdate", "first"),
+            n_orders=("o_orderkey", "size"))
 
-    return orders.groupby("o_custkey").map_groups(
-        argmin, batch_format="pandas").sort("o_custkey")
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return bucketed_group_apply(
+        orders, "o_custkey", per_bucket).sort("o_custkey")
 
 
 def part_type_stats(sf_dir: str):
@@ -432,20 +434,17 @@ def events_sessions(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_sess = (gaps.isna() | (gaps > 1800)).astype(int)
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(new_sess.sum())],
-            "n_events": [len(g)],
-        })
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        g = g.assign(_new=(gaps.isna() | (gaps > 1800)).astype("int64"))
+        return g.groupby("user_id", as_index=False).agg(
+            n_sessions=("_new", "sum"), n_events=("_new", "size"))
 
-    from elevant_ray.stages.util import as_arrow
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas")).sort("user_id")
+    return as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)).sort("user_id")
 
 
 def orders_nearby_counts(sf_dir: str):
@@ -460,14 +459,26 @@ def orders_nearby_counts(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                   "o_orderdate", "o_totalprice"])
 
-    def nearby(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"],
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # Composite-key searchsorted: key-code × band + day keeps each
+        # customer's rows in a disjoint integer band wide enough that
+        # day±30 never crosses into a neighboring key, so ONE global
+        # searchsorted answers every per-key interval query in the
+        # bucket — no per-key Python at all.
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
                           kind="stable").reset_index(drop=True)
-        d = g["o_orderdate"].to_numpy()
+        if not len(g):
+            return pd.DataFrame({"o_orderkey": [], "n_nearby": [],
+                                 "nearby_total": []})
+        codes = pd.factorize(g["o_custkey"])[0].astype(np.int64)
+        day = g["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        rel = day - day.min() + 31
+        band = int(rel.max()) + 32
+        comp = codes * band + rel
+        lo = np.searchsorted(comp, comp - 30, side="left")
+        hi = np.searchsorted(comp, comp + 30, side="right")
         price = g["o_totalprice"].to_numpy()
-        delta = np.timedelta64(30, "D")
-        lo = np.searchsorted(d, d - delta, side="left")
-        hi = np.searchsorted(d, d + delta, side="right")
         cs = np.concatenate([[0.0], np.cumsum(price)])
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"],
@@ -475,10 +486,10 @@ def orders_nearby_counts(sf_dir: str):
             "nearby_total": np.round(cs[hi] - cs[lo] - price, 2),
         })
 
-    from elevant_ray.stages.util import as_arrow
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(ds.groupby("o_custkey").map_groups(
-        nearby, batch_format="pandas")).sort("o_orderkey")
+    return as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)).sort("o_orderkey")
 
 
 def events_window_counts(sf_dir: str):
@@ -492,10 +503,22 @@ def events_window_counts(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, ts - np.timedelta64(3600, "s"), side="left")
+    WIN_US = 3_600_000_000  # 1h in microseconds
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # same composite-key trick as orders_nearby_counts: per-key
+        # bands in µs wide enough that ts−1h never leaves the band
+        g = g.sort_values(["user_id", "ts"],
+                          kind="stable").reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({"event_id": [], "user_id": [], "ts": [],
+                                 "n_events_1h": [], "sum_value_1h": []})
+        codes = pd.factorize(g["user_id"])[0].astype(np.int64)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rel = us - us.min() + WIN_US + 1
+        band = int(rel.max()) + WIN_US + 2
+        comp = codes * band + rel
+        lo = np.searchsorted(comp, comp - WIN_US, side="left")
         idx = np.arange(len(g))
         cs = np.concatenate([[0.0], np.cumsum(g["value"].to_numpy())])
         return pd.DataFrame({
@@ -506,10 +529,10 @@ def events_window_counts(sf_dir: str):
             "sum_value_1h": np.round(cs[idx + 1] - cs[lo], 2),
         })
 
-    from elevant_ray.stages.util import as_arrow
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(ds.groupby("user_id").map_groups(
-        window, batch_format="pandas")).sort("event_id")
+    return as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)).sort("event_id")
 
 
 def events_attribution(sf_dir: str):

@@ -23,18 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _bucket_of(col: pa.ChunkedArray, buckets: int) -> pa.Array:
-    """Vectorized stable hash-bucket of a key column (int fast path,
-    crc32-of-utf8 otherwise)."""
-    import zlib
-
-    if pa.types.is_integer(col.type):
-        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        return pa.array(((v * np.uint64(2654435761)) % np.uint64(buckets))
-                        .astype(np.int32))
-    return pa.array(
-        [zlib.crc32(str(v).encode("utf-8")) % buckets for v in col.to_pylist()],
-        pa.int32())
+from elevant_ray.stages.util import hash_bucket_array as _bucket_of
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,

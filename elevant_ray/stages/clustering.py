@@ -138,14 +138,29 @@ def clusters_to_pairs(labels, max_cluster: int = 1000):
     the quadratic expansion; the north-rule metric operates on *labeled*
     candidate pairs, so full expansion is only needed for small clusters."""
 
-    def expand(group: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(group["node"])
-        left, right = [], []
-        cap = members[:max_cluster]
-        for i in range(len(cap)):
-            for j in range(i + 1, len(cap)):
-                left.append(cap[i])
-                right.append(cap[j])
-        return pd.DataFrame({"left": left, "right": right})
+    from elevant_ray.stages.util import bucketed_group_apply
 
-    return labels.groupby("label").map_groups(expand, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # numpy triu expansion per cluster slice — the pair loop is
+        # quadratic by definition, but the loop body is one vectorized
+        # triu_indices per cluster, not a Python pair loop
+        g = g.sort_values(["label", "node"], kind="stable")
+        g = g[g.groupby("label").cumcount() < max_cluster]
+        nodes = g["node"].to_numpy()
+        sizes = g.groupby("label", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        lefts, rights = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s < 2:
+                continue
+            sub = nodes[s:e]
+            i, j = np.triu_indices(len(sub), k=1)
+            lefts.append(sub[i])
+            rights.append(sub[j])
+        if not lefts:
+            return pd.DataFrame({"left": pd.Series([], dtype=g["node"].dtype),
+                                 "right": pd.Series([], dtype=g["node"].dtype)})
+        return pd.DataFrame({"left": np.concatenate(lefts),
+                             "right": np.concatenate(rights)})
+
+    return bucketed_group_apply(labels, "label", per_bucket)

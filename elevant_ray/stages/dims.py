@@ -52,19 +52,25 @@ def link_frequencies(pages):
 
 def most_popular_candidates(link_freq):
     """alias → targets with max freq (ties kept, sorted) + the min-target
-    pick the wikipedia-strategy baseline uses (baseline_linker.py:77-80)."""
+    pick the wikipedia-strategy baseline uses (baseline_linker.py:77-80).
 
-    def argmax(group: pd.DataFrame) -> pd.DataFrame:
-        best = group["freq"].max()
-        top = sorted(group.loc[group["freq"] == best, "target"])
-        return pd.DataFrame({
-            "alias": [group["alias"].iloc[0]],
-            "candidates": [top],
-            "top_candidate": [top[0]],
-            "freq": [best],
-        })
+    Bucketed co-group (util.bucketed_group_apply): aliases are Zipfian
+    and numerous, so the per-key logic runs vectorized over each hash
+    bucket instead of one Python map_groups call per alias."""
+    from elevant_ray.stages.util import bucketed_group_apply
 
-    return link_freq.groupby("alias").map_groups(argmax, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["alias", "freq", "target"],
+                          ascending=[True, False, True], kind="stable")
+        best = g.drop_duplicates("alias")[["alias", "target", "freq"]]
+        ties = g.merge(best[["alias", "freq"]], on=["alias", "freq"])
+        cands = ties.groupby("alias", as_index=False).agg(
+            candidates=("target", list))
+        out = best.merge(cands, on="alias")
+        out = out.rename(columns={"target": "top_candidate"})
+        return out[["alias", "candidates", "top_candidate", "freq"]]
+
+    return bucketed_group_apply(link_freq, "alias", per_bucket)
 
 
 def entity_popularity(link_freq):
@@ -76,14 +82,14 @@ def entity_popularity(link_freq):
 
 def alias_candidates(link_freq):
     """alias → sorted distinct candidate targets (entity_database.py:264-274)."""
+    from elevant_ray.stages.util import bucketed_group_apply
 
-    def collect(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "alias": [group["alias"].iloc[0]],
-            "qids": [sorted(group["target"].unique())],
-        })
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[["alias", "target"]].drop_duplicates()
+             .sort_values(["alias", "target"], kind="stable"))
+        return g.groupby("alias", as_index=False).agg(qids=("target", list))
 
-    return link_freq.groupby("alias").map_groups(collect, batch_format="pandas")
+    return bucketed_group_apply(link_freq, "alias", per_bucket)
 
 
 def to_prior_dicts(link_freq) -> Dict[str, object]:

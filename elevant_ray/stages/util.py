@@ -13,6 +13,49 @@ def as_arrow(ds):
     return ds.map_batches(lambda b: b, batch_format="pyarrow")
 
 
+def hash_bucket_array(col, buckets: int):
+    """Vectorized stable hash-bucket of a key column (Knuth multiplicative
+    fast path for ints, crc32-of-utf8 otherwise) → int32 Arrow array."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(((v * np.uint64(2654435761)) % np.uint64(buckets))
+                        .astype(np.int32))
+    return pa.array(
+        [zlib.crc32(str(v).encode("utf-8")) % buckets
+         for v in col.to_pylist()],
+        pa.int32())
+
+
+def bucketed_group_apply(ds, key: str, per_bucket, buckets: int = 64):
+    """One hash shuffle on ``bucket(key)``; ``per_bucket(df)`` then runs
+    once per bucket over the concatenated rows of MANY whole key groups
+    and must implement the per-key logic vectorized (pandas groupby /
+    sort + drop_duplicates / composite-key searchsorted).
+
+    Replaces ``ds.groupby(key).map_groups(per_key_fn)`` wherever key
+    cardinality is high: map_groups pays a Python call + block slice +
+    format conversion PER KEY, which dominates wall time once there are
+    more than a few thousand groups.  Co-location guarantee is the same
+    (a key's rows all hash to one bucket); raise ``buckets`` if a bucket
+    outgrows a worker's heap."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        return b.append_column("bkt", hash_bucket_array(b.column(key), buckets))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns=["bkt"]))
+
+    return (ds.map_batches(add_bkt, batch_format="pyarrow")
+            .groupby("bkt").map_groups(run, batch_format="pandas"))
+
+
 def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
                       max_cols=(), min_cols=(), num_partitions=None,
                       combine: str = "dataset"):
