@@ -40,32 +40,93 @@ def perms(num_perm: int) -> np.ndarray:
     return _PERMS_CACHE[num_perm]
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct hashed k-grams of unigram tokens (word shingles) as uint64."""
+_TOKEN_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def token_hashes(tokens: List[str]) -> np.ndarray:
+    """uint64 blake2b hash per token, memoized per worker process —
+    token frequency is Zipfian, so the cache absorbs almost every call
+    after warmup (the blake2b itself, not the loop, was the hot cost)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_CACHE
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
+# fixed odd mixing constants: position-sensitive gram hash = Σ h_i·c_i
+_MIX_RNG = np.random.RandomState(_SEED ^ 0xA5A5)
+_MIX_COEF = (_MIX_RNG.randint(0, 1 << 62, size=64, dtype=np.int64)
+             .astype(np.uint64) | np.uint64(1))
+
+
+def _avalanche(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized — spreads the linear mix."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def shingle_hashes(text: str, k: int = 5, tokens: List[str] = None) -> np.ndarray:
+    """Distinct hashed k-grams of unigram tokens (word shingles) as
+    uint64 — vectorized: per-token memoized hashes combined over a
+    sliding window with position constants + splitmix64 finalizer
+    (wraparound uint64 arithmetic; order-sensitive, deterministic)."""
     from elevant_ray.functions.tokens import unigrams
 
-    ws = unigrams(text)
+    ws = unigrams(text) if tokens is None else tokens
     if not ws:
         return np.zeros(1, dtype=np.uint64)
-    if len(ws) < k:
-        grams = [" ".join(ws)]
-    else:
-        grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in set(grams)),
-        dtype=np.uint64, count=len(set(grams)),
-    )
-    return out
+    th = token_hashes(ws)
+    kk = min(k, len(ws))
+    windows = np.lib.stride_tricks.sliding_window_view(th, kk)
+    grams = (windows * _MIX_COEF[:kk]).sum(axis=1, dtype=np.uint64)
+    return np.unique(_avalanche(grams))
+
+
+def _permuted(shingles: np.ndarray, num_perm: int) -> np.ndarray:
+    """(n_shingles, num_perm) uint64 hash matrix via multiply–xorshift
+    (Dietzfelbinger multiply-shift family + avalanche) — no integer
+    division: int64 modulo is scalar-at-a-time on x86 and dominated the
+    whole sketch cost."""
+    a = perms(num_perm)[:, 0].astype(np.uint64) | np.uint64(1)
+    b = perms(num_perm)[:, 1].astype(np.uint64)
+    vals = shingles.astype(np.uint64)[:, None] * a[None, :] + b[None, :]
+    vals ^= vals >> np.uint64(33)
+    vals *= np.uint64(0xFF51AFD7ED558CCD)
+    vals ^= vals >> np.uint64(29)
+    return vals
 
 
 def minhash_signature(shingles: np.ndarray, num_perm: int = 128) -> np.ndarray:
     """(num_perm,) uint64 minhash signature of a shingle-hash set."""
-    p = perms(num_perm)
-    x = shingles.astype(np.int64)[:, None] & np.int64(0x7FFF_FFFF_FFFF_FFFF)
-    # (n_shingles, num_perm) permuted values; min over shingles
-    vals = (x * p[:, 0][None, :] + p[:, 1][None, :]) % _MERSENNE
-    return vals.min(axis=0).astype(np.uint64)
+    return _permuted(shingles, num_perm).min(axis=0)
+
+
+def minhash_signatures_batch(shingle_sets: List[np.ndarray],
+                             num_perm: int = 128) -> np.ndarray:
+    """(n_docs, num_perm) signatures for a whole batch in ONE numpy
+    pass: concatenate every doc's shingles, hash once, segment-min with
+    ``np.minimum.reduceat`` — per-doc Python overhead disappears."""
+    if not shingle_sets:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
+                       count=len(shingle_sets))
+    flat = np.concatenate(shingle_sets) if len(shingle_sets) > 1 else shingle_sets[0]
+    vals = _permuted(flat, num_perm)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.minimum.reduceat(vals, offsets, axis=0)
 
 
 def band_keys(sig: np.ndarray, bands: int = 16) -> List[str]:
@@ -85,15 +146,18 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over unigram tokens (Charikar '02)."""
+def simhash64(text: str, tokens: List[str] = None) -> int:
+    """64-bit SimHash over unigram tokens (Charikar '02) — vectorized:
+    one unpackbits over the whole token-hash array per document."""
     from elevant_ray.functions.tokens import unigrams
 
-    acc = np.zeros(64, dtype=np.int64)
-    for w in unigrams(text):
-        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8), bitorder="little")
-        acc += bits.astype(np.int64) * 2 - 1
+    ws = unigrams(text) if tokens is None else tokens
+    if not ws:
+        return 0
+    th = token_hashes(ws)
+    bits = np.unpackbits(th.astype("<u8").view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(ws)
     packed = np.packbits(acc > 0, bitorder="little").tobytes()
     return int.from_bytes(packed, "little")
 

@@ -86,19 +86,33 @@ def cluster_pages(pages, threshold: float = 0.75, num_partitions: int = 16):
 def gold_pairs_from_doc_ids(pages_with_doc_id):
     """Gold same-entity url pairs: pages generated from the same doc_id
     (the synthetic ground truth — mirrors + exact-dup urls)."""
+    import numpy as np
     import pandas as pd
 
-    def expand(group: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(group["url"].unique())
-        left, right = [], []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                left.append(members[i])
-                right.append(members[j])
-        return pd.DataFrame({"left": left, "right": right})
+    from elevant_ray.stages.util import bucketed_group_apply
 
-    return (pages_with_doc_id.select_columns(["doc_id", "url"])
-            .groupby("doc_id").map_groups(expand, batch_format="pandas"))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "url"]).sort_values(
+            ["doc_id", "url"], kind="stable")
+        urls = g["url"].to_numpy()
+        sizes = g.groupby("doc_id", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        lefts, rights = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s < 2:
+                continue
+            i, j = np.triu_indices(e - s, k=1)
+            lefts.append(urls[s:e][i])
+            rights.append(urls[s:e][j])
+        if not lefts:
+            return pd.DataFrame({"left": pd.Series([], dtype=object),
+                                 "right": pd.Series([], dtype=object)})
+        return pd.DataFrame({"left": np.concatenate(lefts),
+                             "right": np.concatenate(rights)})
+
+    return bucketed_group_apply(
+        pages_with_doc_id.select_columns(["doc_id", "url"]),
+        "doc_id", per_bucket)
 
 
 def run_record_linkage(sf_dir: str, threshold: float = 0.75,

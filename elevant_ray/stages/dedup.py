@@ -113,12 +113,17 @@ def add_minhash_columns(batch: pa.Table, text_col: str = "text",
     """
     from elevant_ray.functions.tokens import unigrams
 
+    from elevant_ray.functions.minhash import minhash_signatures_batch
+
+    texts = batch.column(text_col).to_pylist()
+    tok_lists = [unigrams(t) for t in texts]
+    shingle_sets = [shingle_hashes(t, k=shingle_k, tokens=toks)
+                    for t, toks in zip(texts, tok_lists)]
+    sigs = minhash_signatures_batch(shingle_sets, num_perm=num_perm)
     keys_col: List[List[str]] = []
-    for text in batch.column(text_col).to_pylist():
-        sh = shingle_hashes(text, k=shingle_k)
-        sig = minhash_signature(sh, num_perm=num_perm)
+    for toks, sh, sig in zip(tok_lists, shingle_sets, sigs):
         keys = band_keys(sig, bands=bands)
-        if len(unigrams(text)) < short_doc_tokens:
+        if len(toks) < short_doc_tokens:
             keys += [f"s:{int(h):016x}" for h in sh]
         keys_col.append(keys)
     return batch.append_column("band_key", pa.array(keys_col, pa.list_(pa.string())))
@@ -339,12 +344,16 @@ def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
         Min("hamming", alias_name="hamming")))
 
 
-def _gram_set(text: str, n: int):
-    from elevant_ray.functions.tokens import unigrams
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted distinct signed-int64 hashes of the doc's token n-grams —
+    the vectorized shingle mix (functions/minhash.py), not per-gram
+    string building + blake2b.  64-bit: hashed intersection == string
+    intersection in practice, and int64 join keys shuffle cheaper than
+    gram strings."""
+    from elevant_ray.functions.minhash import shingle_hashes
 
-    toks = unigrams(text)
-    return {" ".join(toks[i:i + n])
-            for i in range(max(len(toks) - n + 1, 0))} or {""}
+    return np.unique(
+        shingle_hashes(text, k=n).astype(np.int64))  # uint64 → signed view
 
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
@@ -387,8 +396,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     def gram_partials(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for text in batch.column(text_col).to_pylist():
-            c.update(_gram_set(text, n))
-        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+            c.update(_gram_hashes(text, n).tolist())
+        return pa.table({"gram": pa.array(list(c.keys()), pa.int64()),
                          "partial": pa.array(list(c.values()), pa.int64())})
 
     freq: Counter = Counter()
@@ -405,29 +414,23 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     # sides and BOTH verify joins (without the pin, each consumer
     # re-executes the read + gram computation)
     def doc_pass(batch: pa.Table) -> pa.Table:
-        import hashlib
-
         fr = ray.get(freq_ref)
         ids, blobs, pgrams, sizes = [], [], [], []
         for rid, text in zip(batch.column(id_col).to_pylist(),
                              batch.column(text_col).to_pylist()):
-            gset_raw = _gram_set(text, n)
-            gset = sorted(gset_raw, key=lambda g: (fr.get(g, 1), g))
+            ghs = _gram_hashes(text, n)          # sorted distinct int64
+            gset = sorted(ghs.tolist(), key=lambda g: (fr.get(g, 1), g))
             k = len(gset) - math.ceil(threshold * len(gset)) + 1
             # singletons can't match — skip their join rows
             pgrams.append([g for g in gset[:k] if g in fr])
             sizes.append(len(gset))
-            # 64-bit hashes: collision-free in practice, so hashed
-            # intersection == string intersection; binary blob, not
-            # list<int64> — Acero joins reject nested payload columns
-            hs = sorted({int.from_bytes(
-                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
-                "big") - (1 << 63) for g in gset_raw})
             ids.append(str(rid))
-            blobs.append(np.asarray(hs, dtype=np.int64).tobytes())
+            # binary blob, not list<int64> — Acero joins reject nested
+            # payload columns
+            blobs.append(ghs.tobytes())
         return pa.table({"_vid": pa.array(ids, pa.string()),
                          "_hs": pa.array(blobs, pa.binary()),
-                         "_pg": pa.array(pgrams, pa.list_(pa.string())),
+                         "_pg": pa.array(pgrams, pa.list_(pa.int64())),
                          "_sz": pa.array(sizes, pa.int64())})
 
     doc_table = ds.map_batches(doc_pass, batch_format="pyarrow").materialize()
@@ -441,7 +444,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
                 ids.append(rid)
                 gs.append(g)
                 szs.append(sz)
-        return pa.table({"gram": pa.array(gs, pa.string()),
+        return pa.table({"gram": pa.array(gs, pa.int64()),
                          "left": pa.array(ids, pa.string()),
                          "lsz": pa.array(szs, pa.int64())})
 
@@ -453,9 +456,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
 
     cand = cogroup_join(
         pref, rhs, on="gram", num_partitions=num_partitions,
-        left_schema=pa.schema([("gram", pa.string()), ("left", pa.string()),
+        left_schema=pa.schema([("gram", pa.int64()), ("left", pa.string()),
                                ("lsz", pa.int64())]),
-        right_schema=pa.schema([("gram", pa.string()), ("right", pa.string()),
+        right_schema=pa.schema([("gram", pa.int64()), ("right", pa.string()),
                                 ("rsz", pa.int64())]))
 
     def orient(b: pa.Table) -> pa.Table:
