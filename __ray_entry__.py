@@ -427,6 +427,28 @@ def events_hourly(sf_dir: str):
     return _round_cols(out, {"sum_value": 2}).sort(["event_type", "hour"])
 
 
+def events_distinct_users(sf_dir: str):
+    """Exact count-distinct per group at shuffle-minimal cost: each batch
+    first collapses to its DISTINCT (event_type, user_id) pairs (Arrow
+    group_by, C++), so the all-to-all moves ≤ |distinct pairs| rows, not
+    |events|; the global distinct + count is then one small groupby.
+    (SURVEY §2.6: reference keeps all counts exact — this is the exact
+    scale path; a sketch variant would swap stage 2 for HLL merge.)"""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")).select_columns(["event_type", "user_id"])
+    out = distinct.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+    return out.sort("event_type")
+
+
 def events_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user: sort-within-group
     + gap scan — ordering assumption: (ts, event_id) within user."""
@@ -1263,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": split_assign,
         # events
         "events_hourly": events_hourly,
+        "events_distinct_users": events_distinct_users,
         "events_sessions": events_sessions,
         "events_attribution": events_attribution,
         "events_window_counts": events_window_counts,
@@ -1461,6 +1484,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, hour
             ORDER BY event_type, hour
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_sessions": """
             WITH e AS (
