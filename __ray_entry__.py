@@ -449,6 +449,22 @@ def events_distinct_users(sf_dir: str):
     return out.sort("event_type")
 
 
+def events_distinct_users_approx(sf_dir: str):
+    """HyperLogLog per-group approximate distinct (stages/sketches.py) —
+    the sketch scale path for events_distinct_users: the shuffle moves
+    O(groups × batches × 4 KB) register blobs regardless of user
+    cardinality.  Rows-only (approximate ⇒ no value-hash oracle); the
+    pytest suite asserts ≤5% error vs the exact path."""
+    from elevant_ray.stages.sketches import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_approx_distinct(ds, "event_type", "user_id",
+                                  alias="n_users_approx")
+    from elevant_ray.stages.util import as_arrow
+
+    return as_arrow(out).sort("event_type")
+
+
 def events_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user: sort-within-group
     + gap scan — ordering assumption: (ts, event_id) within user."""
@@ -1286,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events
         "events_hourly": events_hourly,
         "events_distinct_users": events_distinct_users,
+        "events_distinct_users_approx": events_distinct_users_approx,
         "events_sessions": events_sessions,
         "events_attribution": events_attribution,
         "events_window_counts": events_window_counts,

@@ -1,0 +1,46 @@
+"""HyperLogLog sketch: accuracy vs exact distinct, merge associativity,
+and the driver-contract approx query against the exact query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elevant_ray.stages.sketches import hll_estimate, hll_registers
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("n", [10, 500, 5_000, 200_000])
+def test_hll_estimate_within_standard_error(n):
+    vals = np.arange(n, dtype=np.int64) * 7919 + 13
+    est = hll_estimate(hll_registers(vals, p=12))
+    # standard error at p=12 is 1.04/sqrt(4096) ≈ 1.6%; allow 4 sigma
+    assert abs(est - n) / n < 0.065, (n, est)
+
+
+def test_hll_merge_equals_union():
+    a = np.arange(0, 3000, dtype=np.int64)
+    b = np.arange(1500, 6000, dtype=np.int64)
+    ra, rb = hll_registers(a), hll_registers(b)
+    merged = np.maximum(ra, rb)
+    assert (merged == hll_registers(np.arange(6000, dtype=np.int64))).all()
+
+
+def test_hll_duplicates_do_not_inflate():
+    vals = np.tile(np.arange(100, dtype=np.int64), 1000)
+    est = hll_estimate(hll_registers(vals))
+    assert abs(est - 100) / 100 < 0.065
+
+
+def test_approx_query_matches_exact_within_tolerance(ray_session):
+    import __ray_entry__ as m
+
+    exact = (m.queries()["events_distinct_users"](SF_DIR)
+             .to_pandas().set_index("event_type")["n_users"])
+    approx = (m.queries()["events_distinct_users_approx"](SF_DIR)
+              .to_pandas().set_index("event_type")["n_users_approx"])
+    assert set(exact.index) == set(approx.index)
+    for et in exact.index:
+        err = abs(approx[et] - exact[et]) / max(exact[et], 1)
+        assert err < 0.05, (et, exact[et], approx[et])
