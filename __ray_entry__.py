@@ -1195,7 +1195,12 @@ def entity_linking(sf_dir: str):
     from elevant_ray.stages.dims import to_broadcast_dicts
     from elevant_ray.stages.scoring import EntityScorer
 
-    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    # materialize once: the extracted pages feed BOTH the dim build and
+    # the mention explode — without the pin the synth+extract lineage
+    # executes twice
+    pages = (synth_pages(sf_dir)
+             .map_batches(extract_batch, batch_format="pyarrow")
+             .materialize())
     dims = to_broadcast_dicts(lf(pages))
     a_ref = ray.put(dims["alias_to_qids"])
     p_ref = ray.put(dims["popularity"])
@@ -1218,7 +1223,7 @@ def entity_linking(sf_dir: str):
         EntityScorer, fn_constructor_kwargs={
             "alias_to_qids_ref": a_ref, "popularity_ref": p_ref,
             "strategy": "wikipedia", "drop_dates": False},
-        batch_format="pyarrow", concurrency=2, batch_size=1024)
+        batch_format="pyarrow", concurrency=(2, 8), batch_size=1024)
     return scored.sort(["url", "mention", "gold"])
 
 
