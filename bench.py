@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_attribution",
     "events_window_counts",
+    "events_distinct_users",
     "split_assign",
     "unigram_counts",
     "doc_token_quantiles",
