@@ -1352,8 +1352,63 @@ _EN = _sql_list(EN_STOP)
 _DE = _sql_list(DE_STOP)
 
 
+# Shared CTE re-deriving the synthesized pages' hyperlinks (sources/pages.py
+# build_markup arithmetic: token p links iff (p*_MIX + doc_id) % 13 == 0,
+# target 'Entity <(doc_id+p)%97>'; exact-dup urls at doc_id%25==11 double the
+# count, mirrors at doc_id%10==7 add a copy with the middle token perturbed to
+# 'variant') so the link-frequency dim family gets closed-form SQL oracles.
+_LINKS_CTE = """
+WITH raw AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS sub
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sub) - 1 AS p,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM raw WHERE tok <> ''
+), hits AS (
+  SELECT doc_id, tok, p, n FROM toks
+  WHERE p > 0 AND (p * 2654435761 + doc_id) % 13 = 0
+), links AS (
+  SELECT tok AS alias, 'Entity ' || CAST((doc_id + p) % 97 AS VARCHAR) AS target,
+         CAST(1 + CASE WHEN doc_id % 25 = 11 THEN 1 ELSE 0 END AS BIGINT) AS w
+  FROM hits
+  UNION ALL
+  SELECT CASE WHEN p = n // 2 THEN 'variant' ELSE tok END AS alias,
+         'Entity ' || CAST((doc_id + p) % 97 AS VARCHAR) AS target,
+         CAST(1 AS BIGINT) AS w
+  FROM hits WHERE doc_id % 10 = 7
+), lfreq AS (
+  SELECT alias, target, CAST(SUM(w) AS BIGINT) AS freq
+  FROM links GROUP BY alias, target
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "link_frequencies": _LINKS_CTE + """
+            SELECT alias, target, freq FROM lfreq ORDER BY alias, target
+        """,
+        "most_popular_candidates": _LINKS_CTE + """
+            , r AS (SELECT alias, target, freq,
+                    row_number() OVER (PARTITION BY alias
+                                       ORDER BY freq DESC, target ASC) AS rn
+                    FROM lfreq)
+            SELECT alias, target AS top_candidate, freq
+            FROM r WHERE rn = 1 ORDER BY alias
+        """,
+        "entity_popularity": _LINKS_CTE + """
+            SELECT target, CAST(SUM(freq) AS BIGINT) AS popularity
+            FROM lfreq GROUP BY target ORDER BY target
+        """,
+        "alias_candidates": _LINKS_CTE + """
+            , d AS (SELECT DISTINCT alias, target FROM lfreq)
+            SELECT alias, string_agg(target, ',' ORDER BY target) AS qids,
+                   CAST(count(*) AS BIGINT) AS n_candidates
+            FROM d GROUP BY alias ORDER BY alias
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
