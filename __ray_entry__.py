@@ -1043,6 +1043,18 @@ def alias_candidates(sf_dir: str):
     return ac(lf(pages)).map_batches(fmt, batch_format="pyarrow").sort("alias")
 
 
+def title_synonyms(sf_dir: str):
+    """Bold-span title synonym → distinct page-url set over synthesized
+    pages (extract_title_synonyms.py group set-union), list joined to a
+    string for stable hashing."""
+    from elevant_ray.functions.extract import extract_batch
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dims import title_synonym_sets
+
+    pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    return title_synonym_sets(pages).sort("synonym")
+
+
 def docs_longest(sf_dir: str):
     """Global top-20 documents by token count (ds.sort + limit, the §2.7
     sort/limit pattern), deterministic tie-break on doc_id."""
@@ -1338,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "most_popular_candidates": most_popular_candidates,
         "entity_popularity": entity_popularity,
         "alias_candidates": alias_candidates,
+        "title_synonyms": title_synonyms,
         "docs_longest": docs_longest,
         "linkage_clusters": linkage_clusters,
         "entity_linking": entity_linking,
@@ -1408,6 +1421,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT alias, string_agg(target, ',' ORDER BY target) AS qids,
                    CAST(count(*) AS BIGINT) AS n_candidates
             FROM d GROUP BY alias ORDER BY alias
+        """,
+        # bold-first-token title synonym → distinct page urls; urls are the
+        # sources/pages.py page_url variants, mirrors perturb a 1-token doc's
+        # only (hence bold) token to 'variant'.
+        "title_synonyms": _LINKS_CTE + """
+            , ft AS (
+              SELECT doc_id, tok, n,
+                     'example' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/articles/' || CAST(doc_id AS VARCHAR) AS base
+              FROM toks WHERE p = 0
+            ), pages_syn AS (
+              SELECT tok AS synonym,
+                     CASE CAST(doc_id % 5 AS INTEGER)
+                       WHEN 0 THEN 'https://www.' || base
+                       WHEN 1 THEN 'http://' || base || '/'
+                       WHEN 2 THEN 'https://' || base
+                                   || '?utm_source=feed&id='
+                                   || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN 'HTTPS://WWW.' || base
+                       ELSE 'https://' || base || '#section-2'
+                     END AS url
+              FROM ft
+              UNION ALL
+              SELECT CASE WHEN n = 1 THEN 'variant' ELSE tok END AS synonym,
+                     'https://mirror.example.com/copy/'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM ft WHERE doc_id % 10 = 7
+            ), d2 AS (SELECT DISTINCT synonym, url FROM pages_syn)
+            SELECT synonym, string_agg(url, ',' ORDER BY url) AS urls,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM d2 GROUP BY synonym ORDER BY synonym
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

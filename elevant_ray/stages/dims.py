@@ -92,6 +92,42 @@ def alias_candidates(link_freq):
     return bucketed_group_apply(link_freq, "alias", per_bucket)
 
 
+def _explode_synonyms(batch: pa.Table) -> pa.Table:
+    syns: List[str] = []
+    urls: List[str] = []
+    for text, spans, url in zip(batch.column("text").to_pylist(),
+                                batch.column("title_synonyms").to_pylist(),
+                                batch.column("url").to_pylist()):
+        for sp in spans or ():
+            syns.append(text[sp["begin"]:sp["end"]])
+            urls.append(url)
+    return pa.table({
+        "synonym": pa.array(syns, pa.string()),
+        "url": pa.array(urls, pa.string()),
+    })
+
+
+def title_synonym_sets(pages):
+    """Bold-span title synonym → sorted distinct page urls (group
+    set-union, ``scripts/extract_title_synonyms.py:12-33`` semantics).
+    Explode inside ``map_batches`` then a bucketed vectorized co-group;
+    the list is emitted as a joined string plus a count so the result
+    value-hashes against a SQL oracle."""
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    pairs = pages.map_batches(_explode_synonyms, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[["synonym", "url"]].drop_duplicates()
+             .sort_values(["synonym", "url"], kind="stable"))
+        out = d.groupby("synonym", as_index=False).agg(
+            urls=("url", ",".join), n_urls=("url", "size"))
+        out["n_urls"] = out["n_urls"].astype("int64")
+        return out
+
+    return bucketed_group_apply(pairs, "synonym", per_bucket)
+
+
 def to_prior_dicts(link_freq) -> Dict[str, object]:
     """Materialize the prior-linker dims: nested link-frequency dict
     {alias: {qid: freq}} (entity_database.py:78-79 shape) and its
