@@ -286,6 +286,71 @@ def customer_first_order(sf_dir: str):
         orders, "o_custkey", per_bucket).sort("o_custkey")
 
 
+def customer_running_spend(sf_dir: str):
+    """Per-key prefix scan (cumulative window aggregate, the §2.10
+    "ordered within key" family): running total of each customer's
+    order spend in date order.  One keyed shuffle co-locates a
+    customer's orders, then a vectorized groupby-cumsum per bucket.
+    Totals are carried as integer cents so the sum is associative and
+    bit-exact under any plan (float window sums are not: DuckDB's
+    segment-tree window association differs from sequential cumsum)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return b.drop_columns(["o_totalprice"]).append_column(
+            "spend_cents", cents)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        g = g.assign(
+            running_spend_cents=g.groupby("o_custkey")["spend_cents"].cumsum())
+        return g[["o_custkey", "o_orderkey", "running_spend_cents"]]
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    return as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)).sort(["o_custkey", "o_orderkey"])
+
+
+def customer_top3_orders(sf_dir: str):
+    """Grouped top-k (k=3) with a per-batch partial top-k combiner: each
+    input batch is pruned to its own per-key top 3 BEFORE the shuffle
+    (the global per-key top 3 is a subset of the union of per-batch
+    top 3s), so the keyed exchange moves at most 3×keys×batches rows
+    instead of the whole table — the §2.7 top-k pattern at scale."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("o_custkey", as_index=False, sort=False).head(3)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(topk(b.to_pandas()),
+                                    preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = topk(g)
+        g = g.assign(rnk=g.groupby("o_custkey").cumcount() + 1)
+        return g[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return as_arrow(bucketed_group_apply(
+        pruned, "o_custkey", per_bucket)).sort(["o_custkey", "rnk"])
+
+
 def part_type_stats(sf_dir: str):
     from elevant_ray.stages.util import partial_group_agg
 
@@ -478,6 +543,34 @@ def events_sessions(sf_dir: str):
         g = g.assign(_new=(gaps.isna() | (gaps > 1800)).astype("int64"))
         return g.groupby("user_id", as_index=False).agg(
             n_sessions=("_new", "sum"), n_events=("_new", "size"))
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    return as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)).sort("user_id")
+
+
+def events_funnel(sf_dir: str):
+    """Conversion funnel (ordered-sequence match per user): purchases
+    within 1 hour of the user's FIRST view.  One keyed shuffle on
+    user_id, then fully vectorized per bucket — first-view via groupby
+    min over the view rows, purchase rows joined back by key and masked
+    by the time window.  No per-user Python loop, no pairwise blowup."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        first = views.groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "first_view"})
+        pur = g[g["event_type"] == "purchase"].merge(first, on="user_id")
+        within = pur[(pur["ts"] >= pur["first_view"]) &
+                     (pur["ts"] < pur["first_view"] + pd.Timedelta(hours=1))]
+        counts = within.groupby("user_id").size()
+        first["purchases_1h"] = first["user_id"].map(counts) \
+            .fillna(0).astype("int64")
+        return first[["user_id", "purchases_1h"]]
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
@@ -1310,6 +1403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": order_priority_counts,
         "top_customer_order": top_customer_order,
         "customer_first_order": customer_first_order,
+        "customer_running_spend": customer_running_spend,
+        "customer_top3_orders": customer_top3_orders,
         "part_type_stats": part_type_stats,
         "supplier_nation_balance": supplier_nation_balance,
         "part_brand_sets": part_brand_sets,
@@ -1322,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_approx": events_distinct_users_approx,
         "events_sessions": events_sessions,
         "events_attribution": events_attribution,
+        "events_funnel": events_funnel,
         "events_window_counts": events_window_counts,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
@@ -1452,6 +1548,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT synonym, string_agg(url, ',' ORDER BY url) AS urls,
                    CAST(count(*) AS BIGINT) AS n_urls
             FROM d2 GROUP BY synonym ORDER BY synonym
+        """,
+        "customer_running_spend": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_spend_cents
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "customer_top3_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders)
+            SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk,
+                   o_orderkey, o_totalprice
+            FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
+        "events_funnel": """
+            WITH f AS (
+              SELECT user_id, min(ts) AS first_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id)
+            SELECT f.user_id, CAST(count(e.event_id) AS BIGINT) AS purchases_1h
+            FROM f LEFT JOIN events e
+              ON e.user_id = f.user_id AND e.event_type = 'purchase'
+             AND e.ts >= f.first_view
+             AND e.ts < f.first_view + INTERVAL 1 HOUR
+            GROUP BY f.user_id ORDER BY f.user_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
