@@ -50,6 +50,35 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _det_sort(ds, by, descending=False, cutoff=256 << 20):
+    """Deterministic result ordering for the driver contract.
+
+    The trailing global sort on a query result exists only so results
+    compare stably against the SQL oracle; it carries no pipeline
+    semantics.  A ``Dataset.sort`` is a full range-partitioned exchange
+    whose fixed latency (~2-3 s locally) dwarfs the typical result
+    size, so under the cutoff the materialized result is sorted on the
+    driver instead; corpus-sized results beyond the cutoff keep the
+    distributed sort."""
+    import ray.data
+
+    if not isinstance(ds, ray.data.Dataset):
+        df = ds
+    else:
+        m = ds.materialize()
+        if m.size_bytes() > cutoff:
+            return m.sort(by, descending=descending)
+        df = m.to_pandas()
+    by = [by] if isinstance(by, str) else list(by)
+    asc = ([not d for d in descending] if isinstance(descending, list)
+           else not descending)
+    df = df.sort_values(by, ascending=asc,
+                        kind="stable").reset_index(drop=True)
+    # pyarrow Table, not DataFrame: callers (tests, downstream stages)
+    # uniformly use .to_pandas(), and the driver accepts pa.Table
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # relational core (TPC-H-ish; exact DuckDB oracles)
 # ---------------------------------------------------------------------------
@@ -91,32 +120,29 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str):
-    """Broadcast semi-join on the small side (customer segment) + hash
-    join lineitem⋈orders + grouped revenue + top-k."""
+    """Broadcast semi-join on the small side (customer segment), then
+    the filtered orders side folded into the lineitem scan under the
+    64 MB broadcast cutoff (IntKeyMap: plasma-shared numpy +
+    searchsorted — doubles as the inner-join filter since unmatched
+    orderkeys probe as missing); hash Dataset.join beyond the cutoff
+    (the 100 TB path).  Grouped revenue + per-batch top-k either way."""
     import datetime
 
-    import ray
+    from elevant_ray.stages.util import IntKeyMap, np_columns
 
     cutoff = datetime.datetime(1998, 1, 1)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = {r["c_custkey"] for r in
-            cust.filter(expr="c_mktsegment == 'BUILDING'").take_all()}
-    keys_ref = ray.put(keys)
+    bset = IntKeyMap(np_columns(
+        cust.filter(expr="c_mktsegment == 'BUILDING'"),
+        ["c_custkey"])["c_custkey"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def sel_orders(b: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k in ks for k in b.column("o_custkey").to_pylist()],
-                        pa.bool_())
-        b = b.filter(mask)
+        keep = bset.contains(
+            b.column("o_custkey").to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(keep))
         return b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
-
-    # coalesce after the selective filter: empty blocks reaching the join
-    # trip Ray's scheduling-order-sensitive schema broadcast
-    # (see util.cogroup_join docstring); 8 merged blocks are never empty
-    orders = orders.map_batches(sel_orders, batch_format="pyarrow") \
-        .repartition(8)
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -127,13 +153,41 @@ def q3_top_orders(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("rev", rev).select(["l_orderkey", "rev"])
 
-    line = line.map_batches(sel_line, batch_format="pyarrow")
-    joined = line.join(orders, "inner", 8, on=("l_orderkey",),
-                       right_on=("o_orderkey",))
-    from ray.data.aggregate import Sum
+    if orders.size_bytes() <= (64 << 20):
+        o = np_columns(orders.map_batches(sel_orders, batch_format="pyarrow"),
+                       ["o_orderkey", "o_orderdate"])
+        odate = IntKeyMap(o["o_orderkey"], o["o_orderdate"])
 
-    out = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue"))
+        def attach(b: pa.Table) -> pa.Table:
+            b = sel_line(b)
+            dates, found = odate.take(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(found))
+            return b.append_column("o_orderdate", pa.array(dates[found]))
+
+        from elevant_ray.stages.util import partial_group_agg
+
+        agg = partial_group_agg(
+            line.map_batches(attach, batch_format="pyarrow"),
+            ["l_orderkey", "o_orderdate"], sum_cols=["rev"])
+        out = agg.map_batches(
+            lambda b: b.rename_columns(
+                ["revenue" if c == "rev" else c for c in b.column_names]),
+            batch_format="pyarrow")
+    else:
+        # coalesce after the selective filter: empty blocks reaching the
+        # join trip Ray's scheduling-order-sensitive schema broadcast
+        # (see util.cogroup_join docstring); 8 merged blocks are never
+        # empty
+        orders = orders.map_batches(sel_orders, batch_format="pyarrow") \
+            .repartition(8)
+        joined = line.map_batches(sel_line, batch_format="pyarrow").join(
+            orders, "inner", 8, on=("l_orderkey",),
+            right_on=("o_orderkey",))
+        from ray.data.aggregate import Sum
+
+        out = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+            Sum("rev", alias_name="revenue"))
 
     # top-k without a global sort: after the aggregate every batch holds
     # complete groups, so the global top-10 is contained in the union of
@@ -163,50 +217,56 @@ def q3_top_orders(sf_dir: str):
 
 def region_revenue(sf_dir: str):
     """Star join via broadcast dims (region→nation→customer) — no
-    shuffle until the final tiny groupby."""
-    import ray
+    shuffle until the final tiny groupby.  Broadcast probes go through
+    util.IntKeyMap (plasma-shared numpy, searchsorted per batch): a
+    ray.put Python dict re-unpickles on every batch and probes per row,
+    which dominated this stage's wall time."""
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns
 
     region = {r["r_regionkey"]: r["r_name"]
               for r in _read(sf_dir, "region").take_all()}
     nation = {r["n_nationkey"]: region[r["n_regionkey"]]
               for r in _read(sf_dir, "nation").take_all()}
-    cust = {r["c_custkey"]: nation[r["c_nationkey"]]
-            for r in _read(sf_dir, "customer",
-                           ["c_custkey", "c_nationkey"]).take_all()}
-    cust_ref = ray.put(cust)
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    cust_region = np.array([nation[k] for k in c["c_nationkey"].tolist()],
+                           dtype=object)
+    cmap = IntKeyMap(c["c_custkey"], cust_region)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def o_region(b: pa.Table) -> pa.Table:
-        cmap = ray.get(cust_ref)
-        regions = [cmap[k] for k in b.column("o_custkey").to_pylist()]
-        return b.append_column("r_name", pa.array(regions, pa.string())) \
-            .select(["o_orderkey", "r_name"])
-
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     from elevant_ray.stages.util import partial_group_agg
 
     # orderkey→region is the only thing lineitem needs from the orders
     # side; when the whole orders table fits the broadcast cutoff (same
-    # 64 MB rule as verify_pairs), ship it once via ray.put and fold the
-    # join into the lineitem scan — zero shuffles before the tiny final
-    # groupby.  Beyond the cutoff, fall back to the hash-partitioned
-    # Dataset.join (the 100 TB path).
+    # 64 MB rule as verify_pairs), ship it once and fold the join into
+    # the lineitem scan — zero shuffles before the tiny final groupby.
+    # Beyond the cutoff, fall back to the hash-partitioned Dataset.join
+    # (the 100 TB path).
     if orders.size_bytes() <= (64 << 20):
-        cmap = cust
-        omap_ref = ray.put({r["o_orderkey"]: cmap[r["o_custkey"]]
-                            for r in orders.take_all()})
+        o = np_columns(orders, ["o_orderkey", "o_custkey"])
+        omap = IntKeyMap(o["o_orderkey"],
+                         cmap.take_checked(o["o_custkey"]))
 
         def rev_region(b: pa.Table) -> pa.Table:
-            omap = ray.get(omap_ref)
             r = pc.multiply(b.column("l_extendedprice"),
                             pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-            regions = [omap[k] for k in b.column("l_orderkey").to_pylist()]
+            regions = omap.take_checked(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
             return pa.table({"r_name": pa.array(regions, pa.string()),
                              "rev": r})
 
         joined = line.map_batches(rev_region, batch_format="pyarrow")
     else:
+        def o_region(b: pa.Table) -> pa.Table:
+            regions = cmap.take_checked(
+                b.column("o_custkey").to_numpy(zero_copy_only=False))
+            return b.append_column(
+                "r_name", pa.array(regions, pa.string())) \
+                .select(["o_orderkey", "r_name"])
+
         orders = orders.map_batches(o_region, batch_format="pyarrow")
 
         def rev(b: pa.Table) -> pa.Table:
@@ -260,8 +320,8 @@ def top_customer_order(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "o_custkey", per_bucket)).sort("o_custkey")
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)), "o_custkey")
 
 
 def customer_first_order(sf_dir: str):
@@ -282,8 +342,8 @@ def customer_first_order(sf_dir: str):
 
     from elevant_ray.stages.util import bucketed_group_apply
 
-    return bucketed_group_apply(
-        orders, "o_custkey", per_bucket).sort("o_custkey")
+    return _det_sort(bucketed_group_apply(
+        orders, "o_custkey", per_bucket), "o_custkey")
 
 
 def customer_running_spend(sf_dir: str):
@@ -316,8 +376,8 @@ def customer_running_spend(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "o_custkey", per_bucket)).sort(["o_custkey", "o_orderkey"])
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)), ["o_custkey", "o_orderkey"])
 
 
 def customer_top3_orders(sf_dir: str):
@@ -347,8 +407,8 @@ def customer_top3_orders(sf_dir: str):
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
-    return as_arrow(bucketed_group_apply(
-        pruned, "o_custkey", per_bucket)).sort(["o_custkey", "rnk"])
+    return _det_sort(as_arrow(bucketed_group_apply(
+        pruned, "o_custkey", per_bucket)), ["o_custkey", "rnk"])
 
 
 def part_type_stats(sf_dir: str):
@@ -374,7 +434,8 @@ def supplier_nation_balance(sf_dir: str):
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 
     def add_nation(b: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
+        from elevant_ray.stages.util import cached_get
+        nm = cached_get(nref)
         return b.append_column("n_name", pa.array(
             [nm[k] for k in b.column("s_nationkey").to_pylist()], pa.string()))
 
@@ -405,8 +466,8 @@ def part_brand_sets(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow
 
-    return as_arrow(ds.groupby("p_type").map_groups(
-        collect, batch_format="pandas")).sort("p_type")
+    return _det_sort(as_arrow(ds.groupby("p_type").map_groups(
+        collect, batch_format="pandas")), "p_type")
 
 
 def customer_except(sf_dir: str):
@@ -429,16 +490,21 @@ def customer_except(sf_dir: str):
             return b.filter(m).select(["o_custkey"])
         return f
 
-    cust97 = set(
-        ds.map_batches(in_range(y97, y98), batch_format="pyarrow")
-        .unique("o_custkey"))
-    ref = ray.put(cust97)
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns
+
+    # exclusion side: stream the filtered keys to the driver, dedupe
+    # with np.unique (skips a whole unique() exchange), broadcast as a
+    # sorted numpy membership probe (plasma zero-copy, vectorized)
+    cust97 = IntKeyMap(np.unique(np_columns(
+        ds.map_batches(in_range(y97, y98), batch_format="pyarrow"),
+        ["o_custkey"])["o_custkey"]))
 
     def anti(b: pa.Table) -> pa.Table:
-        excl = ray.get(ref)
-        mask = pa.array([k not in excl for k in b.column("o_custkey").to_pylist()],
-                        pa.bool_())
-        return b.filter(mask)
+        keep = ~cust97.contains(
+            b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(keep))
 
     kept = (ds.map_batches(in_range(y96, y97), batch_format="pyarrow")
             .map_batches(anti, batch_format="pyarrow"))
@@ -446,7 +512,7 @@ def customer_except(sf_dir: str):
     from ray.data.aggregate import Count
 
     out = kept.groupby("o_custkey").aggregate(Count(alias_name="_c"))
-    return out.select_columns(["o_custkey"]).sort("o_custkey")
+    return _det_sort(out.select_columns(["o_custkey"]), "o_custkey")
 
 
 def type_closure(sf_dir: str):
@@ -469,7 +535,7 @@ def type_closure(sf_dir: str):
     closure = transitive_closure(
         ds.map_batches(edges, batch_format="pyarrow"),
         num_partitions=_shuffle_parts())
-    return closure.sort(["src", "dst"])
+    return _det_sort(closure, ["src", "dst"])
 
 
 # ---------------------------------------------------------------------------
@@ -478,18 +544,30 @@ def type_closure(sf_dir: str):
 
 
 def events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Hourly rollup — group count is tiny (types × hours), so the
+    full-table groupby shuffle is replaced by per-batch Arrow partials
+    + a small combine (partial_group_agg, §2.6)."""
+    from elevant_ray.stages.util import partial_group_agg
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def trunc(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b.column("ts"), unit="hour")
-        return b.append_column("hour", hour)
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": hour, "value": b.column("value")})
 
     ds = ds.map_batches(trunc, batch_format="pyarrow")
-    out = ds.groupby(["event_type", "hour"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    return _round_cols(out, {"sum_value": 2}).sort(["event_type", "hour"])
+    agg = partial_group_agg(ds, ["event_type", "hour"],
+                            sum_cols=["value"], count_alias="n_events")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": b.column("hour"),
+                         "n_events": b.column("n_events"),
+                         "sum_value": pc.round(b.column("value"), ndigits=2)})
+
+    return _det_sort(agg.map_batches(finish, batch_format="pyarrow") \
+        , ["event_type", "hour"])
 
 
 def events_distinct_users(sf_dir: str):
@@ -511,7 +589,7 @@ def events_distinct_users(sf_dir: str):
         Count(alias_name="_n")).select_columns(["event_type", "user_id"])
     out = distinct.groupby("event_type").aggregate(
         Count(alias_name="n_users"))
-    return out.sort("event_type")
+    return _det_sort(out, "event_type")
 
 
 def events_distinct_users_approx(sf_dir: str):
@@ -527,7 +605,7 @@ def events_distinct_users_approx(sf_dir: str):
                                   alias="n_users_approx")
     from elevant_ray.stages.util import as_arrow
 
-    return as_arrow(out).sort("event_type")
+    return _det_sort(as_arrow(out), "event_type")
 
 
 def events_sessions(sf_dir: str):
@@ -546,8 +624,8 @@ def events_sessions(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "user_id", per_bucket)).sort("user_id")
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)), "user_id")
 
 
 def events_funnel(sf_dir: str):
@@ -574,8 +652,8 @@ def events_funnel(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "user_id", per_bucket)).sort("user_id")
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)), "user_id")
 
 
 def orders_nearby_counts(sf_dir: str):
@@ -619,8 +697,8 @@ def orders_nearby_counts(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "o_custkey", per_bucket)).sort("o_orderkey")
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "o_custkey", per_bucket)), "o_orderkey")
 
 
 def events_window_counts(sf_dir: str):
@@ -662,8 +740,8 @@ def events_window_counts(sf_dir: str):
 
     from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
-    return as_arrow(bucketed_group_apply(
-        ds, "user_id", per_bucket)).sort("event_id")
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)), "event_id")
 
 
 def events_attribution(sf_dir: str):
@@ -688,7 +766,7 @@ def events_attribution(sf_dir: str):
                     left_cols=["event_id", "ts"],
                     right_cols=["src_event_id", "src_ts"],
                     num_partitions=_shuffle_parts())
-    return out.sort("event_id")
+    return _det_sort(out, "event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +784,7 @@ def doc_token_counts(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def doc_token_quantiles(sf_dir: str):
@@ -742,7 +820,7 @@ def doc_quality(sf_dir: str):
     out = ds.map_batches(doc_stats_batch, batch_format="pyarrow")
     out = out.select_columns(["doc_id", "n_chars", "n_tokens", "n_alpha",
                               "n_digit", "stopword_count"])
-    return out.sort("doc_id")
+    return _det_sort(out, "doc_id")
 
 
 def lang_id(sf_dir: str):
@@ -756,7 +834,7 @@ def lang_id(sf_dir: str):
                              [lang_guess(t) for t in b.column("text").to_pylist()],
                              pa.string())})
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def doc_fingerprint(sf_dir: str):
@@ -770,7 +848,7 @@ def doc_fingerprint(sf_dir: str):
                              [md5_fingerprint(t) for t in b.column("text").to_pylist()],
                              pa.string())})
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def split_assign(sf_dir: str):
@@ -793,7 +871,7 @@ def split_assign(sf_dir: str):
                          "bucket": pa.array(buckets, pa.int64()),
                          "split": pa.array(split, pa.string())})
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def dedup_exact(sf_dir: str):
@@ -802,7 +880,7 @@ def dedup_exact(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept = dedup_exact_text(ds)
-    return kept.select_columns(["doc_id"]).sort("doc_id")
+    return _det_sort(kept.select_columns(["doc_id"]), "doc_id")
 
 
 def dedup_minhash(sf_dir: str):
@@ -839,7 +917,7 @@ def dedup_minhash(sf_dir: str):
             "cluster": _pa.array([int(x) for x in b.column("label").to_pylist()], _pa.int64()),
         })
 
-    return labels.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(labels.map_batches(fmt, batch_format="pyarrow"), "doc_id")
 
 
 def knn_cosine(sf_dir: str):
@@ -849,7 +927,7 @@ def knn_cosine(sf_dir: str):
     out = knn_brute_force(ds, query_ids=list(range(10)), k=5)
     from elevant_ray.stages.util import as_arrow
 
-    return as_arrow(out).sort(["query_id", "rank"])
+    return _det_sort(as_arrow(out), ["query_id", "rank"])
 
 
 def knn_ivf(sf_dir: str):
@@ -862,7 +940,7 @@ def knn_ivf(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, query_ids=list(range(10)), k=5,
                    n_cells=8, nprobe=4)
-    return as_arrow(out).sort(["query_id", "rank"])
+    return _det_sort(as_arrow(out), ["query_id", "rank"])
 
 
 def neardup_embedding(sf_dir: str):
@@ -883,8 +961,8 @@ def neardup_embedding(sf_dir: str):
         return out.filter(_pc.greater_equal(out.column("sim"),
                                             pa.scalar(0.4)))
 
-    return pairs.map_batches(fmt, batch_format="pyarrow") \
-        .sort(["left", "right"])
+    return _det_sort(pairs.map_batches(fmt, batch_format="pyarrow") \
+        , ["left", "right"])
 
 
 def dedup_simhash(sf_dir: str):
@@ -917,7 +995,8 @@ def dedup_simhash(sf_dir: str):
         lab_ref = _ray.put({r["node"]: r["label"] for r in labels.take_all()})
 
         def fmt_b(b: pa.Table) -> pa.Table:
-            lab = _ray.get(lab_ref)
+            from elevant_ray.stages.util import cached_get
+            lab = cached_get(lab_ref)
             ids = b.column("id").to_pylist()
             return pa.table({
                 "doc_id": pa.array([int(x) for x in ids], pa.int64()),
@@ -925,8 +1004,8 @@ def dedup_simhash(sf_dir: str):
                                     pa.int64()),
             })
 
-        return docs.select_columns(["id"]).map_batches(
-            fmt_b, batch_format="pyarrow").sort("doc_id")
+        return _det_sort(docs.select_columns(["id"]).map_batches(
+            fmt_b, batch_format="pyarrow"), "doc_id")
 
     joined = docs.select_columns(["id"]).join(
         labels, "left_outer", _shuffle_parts(), on=("id",),
@@ -943,7 +1022,7 @@ def dedup_simhash(sf_dir: str):
                                 pa.int64()),
         })
 
-    return joined.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(joined.map_batches(fmt, batch_format="pyarrow"), "doc_id")
 
 
 def dedup_ngram_jaccard(sf_dir: str):
@@ -1000,7 +1079,7 @@ def multimodal_features(sf_dir: str):
                 pa.int64()),
         })
 
-    return feats.map_batches(fmt, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(feats.map_batches(fmt, batch_format="pyarrow"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1023,7 +1102,7 @@ def url_canonicalize(sf_dir: str):
             "canon": pa.array([canonical_url(page_url(i)) for i in ids], pa.string()),
         })
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
 def extract_pages(sf_dir: str):
@@ -1043,7 +1122,7 @@ def extract_pages(sf_dir: str):
             "n_sections": pc.list_value_length(b.column("sections")),
         })
 
-    return pages.map_batches(counts, batch_format="pyarrow").sort("url")
+    return _det_sort(pages.map_batches(counts, batch_format="pyarrow"), "url")
 
 
 def benchmark_stats(sf_dir: str):
@@ -1085,7 +1164,7 @@ def link_frequencies(sf_dir: str):
     from elevant_ray.stages.dims import link_frequencies as lf
 
     pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
-    return lf(pages).sort(["alias", "target"])
+    return _det_sort(lf(pages), ["alias", "target"])
 
 
 def most_popular_candidates(sf_dir: str):
@@ -1098,7 +1177,7 @@ def most_popular_candidates(sf_dir: str):
     pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
     out = as_arrow(mpc(lf(pages))).select_columns(
         ["alias", "top_candidate", "freq"])
-    return out.sort("alias")
+    return _det_sort(out, "alias")
 
 
 def entity_popularity(sf_dir: str):
@@ -1110,7 +1189,7 @@ def entity_popularity(sf_dir: str):
     from elevant_ray.stages.dims import link_frequencies as lf
 
     pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
-    return ep(lf(pages)).sort("target")
+    return _det_sort(ep(lf(pages)), "target")
 
 
 def alias_candidates(sf_dir: str):
@@ -1133,7 +1212,7 @@ def alias_candidates(sf_dir: str):
             "n_candidates": _pc2.list_value_length(b.column("qids")).cast(pa.int64()),
         })
 
-    return ac(lf(pages)).map_batches(fmt, batch_format="pyarrow").sort("alias")
+    return _det_sort(ac(lf(pages)).map_batches(fmt, batch_format="pyarrow"), "alias")
 
 
 def title_synonyms(sf_dir: str):
@@ -1145,25 +1224,37 @@ def title_synonyms(sf_dir: str):
     from elevant_ray.stages.dims import title_synonym_sets
 
     pages = synth_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
-    return title_synonym_sets(pages).sort("synonym")
+    return _det_sort(title_synonym_sets(pages), "synonym")
 
 
 def docs_longest(sf_dir: str):
-    """Global top-20 documents by token count (ds.sort + limit, the §2.7
-    sort/limit pattern), deterministic tie-break on doc_id."""
+    """Global top-20 documents by token count (§2.7 sort/limit):
+    per-batch partial top-20 (the global top-k is contained in the
+    union of per-batch top-ks) + driver merge — no global sort
+    exchange, and only ≤ 20 rows leave each batch.  Deterministic
+    tie-break on doc_id."""
+    import pandas as pd
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         from elevant_ray.functions.tokens import token_count
         texts = b.column("text").to_pylist()
-        return pa.table({
+        t = pa.table({
             "doc_id": b.column("doc_id"),
             "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
         })
+        df = t.to_pandas().sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True],
+            kind="stable").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (ds.map_batches(f, batch_format="pyarrow")
-            .sort(["n_tokens", "doc_id"], descending=[True, False])
-            .limit(20))
+    parts = [b.to_pandas() for b in ds.map_batches(
+        f, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    allp = pd.concat(parts, ignore_index=True)
+    return allp.sort_values(["n_tokens", "doc_id"],
+                            ascending=[False, True], kind="stable") \
+        .head(20).reset_index(drop=True)
 
 
 def prior_linking(sf_dir: str):
@@ -1188,7 +1279,7 @@ def prior_linking(sf_dir: str):
         PriorLinkerStage,
         fn_constructor_kwargs={"link_freq_ref": lf_ref, "aliases_ref": al_ref},
         batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
-    return out.sort(["url", "begin"])
+    return _det_sort(out, ["url", "begin"])
 
 
 def popular_linking(sf_dir: str):
@@ -1219,7 +1310,7 @@ def popular_linking(sf_dir: str):
         PopularEntitiesStage,
         fn_constructor_kwargs={"dims_ref": dims_ref, "min_score": 2},
         batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
-    return out.sort(["url", "begin"])
+    return _det_sort(out, ["url", "begin"])
 
 
 def coref_clusters(sf_dir: str):
@@ -1261,7 +1352,7 @@ def coref_clusters(sf_dir: str):
     out = pages.map_batches(as_mentions, batch_format="pyarrow").map_batches(
         KBCorefStage, fn_constructor_kwargs={"dims_ref": dims_ref},
         batch_format="pyarrow", concurrency=(1, 8), batch_size=64)
-    return out.sort(["url", "begin", "end"])
+    return _det_sort(out, ["url", "begin", "end"])
 
 
 def _shuffle_parts() -> int:
@@ -1284,7 +1375,7 @@ def linkage_clusters(sf_dir: str):
 
     pages = prepare_pages(synth_pages(sf_dir))
     labels, _ = cluster_pages(pages, num_partitions=_shuffle_parts())
-    return labels.rename_columns({"node": "url", "label": "cluster"}).sort("url")
+    return _det_sort(labels.rename_columns({"node": "url", "label": "cluster"}), "url")
 
 
 def entity_linking(sf_dir: str):
@@ -1329,7 +1420,7 @@ def entity_linking(sf_dir: str):
             "alias_to_qids_ref": a_ref, "popularity_ref": p_ref,
             "strategy": "wikipedia", "drop_dates": False},
         batch_format="pyarrow", concurrency=(2, 8), batch_size=1024)
-    return scored.sort(["url", "mention", "gold"])
+    return _det_sort(scored, ["url", "mention", "gold"])
 
 
 def linking_eval_counts(sf_dir: str):
@@ -1341,6 +1432,12 @@ def linking_eval_counts(sf_dir: str):
     from elevant_ray.stages.evaluation import count_cases, evaluate_document
 
     linked = entity_linking(sf_dir)
+    import ray.data
+
+    # entity_linking returns its driver-sorted pa.Table result form;
+    # re-wrap as a Dataset for the distributed counting pass
+    if not isinstance(linked, ray.data.Dataset):
+        linked = ray.data.from_arrow(linked)
 
     def per_batch(b: pa.Table) -> pa.Table:
         from collections import Counter
@@ -1381,7 +1478,7 @@ def linking_eval_counts(sf_dir: str):
     agg = (linked.map_batches(per_batch, batch_format="pyarrow")
            .groupby(["mode", "category", "kind"])
            .aggregate(Sum("partial", alias_name="value")))
-    return agg.sort(["mode", "category", "kind"])
+    return _det_sort(agg, ["mode", "category", "kind"])
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "events_attribution",
     "events_window_counts",
     "events_distinct_users",
+    "events_funnel",
+    "customer_running_spend",
+    "customer_top3_orders",
     "split_assign",
     "unigram_counts",
     "doc_token_quantiles",

@@ -414,7 +414,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     # sides and BOTH verify joins (without the pin, each consumer
     # re-executes the read + gram computation)
     def doc_pass(batch: pa.Table) -> pa.Table:
-        fr = ray.get(freq_ref)
+        from elevant_ray.stages.util import cached_get
+        fr = cached_get(freq_ref)
         ids, blobs, pgrams, sizes = [], [], [], []
         for rid, text in zip(batch.column(id_col).to_pylist(),
                              batch.column(text_col).to_pylist()):
@@ -492,7 +493,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
         blobs_ref = ray.put({r["_vid"]: r["_hs"] for r in blob_rows})
 
         def verify_b(batch: pa.Table) -> pa.Table:
-            blobs = ray.get(blobs_ref)
+            from elevant_ray.stages.util import cached_get
+            blobs = cached_get(blobs_ref)
             lefts, rights, js = [], [], []
             for left, right in zip(batch.column("left").to_pylist(),
                                    batch.column("right").to_pylist()):

@@ -547,7 +547,8 @@ def evaluate_dataset(docs, qid_meta_ref=None):
     import ray
 
     def kernel(batch: pa.Table) -> pa.Table:
-        meta = ray.get(qid_meta_ref) if qid_meta_ref is not None else {}
+        from elevant_ray.stages.util import cached_get
+        meta = cached_get(qid_meta_ref) if qid_meta_ref is not None else {}
         rows = batch.to_pylist()
         out = []
         for row in rows:
@@ -586,7 +587,8 @@ def aggregate_counts(docs, qid_meta_ref=None):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        meta = ray.get(qid_meta_ref) if qid_meta_ref is not None else {}
+        from elevant_ray.stages.util import cached_get
+        meta = cached_get(qid_meta_ref) if qid_meta_ref is not None else {}
         counts: Counter = Counter()
         for row in batch.to_pylist():
             span = (row["eval_begin"], row["eval_end"]) \

@@ -163,8 +163,9 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
     qref = ray.put((qids, qmat))
 
     def partial(batch: pa.Table) -> pa.Table:
-        centroids = ray.get(cent_ref)
-        probe_map = ray.get(probed_ref)
+        from elevant_ray.stages.util import cached_get
+        centroids = cached_get(cent_ref)
+        probe_map = cached_get(probed_ref)
         ids_q, mat_q = ray.get(qref)
         qpos = {int(q): i for i, q in enumerate(ids_q)}
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)

@@ -203,7 +203,8 @@ def verify_pairs(pairs, pages, id_col: str = "url",
                             for r in side.take_all()})
 
         def attach_and_score(b: pa.Table) -> pa.Table:
-            d = ray.get(side_ref)
+            from elevant_ray.stages.util import cached_get
+            d = cached_get(side_ref)
             lefts = b.column("left").to_pylist()
             rights = b.column("right").to_pylist()
             t = pa.table({

@@ -2,6 +2,118 @@
 
 from __future__ import annotations
 
+# Per-worker-process cache for broadcast side data (see cached_get).
+_BCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """Per-worker-process memoized ``ray.get`` for broadcast side data.
+
+    ``ray.get`` of a pickled Python object (dict/set/Counter) re-runs the
+    unpickle on EVERY call; a map stage that consults a broadcast dict per
+    batch pays that deserialization hundreds of times per worker, and for
+    a multi-MB dict it dominates the stage.  One deserialized copy per
+    worker process is the engine's analog of the reference's forkserver
+    copy-on-write preload (link_text.py:83-84).  Numpy arrays don't need
+    this (plasma zero-copy); plain ``ray.get`` is fine for those.
+
+    The cache is keyed by object-ref hex and intentionally unbounded:
+    broadcast objects are few and live for the job anyway (their plasma
+    copy is pinned by the driver-held ref)."""
+    import ray
+
+    key = ref.hex()
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        v = _BCAST_CACHE[key] = ray.get(ref)
+    return v
+
+
+class IntKeyMap:
+    """Vectorized broadcast lookup table for integer keys.
+
+    The scale-correct form of the "ship a Python dict with ray.put,
+    probe it per row" broadcast join: keys are sorted into one int64
+    numpy array and values dictionary-encoded into parallel numpy
+    arrays, all shipped via ``ray.put`` (numpy → plasma, zero-copy on
+    every ``ray.get``, no per-batch unpickle), and probed per batch
+    with ONE ``np.searchsorted`` instead of a Python loop.  String
+    values are encoded as int32 codes + a small vocab list.
+
+    Driver side: ``IntKeyMap(keys, values)``; worker side inside a
+    map_batches fn: ``vals, mask = m.take(probe)`` / ``m.contains(p)``.
+    Instances hold only object refs, so closures capturing them stay
+    tiny."""
+
+    def __init__(self, keys, values=None):
+        import numpy as np
+        import ray
+
+        keys = np.asarray(keys, dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        self._keys = ray.put(keys[order])
+        self._vocab = None
+        self._vals = None
+        if values is not None:
+            values = np.asarray(values)
+            values = values[order]
+            if values.dtype.kind in ("O", "U", "S"):
+                vocab, codes = np.unique(values, return_inverse=True)
+                self._vocab = [str(v) for v in vocab.tolist()]
+                self._vals = ray.put(codes.astype(np.int32))
+            else:
+                self._vals = ray.put(values)
+
+    def _probe(self, probe):
+        import numpy as np
+        import ray
+
+        keys = ray.get(self._keys)
+        probe = np.asarray(probe, dtype=np.int64)
+        pos = np.searchsorted(keys, probe)
+        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        found = (keys[pos_c] == probe) if len(keys) else \
+            np.zeros(len(probe), dtype=bool)
+        return pos_c, found
+
+    def contains(self, probe):
+        """bool mask: probe key present."""
+        return self._probe(probe)[1]
+
+    def take(self, probe):
+        """(values, found_mask); missing keys get an arbitrary value —
+        mask before use, or use ``take_checked`` to assert totality."""
+        import numpy as np
+        import ray
+
+        pos, found = self._probe(probe)
+        codes = ray.get(self._vals)[pos]
+        if self._vocab is not None:
+            return np.asarray(self._vocab, dtype=object)[codes], found
+        return codes, found
+
+    def take_checked(self, probe):
+        vals, found = self.take(probe)
+        if not found.all():
+            raise KeyError("IntKeyMap probe misses %d keys"
+                           % int((~found).sum()))
+        return vals
+
+
+def np_columns(ds, cols):
+    """Materialize selected columns of a SMALL Dataset to driver numpy
+    arrays (streamed per batch — no per-row Python dicts like
+    ``take_all``).  For broadcast-side dims under the 64 MB cutoff
+    only; big tables stay distributed."""
+    import numpy as np
+
+    parts = {c: [] for c in cols}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            parts[c].append(b.column(c).to_numpy(zero_copy_only=False))
+    return {c: (np.concatenate(v) if v else np.array([]))
+            for c, v in parts.items()}
+
 
 def as_arrow(ds):
     """Coerce a Dataset's blocks to Arrow format.
