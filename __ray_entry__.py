@@ -450,6 +450,92 @@ def supplier_nation_balance(sf_dir: str):
     return out
 
 
+def nation_region_rollup(sf_dir: str):
+    """Multi-level aggregate (ROLLUP): customer count + balance by
+    (region, nation), with per-region subtotals and a grand total — ONE
+    scan: the fine-grained (region, nation) partial aggregate is tiny,
+    so coarser levels are derived from it on the driver instead of
+    re-scanning (the scale-right rollup: never aggregate the fact table
+    twice).  Balances carried as integer cents for associative exactness."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nat = _read(sf_dir, "nation").take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+    nregion = {r["n_nationkey"]: region[r["n_regionkey"]] for r in nat}
+    keys = np.fromiter(nname.keys(), dtype=np.int64, count=len(nname))
+    rmap = IntKeyMap(keys, np.array([nregion[k] for k in keys.tolist()],
+                                    dtype=object))
+    nmap = IntKeyMap(keys, np.array([nname[k] for k in keys.tolist()],
+                                    dtype=object))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("c_acctbal"), pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "r_name": pa.array(rmap.take_checked(nk), pa.string()),
+            "n_name": pa.array(nmap.take_checked(nk), pa.string()),
+            "cents": cents,
+        })
+
+    fine = partial_group_agg(ds.map_batches(tag, batch_format="pyarrow"),
+                             ["r_name", "n_name"], sum_cols=["cents"],
+                             count_alias="n_customers", combine="driver")
+    fine = fine.rename(columns={"cents": "total_acctbal_cents"})
+    sub = fine.groupby("r_name", as_index=False).agg(
+        n_customers=("n_customers", "sum"),
+        total_acctbal_cents=("total_acctbal_cents", "sum"))
+    sub["n_name"] = "ALL"
+    total = pd.DataFrame({
+        "r_name": ["ALL"], "n_name": ["ALL"],
+        "n_customers": [fine["n_customers"].sum()],
+        "total_acctbal_cents": [fine["total_acctbal_cents"].sum()]})
+    out = pd.concat([fine, sub, total], ignore_index=True)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_acctbal_cents"] = out["total_acctbal_cents"].astype("int64")
+    return out[["r_name", "n_name", "n_customers", "total_acctbal_cents"]] \
+        .sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def orders_priority_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: order counts per year, one
+    column per priority class.  One pass — per-batch partials on
+    (year, priority), tiny combine, driver-side pivot (the pivot
+    target is years × 5 columns; never wider than the group count)."""
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            "prio": b.column("o_orderpriority"),
+        })
+
+    agg = partial_group_agg(ds.map_batches(tag, batch_format="pyarrow"),
+                            ["o_year", "prio"], count_alias="n",
+                            combine="driver")
+    cols = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+            "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
+    pv = agg.pivot_table(index="o_year", columns="prio", values="n",
+                         fill_value=0, aggfunc="sum")
+    pv = pv.rename(columns=cols).reset_index()
+    for c in cols.values():
+        if c not in pv.columns:
+            pv[c] = 0
+        pv[c] = pv[c].astype("int64")
+    pv.columns.name = None
+    return pv[["o_year", "urgent", "high", "medium", "not_specified",
+               "low"]].sort_values("o_year").reset_index(drop=True)
+
+
 def part_brand_sets(sf_dir: str):
     """Group collect-set aggregation (the reference's title-synonym /
     akronym set-union groupby, extract_title_synonyms.py:12-33): sorted
@@ -1504,6 +1590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_top3_orders": customer_top3_orders,
         "part_type_stats": part_type_stats,
         "supplier_nation_balance": supplier_nation_balance,
+        "nation_region_rollup": nation_region_rollup,
+        "orders_priority_pivot": orders_priority_pivot,
         "part_brand_sets": part_brand_sets,
         "customer_except": customer_except,
         "type_closure": type_closure,
@@ -1645,6 +1733,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT synonym, string_agg(url, ',' ORDER BY url) AS urls,
                    CAST(count(*) AS BIGINT) AS n_urls
             FROM d2 GROUP BY synonym ORDER BY synonym
+        """,
+        "nation_region_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY 1, 2
+        """,
+        "orders_priority_pivot": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
+                        AS BIGINT) AS urgent,
+                   CAST(count(*) FILTER (o_orderpriority = '2-HIGH')
+                        AS BIGINT) AS high,
+                   CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM')
+                        AS BIGINT) AS medium,
+                   CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                        AS BIGINT) AS not_specified,
+                   CAST(count(*) FILTER (o_orderpriority = '5-LOW')
+                        AS BIGINT) AS low
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "customer_running_spend": """
             SELECT o_custkey, o_orderkey,

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "events_window_counts",
     "events_distinct_users",
     "events_funnel",
+    "nation_region_rollup",
+    "orders_priority_pivot",
     "customer_running_spend",
     "customer_top3_orders",
     "split_assign",
