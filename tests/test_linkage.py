@@ -60,3 +60,31 @@ def test_cluster_labels_are_min_member(linkage_result, ray_session):
         by_label.setdefault(lab, set()).add(node)
     for lab, members in by_label.items():
         assert lab == min(members | {lab})
+
+
+def test_distributed_cc_path_matches_driver_shortcircuit(ray_session):
+    # connected_components short-circuits to one driver-side union-find
+    # under driver_cutoff; force BOTH paths on the same edges and assert
+    # identical labels (same min-id root contract).
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elevant_ray.stages.clustering import connected_components
+
+    # two chains, one star, singleton-free edge list with dup edges
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("m", "n"), ("m", "o"), ("m", "p"), ("n", "o")]
+    ds = rd.from_arrow(pa.table({
+        "left": pa.array([e[0] for e in edges], pa.string()),
+        "right": pa.array([e[1] for e in edges], pa.string()),
+    })).repartition(3)
+
+    def lab_map(res):
+        return {r["node"]: r["label"] for r in res.take_all()}
+
+    fast = lab_map(connected_components(ds, num_partitions=2))
+    dist = lab_map(connected_components(ds, num_partitions=2,
+                                        driver_cutoff=0))
+    assert fast == dist
+    assert fast["d"] == "a" and fast["z"] == "x" and fast["p"] == "m"
