@@ -1568,6 +1568,288 @@ def linking_eval_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational extensions: multi-way join, windows, anti-join, histogram
+# ---------------------------------------------------------------------------
+
+
+def local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation — a 5-way star join folded into ONE lineitem scan.  All four
+    dimension sides (nation, supplier, customer, orders→nation) ship as
+    IntKeyMap broadcasts; the cross-dimension equality filter
+    (c_nationkey = s_nationkey) is a vectorized mask per batch.  At
+    100 TB only the orders side can outgrow the broadcast cutoff — the
+    fallback is the same hash-partitioned join used by
+    region_revenue."""
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    nat_names = np.empty(max(nation) + 1, dtype=object)
+    for k, v in nation.items():
+        nat_names[k] = v
+
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                   ["s_suppkey", "s_nationkey"])
+    smap = IntKeyMap(s["s_suppkey"], s["s_nationkey"].astype(np.int64))
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    cmap = IntKeyMap(c["c_custkey"], c["c_nationkey"].astype(np.int64))
+    o = np_columns(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+                   ["o_orderkey", "o_custkey"])
+    omap = IntKeyMap(o["o_orderkey"], cmap.take_checked(o["o_custkey"]))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        c_nat = omap.take_checked(
+            b.column("l_orderkey").to_numpy(zero_copy_only=False))
+        s_nat = smap.take_checked(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        m = c_nat == s_nat
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "n_name": pa.array(nat_names[s_nat[m]], pa.string()),
+            "rev": pa.array(price * (1.0 - disc), pa.float64())})
+
+    agg = partial_group_agg(line.map_batches(f, batch_format="pyarrow"),
+                            ["n_name"], sum_cols=["rev"], combine="driver")
+    out = agg[["n_name"]].copy()
+    out["revenue"] = agg["rev"].round(2)
+    return out
+
+
+def events_user_gaps(sf_dir: str):
+    """Per-user lag() window: inter-event gap statistics.  One hash
+    shuffle on user_id buckets (util.bucketed_group_apply), then a
+    single vectorized pandas groupby-diff per bucket — the engine's
+    standard per-key window pattern (no per-key map_groups)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        out = g.assign(gap=gaps).groupby("user_id", as_index=False).agg(
+            n_events=("ts", "size"),
+            avg_gap_sec=("gap", "mean"),
+            max_gap_sec=("gap", "max"))
+        out = out[out["n_events"] >= 2]
+        # gaps are exact multiples of 1e-6 s (µs timestamps), so .xxx5
+        # boundaries DO occur: round half-away-from-zero like SQL ROUND,
+        # not banker's (numpy .round flipped one row at sf0.01)
+        import numpy as np
+
+        for c in ("avg_gap_sec", "max_gap_sec"):
+            out[c] = np.floor(out[c] * 1e3 + 0.5) / 1e3
+        return out
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "user_id", per_bucket),
+                     "user_id")
+
+
+def orders_rank_in_customer(sf_dir: str):
+    """row_number() OVER (PARTITION BY custkey ORDER BY totalprice DESC,
+    orderkey) — per-key rank via one bucket shuffle + vectorized
+    sort/cumcount per bucket."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+        g["rnk"] = g.groupby("o_custkey").cumcount() + 1
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "o_custkey", per_bucket),
+                     ["o_custkey", "rnk"])
+
+
+def customers_inactive(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no order in 1997H1,
+    aggregated per market segment.  The probe side (distinct active
+    custkeys in the window) is bounded by customer cardinality, so it
+    ships as a broadcast IntKeyMap membership mask; beyond the
+    broadcast cutoff the scale path is a hash-partitioned cogroup
+    anti-join (util.cogroup_join with an anti merge)."""
+    import datetime
+
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1997, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 7, 1))
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        return b.filter(m).select(["o_custkey"])
+
+    active = np.unique(np_columns(
+        orders.map_batches(window, batch_format="pyarrow"), ["o_custkey"])
+        ["o_custkey"])
+    amap = IntKeyMap(active)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        hit = amap.contains(
+            b.column("c_custkey").to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(~hit)).select(["c_mktsegment", "c_acctbal"])
+
+    agg = partial_group_agg(cust.map_batches(anti, batch_format="pyarrow"),
+                            ["c_mktsegment"], sum_cols=["c_acctbal"],
+                            count_alias="n_customers", combine="driver")
+    out = agg[["c_mktsegment", "n_customers"]].copy()
+    out["total_acctbal"] = agg["c_acctbal"].round(2)
+    return out
+
+
+def orders_price_histogram(sf_dir: str):
+    """Fixed-width histogram over o_totalprice (bin = floor(price/25k))
+    — binning is a per-batch vectorized map, counting the standard
+    two-phase partial aggregate."""
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def binify(b: pa.Table) -> pa.Table:
+        price = b.column("o_totalprice")
+        bins = pc.cast(pc.floor(pc.divide(price, pa.scalar(25000.0))),
+                       pa.int64())
+        return pa.table({"bin": bins, "total": price})
+
+    agg = partial_group_agg(ds.map_batches(binify, batch_format="pyarrow"),
+                            ["bin"], sum_cols=["total"],
+                            count_alias="n_orders", combine="driver")
+    out = agg[["bin", "n_orders"]].copy()
+    out["total"] = agg["total"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text / vector / sketch extensions
+# ---------------------------------------------------------------------------
+
+
+def doc_tfidf_top3(sf_dir: str):
+    """Per-document top-3 unigrams by tf·idf — the canonical
+    training-data relevance score.  Two scans of documents, one tiny
+    aggregate: (1) per-batch document-frequency partials (Counter over
+    each doc's unique unigrams) combined into the df table, broadcast
+    as an idf dict via ray.put + util.cached_get (vocab-bounded; at
+    open-web vocab sizes the scale path is a hashed-vocab cogroup
+    join); (2) per-doc scores tf·ln(N/df), top-3 by (score desc, token
+    asc)."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from elevant_ray.functions.tokens import UNIGRAM_RE
+    from elevant_ray.stages.util import cached_get, partial_group_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(set(UNIGRAM_RE.findall(t.lower())))
+        toks = sorted(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "df_p": pa.array([c[t] for t in toks], pa.int64())})
+
+    df = partial_group_agg(docs.map_batches(df_partial, batch_format="pyarrow"),
+                           ["token"], sum_cols=["df_p"], combine="driver")
+    idf_ref = ray.put({t: math.log(n_docs / d) for t, d in
+                       zip(df["token"], df["df_p"])})
+
+    def top3(b: pa.Table) -> pa.Table:
+        idf = cached_get(idf_ref)
+        out_id, out_tok, out_score = [], [], []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            c = Counter(UNIGRAM_RE.findall(t.lower()))
+            best = sorted(((tf * idf[tok], tok) for tok, tf in c.items()),
+                          key=lambda x: (-x[0], x[1]))[:3]
+            for sc, tok in best:
+                out_id.append(did)
+                out_tok.append(tok)
+                out_score.append(round(sc, 6))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "token": pa.array(out_tok, pa.string()),
+                         "score": pa.array(out_score, pa.float64())})
+
+    return _det_sort(docs.map_batches(top3, batch_format="pyarrow"),
+                     ["doc_id", "token"])
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column — grouped vector mean
+    in long form (label, dim, centroid).  Per batch: one np.add.at
+    scatter into a labels×dim float64 accumulator (zero Python loops
+    over rows), then the partial sums/counts combine through the
+    standard two-phase aggregate."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        vecs = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(b), dim)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(acc, inv, vecs)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(acc.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnt, dim).astype(np.int64))})
+
+    agg = partial_group_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["label", "dim"], sum_cols=["s", "n"],
+                            combine="driver")
+    out = agg[["label", "dim"]].copy()
+    out["centroid"] = (agg["s"] / agg["n"]).round(6)
+    return out
+
+
+def events_heavy_hitters(sf_dir: str):
+    """Approximate top-10 users by event count via a Misra-Gries
+    mergeable summary + exact recount of survivors
+    (stages/sketches.heavy_hitters).  Rows-only contract entry; the
+    ≥-guarantee (every user with freq > N/capacity present, counts
+    exact) is gated in tests/test_sketches.py."""
+    from elevant_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", k=10, capacity=64)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -1594,6 +1876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": orders_priority_pivot,
         "part_brand_sets": part_brand_sets,
         "customer_except": customer_except,
+        "customers_inactive": customers_inactive,
+        "local_supplier_volume": local_supplier_volume,
+        "orders_rank_in_customer": orders_rank_in_customer,
+        "orders_price_histogram": orders_price_histogram,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -1604,12 +1890,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": events_attribution,
         "events_funnel": events_funnel,
         "events_window_counts": events_window_counts,
+        "events_user_gaps": events_user_gaps,
+        "events_heavy_hitters": events_heavy_hitters,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
         "doc_token_quantiles": doc_token_quantiles,
         "unigram_counts": unigram_counts,
         "doc_quality": doc_quality,
+        "doc_tfidf_top3": doc_tfidf_top3,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         # dedup
@@ -1621,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
         "neardup_embedding": neardup_embedding,
+        "embedding_centroids": embedding_centroids,
         # multimodal (stubbed decode, real Ray plumbing)
         "multimodal_features": multimodal_features,
         # pages / ELEVANT
@@ -1879,6 +2169,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             ORDER BY o_custkey
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "customers_inactive": """
+            SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-07-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "orders_rank_in_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey) AS rnk
+            FROM orders ORDER BY o_custkey, rnk
+        """,
+        "orders_price_histogram": """
+            SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+                   COUNT(*)::BIGINT AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY bin ORDER BY bin
+        """,
+        "events_user_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) AS gap
+                FROM events)
+            SELECT user_id, COUNT(*)::BIGINT AS n_events,
+                   ROUND(AVG(gap), 3) AS avg_gap_sec,
+                   ROUND(MAX(gap), 3) AS max_gap_sec
+            FROM g GROUP BY user_id HAVING COUNT(*) >= 2
+            ORDER BY user_id
+        """,
+        "doc_tfidf_top3": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+                   FROM t GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (SELECT doc_id, tf.token AS token,
+                         tf.tf * ln(n.n / df.df::DOUBLE) AS score
+                  FROM tf, df, n WHERE tf.token = df.token),
+            r AS (SELECT doc_id, token, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, token) AS rn
+                  FROM s)
+            SELECT doc_id, token, ROUND(score, 6) AS score
+            FROM r WHERE rn <= 3 ORDER BY doc_id, token
+        """,
+        "embedding_centroids": """
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   ROUND(SUM(val::DOUBLE) / COUNT(*), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim
         """,
         "type_closure": """
             WITH RECURSIVE edges AS (

@@ -103,3 +103,61 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str,
                              alias: [int(round(est))]})
 
     return parts.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def _mg_compress(items: np.ndarray, weights: np.ndarray, capacity: int):
+    """Misra-Gries compression: keep ≤ ``capacity`` counters by
+    subtracting the (capacity+1)-th largest weight from all (the
+    classic decrement step, batched).  Mergeable-summary property
+    (Agarwal et al., PODS 2012): any item with true frequency
+    > N/capacity survives, and every kept weight underestimates the true
+    count by ≤ N/capacity."""
+    if len(items) <= capacity:
+        return items, weights
+    thresh = np.partition(weights, len(weights) - capacity - 1)[
+        len(weights) - capacity - 1]
+    keep = weights > thresh
+    return items[keep], weights[keep] - thresh
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 64):
+    """→ pyarrow.Table(col, count) — approximate top-k via Misra-Gries.
+
+    Two passes, zero shuffles: (1) per-batch exact ``np.unique`` counts
+    compressed to a ``capacity``-sized MG summary, summaries merged on
+    the driver (weight sum + one final compression — the standard
+    mergeable-summaries combine); (2) a second scan counts the surviving
+    candidates EXACTLY (per-batch masked bincount partials summed on the
+    driver), so every returned count is exact and the top-k among
+    candidates is reported.  Guarantee: contains every item with true
+    frequency > N/capacity.  Beyond-reference sketch operator (the
+    reference's counts are all exact, SURVEY.md §2.6); at 10^12-row
+    scale pass 1 moves only O(batches × capacity) rows to the driver
+    and pass 2 only O(batches × candidates)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        u, c = np.unique(vals, return_counts=True)
+        u, c = _mg_compress(u, c.astype(np.int64), capacity)
+        return pa.table({col: pa.array(u), "w": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(col, as_index=False)["w"].sum()
+    items, weights = _mg_compress(merged[col].to_numpy(),
+                                  merged["w"].to_numpy(), capacity)
+    cand = np.sort(items)
+
+    def exact(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, vals)
+        pos_c = np.minimum(pos, len(cand) - 1)
+        hit = cand[pos_c] == vals
+        cnt = np.bincount(pos_c[hit], minlength=len(cand))
+        return pa.table({col: pa.array(cand), "c": pa.array(cnt, pa.int64())})
+
+    ex = ds.map_batches(exact, batch_format="pyarrow").to_pandas()
+    ex = ex.groupby(col, as_index=False)["c"].sum()
+    ex = ex.sort_values(["c", col], ascending=[False, True],
+                        kind="stable").head(k)
+    return pa.table({col: pa.array(ex[col].to_numpy()),
+                     "count": pa.array(ex["c"].to_numpy(), pa.int64())})

@@ -44,3 +44,46 @@ def test_approx_query_matches_exact_within_tolerance(ray_session):
     for et in exact.index:
         err = abs(approx[et] - exact[et]) / max(exact[et], 1)
         assert err < 0.05, (et, exact[et], approx[et])
+
+
+def test_misra_gries_compress_guarantee():
+    from elevant_ray.stages.sketches import _mg_compress
+
+    rng = np.random.default_rng(7)
+    items = np.arange(500, dtype=np.int64)
+    weights = rng.integers(1, 50, size=500).astype(np.int64)
+    weights[7] = 10_000  # one true heavy hitter
+    n = int(weights.sum())
+    cap = 16
+    ki, kw = _mg_compress(items, weights, cap)
+    assert len(ki) <= cap
+    # every item with true weight > N/cap survives, underestimated by <= N/cap
+    for it, w in zip(items, weights):
+        if w > n / cap:
+            assert it in ki
+            kept = kw[np.flatnonzero(ki == it)[0]]
+            assert 0 < kept <= w and w - kept <= n / cap
+
+
+def test_heavy_hitters_query_exact_counts_and_coverage(ray_session):
+    import duckdb
+
+    import __ray_entry__ as m
+
+    res = m.queries()["events_heavy_hitters"](SF_DIR).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT user_id, COUNT(*)::BIGINT AS c FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') GROUP BY user_id"
+    ).fetchdf().set_index("user_id")["c"]
+    n = int(exact.sum())
+    # (a) every returned count is exact
+    for uid, cnt in zip(res["user_id"], res["count"]):
+        assert exact[uid] == cnt, (uid, cnt, exact[uid])
+    # (b) every user with freq > N/capacity is in the candidate top-k
+    # superset — with k=10 reported, check only those above the bound
+    # that are also in the exact top-10
+    top10 = set(exact.sort_values(ascending=False).head(10).index)
+    for uid in top10:
+        if exact[uid] > n / 64:
+            assert uid in set(res["user_id"]), uid
