@@ -113,12 +113,90 @@ def _compose(paths, num_partitions: int = 8):
                     .map_groups(cross, batch_format="pandas"))
 
 
-def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64):
+def _local_closure(tbl: pa.Table, max_rounds: int) -> pa.Table:
+    """Driver-side min-plus closure: SEMI-NAIVE squaring over dense
+    node indices with pure-numpy kernels.  Pairs live as one int64
+    composite key (src_idx·n + dst_idx); each round composes only the
+    delta (new or depth-improved pairs) against the full path set in
+    both directions — a searchsorted range-join, no pandas, no hashing.
+    Same semiring and fixpoint as the distributed loop; converges when
+    the delta empties (cycles included: depths only decrease)."""
+    import numpy as np
+
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return CLOSURE_SCHEMA.empty_table()
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    pk = np.unique(inv[:len(src)].astype(np.int64) * n + inv[len(src):])
+    pd_ = np.ones(len(pk), np.int64)
+    dk, dd = pk, pd_
+
+    def compose(ak, ad, bk, bd):
+        # (a→m) ∘ (m→c): range-join on the shared mid node m
+        am = ak % n
+        aa = ak // n
+        order = np.argsort(bk // n, kind="stable")
+        bs = (bk // n)[order]
+        bc = (bk % n)[order]
+        bdep = bd[order]
+        lo = np.searchsorted(bs, am, "left")
+        cnt = np.searchsorted(bs, am, "right") - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return (np.empty(0, np.int64),) * 2
+        idx = np.repeat(lo, cnt) + \
+            (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return (np.repeat(aa, cnt) * n + bc[idx],
+                np.repeat(ad, cnt) + bdep[idx])
+
+    for _ in range(max_rounds):
+        k1, d1 = compose(dk, dd, pk, pd_)
+        k2, d2 = compose(pk, pd_, dk, dd)
+        allk = np.concatenate([pk, k1, k2])
+        alld = np.concatenate([pd_, d1, d2])
+        order = np.lexsort((alld, allk))
+        allk, alld = allk[order], alld[order]
+        first = np.concatenate([[True], allk[1:] != allk[:-1]])
+        newk, newd = allk[first], alld[first]
+        # delta = pairs absent from the old set or with improved depth
+        pos = np.minimum(np.searchsorted(pk, newk), len(pk) - 1)
+        known = (pk[pos] == newk) & (pd_[pos] <= newd)
+        pk, pd_ = newk, newd
+        dk, dd = newk[~known], newd[~known]
+        if len(dk) == 0:
+            return pa.table({"src": nodes[pk // n], "dst": nodes[pk % n],
+                             "depth": pd_}).cast(CLOSURE_SCHEMA)
+    raise RuntimeError(
+        f"transitive_closure: no fixpoint after {max_rounds} rounds")
+
+
+def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64,
+                       driver_cutoff: int = 16 << 20):
     """All (src, dst, depth) reachability pairs with minimum path
     length, as a Dataset.  ``edges`` is a Dataset(src, dst); duplicate
     edges are deduped up front.  Terminates on cyclic graphs too (see
-    module docstring); ``max_rounds`` is only a runaway bound."""
-    edges = edges.select_columns(["src", "dst"])
+    module docstring); ``max_rounds`` is only a runaway bound.
+
+    Small edge sets (≤ ``driver_cutoff`` bytes) short-circuit to
+    driver-side squaring — the same cutoff contract as
+    clustering.connected_components: each distributed round costs two
+    full exchanges (~2-3 s fixed latency apiece locally) while a ≤16 MB
+    edge table closes in milliseconds of pandas merges, with an
+    identical result by construction.  Dimension-scale type hierarchies
+    (the reference's use case) always sit under the cutoff; the
+    distributed path is for corpus-scale graphs."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.size_bytes() <= driver_cutoff:
+        import ray.data as rd
+
+        edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        whole = pa.concat_tables(
+            [b.select(["src", "dst"]).cast(edge_schema)
+             for b in edges.iter_batches(batch_format="pyarrow")]
+            or [edge_schema.empty_table()])
+        return rd.from_arrow(_local_closure(whole, max_rounds)).materialize()
     edges = edges.map_batches(
         lambda b: b.append_column(
             "depth", pa.array([1] * b.num_rows, pa.int64())),

@@ -15,39 +15,52 @@ def _ds(tbl: pa.Table):
     return rd.from_arrow(tbl)
 
 
+# both paths: driver short-circuit (default cutoff) and distributed
+# squaring (cutoff=0) must agree everywhere
+CUTOFFS = [16 << 20, 0]
+
+
 class TestTransitiveClosure:
-    def test_diamond_with_shortcut_keeps_min_depth(self, ray_session):
+    @pytest.mark.parametrize("cutoff", CUTOFFS)
+    def test_diamond_with_shortcut_keeps_min_depth(self, ray_session, cutoff):
         from elevant_ray.stages.graph import transitive_closure
 
         # a→b→c plus shortcut a→c: (a,c) must be depth 1, not 2
         edges = _ds(pa.table({"src": [1, 2, 1], "dst": [2, 3, 3]}))
-        out = transitive_closure(edges, num_partitions=2).to_pandas()
+        out = transitive_closure(edges, num_partitions=2,
+                                 driver_cutoff=cutoff).to_pandas()
         got = {(r.src, r.dst): r.depth for r in out.itertuples()}
         assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
 
-    def test_chain_depths(self, ray_session):
+    @pytest.mark.parametrize("cutoff", CUTOFFS)
+    def test_chain_depths(self, ray_session, cutoff):
         from elevant_ray.stages.graph import transitive_closure
 
         edges = _ds(pa.table({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 5]}))
-        out = transitive_closure(edges, num_partitions=2).to_pandas()
+        out = transitive_closure(edges, num_partitions=2,
+                                 driver_cutoff=cutoff).to_pandas()
         got = {(r.src, r.dst): r.depth for r in out.itertuples()}
         assert got[(1, 5)] == 4 and got[(2, 5)] == 3 and got[(1, 2)] == 1
         assert len(got) == 10
 
-    def test_duplicate_edges_deduped(self, ray_session):
+    @pytest.mark.parametrize("cutoff", CUTOFFS)
+    def test_duplicate_edges_deduped(self, ray_session, cutoff):
         from elevant_ray.stages.graph import transitive_closure
 
         edges = _ds(pa.table({"src": [1, 1, 1], "dst": [2, 2, 2]}))
-        out = transitive_closure(edges, num_partitions=2).to_pandas()
+        out = transitive_closure(edges, num_partitions=2,
+                                 driver_cutoff=cutoff).to_pandas()
         assert len(out) == 1
 
-    def test_cycle_converges_with_reflexive_pairs(self, ray_session):
+    @pytest.mark.parametrize("cutoff", CUTOFFS)
+    def test_cycle_converges_with_reflexive_pairs(self, ray_session, cutoff):
         from elevant_ray.stages.graph import transitive_closure
 
         # dropping already-known pairs bounds the walk even on cycles:
         # 1⇄2 closes to {(1,2),(2,1),(1,1),(2,2)} and terminates
         edges = _ds(pa.table({"src": [1, 2], "dst": [2, 1]}))
-        out = transitive_closure(edges, num_partitions=2).to_pandas()
+        out = transitive_closure(edges, num_partitions=2,
+                                 driver_cutoff=cutoff).to_pandas()
         got = {(r.src, r.dst): r.depth for r in out.itertuples()}
         assert got == {(1, 2): 1, (2, 1): 1, (1, 1): 2, (2, 2): 2}
 

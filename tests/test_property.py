@@ -172,7 +172,9 @@ class TestClosureProperty:
 
         tbl = pa.table({"src": [a for a, _ in edges],
                         "dst": [b for _, b in edges]})
-        out = transitive_closure(rd.from_arrow(tbl),
-                                 num_partitions=2).to_pandas()
+        # cutoff=0 keeps the property suite on the distributed path
+        # (the driver short-circuit is exercised in test_ops2)
+        out = transitive_closure(rd.from_arrow(tbl), num_partitions=2,
+                                 driver_cutoff=0).to_pandas()
         got = {(r.src, r.dst): r.depth for r in out.itertuples()}
         assert got == expected
