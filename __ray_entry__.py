@@ -50,6 +50,26 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def _distinct_int(ds, col: str, cutoff: int = 256 << 20):
+    """Distinct over one int column.  A Dataset ``groupby`` exists only
+    to dedupe keys, at a fixed ~2.5 s exchange cost locally — under the
+    cutoff the keys stream to the driver and dedupe with one np.unique
+    (the result side of a set-op query is dimension-bounded); above it
+    the distributed groupby runs."""
+    m = ds.materialize()
+    if m.size_bytes() > cutoff:
+        from ray.data.aggregate import Count
+
+        return (m.groupby(col).aggregate(Count(alias_name="_c"))
+                .select_columns([col]))
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns
+
+    return pd.DataFrame({col: np.unique(np_columns(m, [col])[col])})
+
+
 def _det_sort(ds, by, descending=False, cutoff=256 << 20):
     """Deterministic result ordering for the driver contract.
 
@@ -594,11 +614,7 @@ def customer_except(sf_dir: str):
 
     kept = (ds.map_batches(in_range(y96, y97), batch_format="pyarrow")
             .map_batches(anti, batch_format="pyarrow"))
-    # distinct via groupby-count, drop the count
-    from ray.data.aggregate import Count
-
-    out = kept.groupby("o_custkey").aggregate(Count(alias_name="_c"))
-    return _det_sort(out.select_columns(["o_custkey"]), "o_custkey")
+    return _det_sort(_distinct_int(kept, "o_custkey"), "o_custkey")
 
 
 def type_closure(sf_dir: str):
@@ -1837,6 +1853,108 @@ def embedding_centroids(sf_dir: str):
     return out
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join: every customer with their 1996 order count,
+    zero-filled for customers with none.  The aggregate side collapses
+    to a per-key count BEFORE the join (partial_group_agg), so the
+    outer join itself is a broadcast take with a 0 default — no outer
+    shuffle join at any scale where the grouped side fits; beyond that
+    the cogroup join carries a null-fill merge."""
+    import datetime
+
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def window(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        return b.filter(m).select(["o_custkey"])
+
+    cnt = partial_group_agg(
+        orders.map_batches(window, batch_format="pyarrow"),
+        ["o_custkey"], count_alias="n", combine="driver")
+    if cnt is None or len(cnt) == 0:
+        cmap = IntKeyMap(np.array([], np.int64), np.array([], np.int64))
+    else:
+        cmap = IntKeyMap(cnt["o_custkey"].to_numpy(),
+                         cnt["n"].to_numpy().astype(np.int64))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def fill(b: pa.Table) -> pa.Table:
+        vals, found = cmap.take(
+            b.column("c_custkey").to_numpy(zero_copy_only=False))
+        n = np.where(found, vals, 0)
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_mktsegment": b.column("c_mktsegment"),
+                         "n_orders": pa.array(n, pa.int64())})
+
+    return _det_sort(cust.map_batches(fill, batch_format="pyarrow"),
+                     "c_custkey")
+
+
+def repeat_customers(sf_dir: str):
+    """Set intersection (INTERSECT): customers active in both 1996 and
+    1997 — customer_except's broadcast-membership pattern with the
+    mask flipped."""
+    import datetime
+
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def in_range(lo, hi):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+            return b.filter(m).select(["o_custkey"])
+        return f
+
+    y96 = datetime.datetime(1996, 1, 1)
+    y97 = datetime.datetime(1997, 1, 1)
+    y98 = datetime.datetime(1998, 1, 1)
+    cust97 = IntKeyMap(np.unique(np_columns(
+        ds.map_batches(in_range(y97, y98), batch_format="pyarrow"),
+        ["o_custkey"])["o_custkey"]))
+
+    def semi(b: pa.Table) -> pa.Table:
+        keep = cust97.contains(
+            b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(keep))
+
+    kept = (ds.map_batches(in_range(y96, y97), batch_format="pyarrow")
+            .map_batches(semi, batch_format="pyarrow"))
+    return _det_sort(_distinct_int(kept, "o_custkey"), "o_custkey")
+
+
+def doc_token_quantiles_approx(sf_dir: str):
+    """Approximate per-language token-count quantiles via the
+    rank-stratified mergeable summary (stages/sketches.approx_quantiles)
+    — rows-only; the ≤5%-of-exact gate lives in tests/test_sketches.py."""
+    from elevant_ray.stages.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counts = ds.map_batches(f, batch_format="pyarrow")
+    return approx_quantiles(counts, "n_tokens", (0.5, 0.9, 0.99),
+                            group_cols=["lang"])
+
+
 def events_heavy_hitters(sf_dir: str):
     """Approximate top-10 users by event count via a Misra-Gries
     mergeable summary + exact recount of survivors
@@ -1876,6 +1994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": orders_priority_pivot,
         "part_brand_sets": part_brand_sets,
         "customer_except": customer_except,
+        "repeat_customers": repeat_customers,
+        "customer_order_counts": customer_order_counts,
         "customers_inactive": customers_inactive,
         "local_supplier_volume": local_supplier_volume,
         "orders_rank_in_customer": orders_rank_in_customer,
@@ -1896,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_counts": doc_token_counts,
         "doc_token_quantiles": doc_token_quantiles,
+        "doc_token_quantiles_approx": doc_token_quantiles_approx,
         "unigram_counts": unigram_counts,
         "doc_quality": doc_quality,
         "doc_tfidf_top3": doc_tfidf_top3,
@@ -2169,6 +2290,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             ORDER BY o_custkey
+        """,
+        "repeat_customers": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            ORDER BY o_custkey
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, c_mktsegment,
+                   COUNT(o_orderkey)::BIGINT AS n_orders
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
         """,
         "local_supplier_volume": """
             SELECT n_name,

@@ -161,3 +161,76 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 64):
                         kind="stable").head(k)
     return pa.table({col: pa.array(ex[col].to_numpy()),
                      "count": pa.array(ex["c"].to_numpy(), pa.int64())})
+
+
+def approx_quantiles(ds, col: str, qs, group_cols=None,
+                     sample_per_batch: int = 256):
+    """→ pyarrow.Table(group_cols…, q, value) — mergeable one-pass
+    approximate quantiles by rank-stratified subsampling.
+
+    Per batch (and per group within the batch) the values are sorted
+    and ``sample_per_batch`` rank-stratified representatives are kept,
+    each weighted by its stratum size — a deterministic, RNG-free
+    mergeable summary (rank error ≤ 1/(2·m) per batch before merging).
+    Summaries stream to the driver (O(batches × groups × m) rows) where
+    one weighted-quantile scan answers all q's.  Complements the EXACT
+    two-phase histogram in stages/quantiles.py: use this when the value
+    domain is unbounded/continuous and an ε-rank answer suffices."""
+    group_cols = list(group_cols or [])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(group_cols + [col]).to_pandas()
+        out_g, out_v, out_w = [], [], []
+
+        def summarize(key, vals):
+            vals = np.sort(vals.to_numpy())
+            n = len(vals)
+            m = min(sample_per_batch, n)
+            # stratum midpoints: ranks (i+0.5)·n/m
+            idx = np.minimum(((np.arange(m) + 0.5) * n / m).astype(np.int64),
+                             n - 1)
+            w = np.full(m, n / m, dtype=np.float64)
+            out_g.extend([key] * m)
+            out_v.append(vals[idx])
+            out_w.append(w)
+
+        if group_cols:
+            for key, g in df.groupby(group_cols[0] if len(group_cols) == 1
+                                     else group_cols, sort=True):
+                summarize(key, g[col])
+        else:
+            summarize((), df[col])
+        if not out_v:
+            return pa.table({**{c: pa.array([], pa.string())
+                                for c in group_cols},
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        tbl = {"v": pa.array(np.concatenate(out_v), pa.float64()),
+               "w": pa.array(np.concatenate(out_w), pa.float64())}
+        for i, c in enumerate(group_cols):
+            keys = [g if len(group_cols) == 1 else g[i] for g in out_g]
+            tbl = {c: pa.array(keys), **tbl}
+        return pa.table(tbl)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def weighted_q(g: pd.DataFrame):
+        order = np.argsort(g["v"].to_numpy(), kind="stable")
+        v = g["v"].to_numpy()[order]
+        w = g["w"].to_numpy()[order]
+        cum = np.cumsum(w)
+        return [float(v[np.searchsorted(cum, q * cum[-1], "left")])
+                for q in qs]
+
+    rows = []
+    if group_cols:
+        for key, g in parts.groupby(group_cols, sort=True):
+            key = key if isinstance(key, tuple) else (key,)
+            for q, val in zip(qs, weighted_q(g)):
+                rows.append((*key, float(q), val))
+    else:
+        for q, val in zip(qs, weighted_q(parts)):
+            rows.append((float(q), val))
+    names = group_cols + ["q", "value"]
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.table({n: pa.array(list(c)) for n, c in zip(names, cols)})

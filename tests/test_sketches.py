@@ -4,6 +4,7 @@ and the driver-contract approx query against the exact query."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from elevant_ray.stages.sketches import hll_estimate, hll_registers
@@ -87,3 +88,31 @@ def test_heavy_hitters_query_exact_counts_and_coverage(ray_session):
     for uid in top10:
         if exact[uid] > n / 64:
             assert uid in set(res["user_id"]), uid
+
+
+def test_approx_quantiles_within_tolerance(ray_session):
+    import __ray_entry__ as m
+
+    exact = m.queries()["doc_token_quantiles"](SF_DIR)
+    if hasattr(exact, "to_pandas"):
+        exact = exact.to_pandas()
+    approx = m.queries()["doc_token_quantiles_approx"](SF_DIR).to_pandas()
+    ex = exact.set_index(["lang", "q"])["n_tokens"]
+    for _, row in approx.iterrows():
+        truth = float(ex.loc[(row["lang"], round(row["q"], 2))])
+        assert abs(row["value"] - truth) / max(truth, 1) <= 0.05, \
+            (row["lang"], row["q"], row["value"], truth)
+
+
+def test_approx_quantiles_deterministic(ray_session):
+    import ray.data as rd
+
+    from elevant_ray.stages.sketches import approx_quantiles
+
+    tbl = pa.table({"v": np.arange(10_000, dtype=np.int64) % 997})
+    a = approx_quantiles(rd.from_arrow(tbl), "v", (0.25, 0.5, 0.75))
+    b = approx_quantiles(rd.from_arrow(tbl), "v", (0.25, 0.5, 0.75))
+    assert a.equals(b)
+    # uniform 0..996: quantile q ≈ 997q, allow sketch rank error
+    for q, val in zip(a.column("q").to_pylist(), a.column("value").to_pylist()):
+        assert abs(val - 997 * q) <= 997 * 0.02 + 2, (q, val)
