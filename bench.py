@@ -49,11 +49,23 @@ BENCH_QUERIES = [
     "orders_priority_pivot",
     "customer_running_spend",
     "customer_top3_orders",
+    "local_supplier_volume",
+    "events_user_gaps",
+    "orders_rank_in_customer",
+    "customers_inactive",
+    "orders_price_histogram",
+    "customer_order_counts",
+    "repeat_customers",
+    "type_closure",
     "split_assign",
     "unigram_counts",
     "doc_token_quantiles",
+    "doc_token_quantiles_approx",
+    "doc_tfidf_top3",
     "doc_quality",
     "lang_id",
+    "events_heavy_hitters",
+    "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
