@@ -1853,6 +1853,86 @@ def embedding_centroids(sf_dir: str):
     return out
 
 
+def small_quantity_revenue(sf_dir: str):
+    """Correlated aggregate (TPC-H Q17 shape): revenue from lineitems
+    whose quantity is below 20% of their part's average, per brand.
+    The per-part average ships as broadcast (sum, count) maps so the
+    correlated predicate becomes a vectorized mask — compared in exact
+    integer-valued-double arithmetic (qty·cnt·5 < tot) so Ray and the
+    SQL oracle agree bit-for-bit at the boundary."""
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"pk": b.column("l_partkey"),
+                         "tot": b.column("l_quantity"),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    pagg = partial_group_agg(
+        line.map_batches(qty_partial, batch_format="pyarrow"),
+        ["pk"], sum_cols=["tot", "one"], combine="driver")
+    tot_map = IntKeyMap(pagg["pk"].to_numpy(), pagg["tot"].to_numpy())
+    cnt_map = IntKeyMap(pagg["pk"].to_numpy(),
+                        pagg["one"].to_numpy().astype(np.int64))
+
+    p = np_columns(_read(sf_dir, "part", ["p_partkey", "p_brand"]),
+                   ["p_partkey", "p_brand"])
+    brand_map = IntKeyMap(p["p_partkey"], p["p_brand"])
+
+    def sel(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        tot = tot_map.take_checked(pk)
+        cnt = cnt_map.take_checked(pk)
+        m = qty * cnt * 5 < tot
+        return pa.table({
+            "p_brand": pa.array(brand_map.take_checked(pk[m]), pa.string()),
+            "price": pa.array(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+                pa.float64())})
+
+    agg = partial_group_agg(line.map_batches(sel, batch_format="pyarrow"),
+                            ["p_brand"], sum_cols=["price"],
+                            count_alias="n_items", combine="driver")
+    out = agg[["p_brand"]].copy()
+    out["avg_yearly"] = (agg["price"] / 7.0).round(2)
+    out["n_items"] = agg["n_items"].astype("int64")
+    return out
+
+
+def events_prop_buckets(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    bucket the extracted integer field, aggregate per bucket — the
+    web-payload metadata-parsing shape (per-batch Python json.loads is
+    the honest kernel; the SQL oracle reproduces it with a regex
+    extract so no DuckDB JSON extension is needed offline)."""
+    import json as _json
+
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["props", "value"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = np.fromiter((_json.loads(s)["k"]
+                          for s in b.column("props").to_pylist()),
+                         dtype=np.int64, count=b.num_rows)
+        return pa.table({"k_bucket": pa.array(ks // 10, pa.int64()),
+                         "value": b.column("value")})
+
+    agg = partial_group_agg(ds.map_batches(extract, batch_format="pyarrow"),
+                            ["k_bucket"], sum_cols=["value"],
+                            count_alias="n", combine="driver")
+    out = agg[["k_bucket", "n"]].copy()
+    out["total_value"] = agg["value"].round(2)
+    return out
+
+
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER join: every customer with their 1996 order count,
     zero-filled for customers with none.  The aggregate side collapses
@@ -2000,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": local_supplier_volume,
         "orders_rank_in_customer": orders_rank_in_customer,
         "orders_price_histogram": orders_price_histogram,
+        "small_quantity_revenue": small_quantity_revenue,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -2012,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": events_window_counts,
         "events_user_gaps": events_user_gaps,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_prop_buckets": events_prop_buckets,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
@@ -2344,6 +2426,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS total
             FROM orders GROUP BY bin ORDER BY bin
+        """,
+        "small_quantity_revenue": """
+            WITH pagg AS (
+                SELECT l_partkey AS pk, COUNT(*) AS cnt,
+                       SUM(l_quantity) AS tot
+                FROM lineitem GROUP BY l_partkey)
+            SELECT p_brand,
+                   ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN pagg ON pk = l_partkey
+            WHERE l_quantity * cnt * 5 < tot
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_prop_buckets": """
+            SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                       // 10 AS k_bucket,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY k_bucket ORDER BY k_bucket
         """,
         "events_user_gaps": """
             WITH g AS (

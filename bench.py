@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "orders_rank_in_customer",
     "customers_inactive",
     "orders_price_histogram",
+    "small_quantity_revenue",
+    "events_prop_buckets",
     "customer_order_counts",
     "repeat_customers",
     "type_closure",
