@@ -82,14 +82,24 @@ def _det_sort(ds, by, descending=False, cutoff=256 << 20):
     distributed sort."""
     import ray.data
 
+    by = [by] if isinstance(by, str) else list(by)
     if not isinstance(ds, ray.data.Dataset):
         df = ds
     else:
         m = ds.materialize()
-        if m.size_bytes() > cutoff:
+        if m.count() == 0:
+            # empty inputs (or fully-filtered pipelines) can leave
+            # schema-less blocks behind; rebuild the empty frame from
+            # the dataset schema so column names survive the sort
+            schema = m.schema(fetch_if_missing=False)
+            arrow = getattr(schema, "base_schema", None) or pa.schema([])
+            df = arrow.empty_table().to_pandas()
+            if not set(by).issubset(df.columns):
+                return pa.Table.from_pandas(df, preserve_index=False)
+        elif m.size_bytes() > cutoff:
             return m.sort(by, descending=descending)
-        df = m.to_pandas()
-    by = [by] if isinstance(by, str) else list(by)
+        else:
+            df = m.to_pandas()
     asc = ([not d for d in descending] if isinstance(descending, list)
            else not descending)
     df = df.sort_values(by, ascending=asc,
@@ -229,6 +239,11 @@ def q3_top_orders(sf_dir: str):
 
     parts = [b.to_pandas() for b in out.map_batches(
         topk, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    if not parts:
+        parts = [pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "revenue": pd.Series([], dtype="float64")})]
     allp = pd.concat(parts, ignore_index=True)
     return allp.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                             ascending=[False, True, True]).head(10) \
@@ -1004,6 +1019,9 @@ def dedup_minhash(sf_dir: str):
 
     # pinned once: three consumers (blocking + both verify-join sides)
     docs = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    if docs.count() == 0:
+        return _pa.table({"doc_id": _pa.array([], _pa.int64()),
+                          "cluster": _pa.array([], _pa.int64())})
     pairs = lsh_candidate_pairs(docs, id_col="id",
                                 num_partitions=_shuffle_parts())
     scored = verify_pairs(pairs, docs, id_col="id",
@@ -1083,7 +1101,10 @@ def dedup_simhash(sf_dir: str):
 
     import ray as _ray
 
-    docs = ds.map_batches(prep, batch_format="pyarrow")
+    docs = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    if docs.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
     pairs = simhash_candidate_pairs(docs, id_col="id",
                                     num_partitions=_shuffle_parts())
     edges = pairs.select_columns(["left", "right"])
@@ -1353,6 +1374,9 @@ def docs_longest(sf_dir: str):
 
     parts = [b.to_pandas() for b in ds.map_batches(
         f, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    if not parts:
+        parts = [pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "n_tokens": pd.Series([], dtype="int64")})]
     allp = pd.concat(parts, ignore_index=True)
     return allp.sort_values(["n_tokens", "doc_id"],
                             ascending=[False, True], kind="stable") \
@@ -1475,7 +1499,10 @@ def linkage_clusters(sf_dir: str):
     from elevant_ray.pipelines.record_linkage import cluster_pages, prepare_pages
     from elevant_ray.sources.pages import synth_pages
 
-    pages = prepare_pages(synth_pages(sf_dir))
+    pages = prepare_pages(synth_pages(sf_dir)).materialize()
+    if pages.count() == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "cluster": pa.array([], pa.string())})
     labels, _ = cluster_pages(pages, num_partitions=_shuffle_parts())
     return _det_sort(labels.rename_columns({"node": "url", "label": "cluster"}), "url")
 
@@ -1603,7 +1630,7 @@ def local_supplier_volume(sf_dir: str):
 
     nation = {r["n_nationkey"]: r["n_name"]
               for r in _read(sf_dir, "nation").take_all()}
-    nat_names = np.empty(max(nation) + 1, dtype=object)
+    nat_names = np.empty((max(nation) + 1) if nation else 0, dtype=object)
     for k, v in nation.items():
         nat_names[k] = v
 

@@ -35,7 +35,8 @@ def prepare_pages(pages, do_extract: bool = True):
     (one row per url, earliest warc_ts wins)."""
     # ONE schema probe, on the raw input (each ds.schema() call on a
     # longer lineage triggers its own sampling execution)
-    raw_names = set(pages.schema().names)
+    _sch = pages.schema()
+    raw_names = set(_sch.names) if _sch is not None else set()
     if do_extract and "html" in raw_names:
         pages = pages.map_batches(extract_batch, batch_format="pyarrow")
     pages = pages.map_batches(add_canon_column, batch_format="pyarrow")

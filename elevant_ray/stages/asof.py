@@ -39,8 +39,15 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     """
     lc = [c for c in left_cols if c != key]
     rc = [c for c in right_cols if c != key]
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:
+        # empty input left schema-less blocks: nothing to join
+        import pyarrow as _pa
+        import ray.data as rd
+
+        return rd.from_arrow(_pa.table({}))
+    left_schema = ls.base_schema
+    right_schema = rs.base_schema
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {key: b.column(key), "__ts": b.column(left_ts),

@@ -46,6 +46,8 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
         # lineage — callers that know their schema statically should
         # pass it to avoid the extra pass
         s = ds.schema()
+        if s is None:  # empty schema-less input: nothing to dedup
+            return ds
         schema = pa.schema(
             [pa.field(n, t) for n, t in zip(s.names, s.types)])
     names = list(schema.names)

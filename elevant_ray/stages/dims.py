@@ -136,6 +136,8 @@ def to_prior_dicts(link_freq) -> Dict[str, object]:
     pdf = link_freq.to_pandas()
     freqs: Dict[str, Dict[str, int]] = {}
     aliases: Dict[str, set] = {}
+    if pdf.empty:  # empty corpus → empty dims (columns may be absent)
+        return {"link_frequencies": freqs, "entity_aliases": aliases}
     for alias, target, freq in pdf[["alias", "target", "freq"]].itertuples(index=False):
         freqs.setdefault(alias, {})[target] = int(freq)
         aliases.setdefault(target, set()).add(alias)
@@ -150,6 +152,8 @@ def to_broadcast_dicts(link_freq) -> Dict[str, object]:
     pdf = link_freq.to_pandas()
     alias_to_qids: Dict[str, List[str]] = {}
     popularity: Counter = Counter()
+    if pdf.empty:
+        return {"alias_to_qids": alias_to_qids, "popularity": dict(popularity)}
     for alias, target, freq in pdf[["alias", "target", "freq"]].itertuples(index=False):
         alias_to_qids.setdefault(alias, []).append(target)
         popularity[target] += int(freq)

@@ -26,6 +26,16 @@ def _as_matrix(col: Sequence[Sequence[float]]) -> np.ndarray:
     return m / norms
 
 
+def _empty_topk():
+    """Typed empty result for empty inputs (schema-only partitions)."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64())}))
+
+
 def _select_queries(embeddings, query_ids: List[int], id_col: str):
     """Vectorized `id ∈ query_ids` selection (pc.is_in mask per batch —
     never a per-row Python predicate over the full corpus)."""
@@ -48,6 +58,8 @@ def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
     import ray
 
     qtab = _select_queries(embeddings, query_ids, id_col)
+    if qtab.empty:
+        return _empty_topk()
     qtab = qtab.sort_values(id_col)
     qids = qtab[id_col].to_numpy()
     qmat = _as_matrix(qtab[vec_col].to_list())
@@ -101,6 +113,13 @@ def cosine_neardup_pairs(embeddings, threshold: float = 0.9,
     import ray
 
     full = embeddings.select_columns([id_col, vec_col]).to_pandas()
+    if full.empty:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "left": pa.array([], pa.int64()),
+            "right": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
     full = full.sort_values(id_col)
     all_ids = full[id_col].to_numpy(np.int64)
     all_mat = _as_matrix(full[vec_col].to_list())
@@ -137,6 +156,8 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
     import ray
 
     sample = embeddings.limit(sample_size).to_pandas()
+    if sample.empty:
+        return _empty_topk()
     smat = _as_matrix(sample[vec_col].to_list())
     rng = np.random.RandomState(7)
     cent = smat[rng.choice(len(smat), size=min(n_cells, len(smat)), replace=False)]
@@ -151,6 +172,8 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
     cent_ref = ray.put(cent)
 
     qtab = _select_queries(embeddings, query_ids, id_col)
+    if qtab.empty:
+        return _empty_topk()
     qtab = qtab.sort_values(id_col)
     qids = qtab[id_col].to_numpy()
     qmat = _as_matrix(qtab[vec_col].to_list())

@@ -142,6 +142,9 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 64):
         return pa.table({col: pa.array(u), "w": pa.array(c, pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({col: pa.array([], pa.int64()),
+                         "count": pa.array([], pa.int64())})
     merged = parts.groupby(col, as_index=False)["w"].sum()
     items, weights = _mg_compress(merged[col].to_numpy(),
                                   merged["w"].to_numpy(), capacity)
@@ -213,6 +216,11 @@ def approx_quantiles(ds, col: str, qs, group_cols=None,
         return pa.table(tbl)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({**{c: pa.array([], pa.string())
+                            for c in group_cols},
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
 
     def weighted_q(g: pd.DataFrame):
         order = np.argsort(g["v"].to_numpy(), kind="stable")

@@ -221,7 +221,14 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
                  partials.iter_batches(batch_format="pyarrow")]
         allp = pd.concat(parts, ignore_index=True) if parts else None
         if allp is None or allp.empty:
-            return allp
+            # empty input: a typed empty frame with the full output
+            # column set, so callers' selects / rounds / sorts still work
+            out_cols = {k: pd.Series([], dtype="object") for k in keys}
+            for c in (*sum_cols, *max_cols, *min_cols):
+                out_cols[c] = pd.Series([], dtype="float64")
+            if count_alias:
+                out_cols[count_alias] = pd.Series([], dtype="int64")
+            return pd.DataFrame(out_cols)
         spec = {c: "sum" for c in sum_cols}
         spec.update({c: "max" for c in max_cols})
         spec.update({c: "min" for c in min_cols})
