@@ -178,3 +178,39 @@ class TestClosureProperty:
                                  driver_cutoff=0).to_pandas()
         got = {(r.src, r.dst): r.depth for r in out.itertuples()}
         assert got == expected
+
+
+class TestLocalClosureProperty:
+    """The driver short-circuit path (semi-naive numpy squaring) against
+    a Floyd-Warshall oracle on denser random graphs than the distributed
+    property test can afford."""
+
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                    min_size=1, max_size=120))
+    @settings(max_examples=25, deadline=None)
+    def test_matches_floyd_warshall(self, edge_list):
+        import pyarrow as pa
+
+        from elevant_ray.stages.graph import _local_closure
+
+        edges = [(a, b) for a, b in edge_list if a != b]
+        if not edges:
+            return
+        nodes = sorted({n for e in edges for n in e})
+        INF = 10 ** 9
+        dist = {(a, b): INF for a in nodes for b in nodes}
+        for a, b in edges:
+            dist[(a, b)] = 1
+        for k in nodes:
+            for i in nodes:
+                for j in nodes:
+                    d = dist[(i, k)] + dist[(k, j)]
+                    if d < dist[(i, j)]:
+                        dist[(i, j)] = d
+        expected = {(a, b): d for (a, b), d in dist.items() if d < INF}
+
+        tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                        "dst": pa.array([b for _, b in edges], pa.int64())})
+        out = _local_closure(tbl, max_rounds=64).to_pandas()
+        got = {(r.src, r.dst): r.depth for r in out.itertuples()}
+        assert got == expected
