@@ -1499,10 +1499,13 @@ def linkage_clusters(sf_dir: str):
     from elevant_ray.pipelines.record_linkage import cluster_pages, prepare_pages
     from elevant_ray.sources.pages import synth_pages
 
-    pages = prepare_pages(synth_pages(sf_dir)).materialize()
-    if pages.count() == 0:
+    # metadata-only emptiness guard (a count() on the raw parquet read
+    # is free; materializing the synthesized corpus here would add a
+    # full extra pass before the flagship's own pinning)
+    if _read(sf_dir, "documents", ["doc_id"]).count() == 0:
         return pa.table({"url": pa.array([], pa.string()),
                          "cluster": pa.array([], pa.string())})
+    pages = prepare_pages(synth_pages(sf_dir))
     labels, _ = cluster_pages(pages, num_partitions=_shuffle_parts())
     return _det_sort(labels.rename_columns({"node": "url", "label": "cluster"}), "url")
 
