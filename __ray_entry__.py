@@ -1963,6 +1963,63 @@ def events_prop_buckets(sf_dir: str):
     return out
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per-language rates (en 10%,
+    de 50%, other 20%) by salted md5 bucket — content-stable under
+    repartitioning, no shuffle, and reproducible in SQL (the engine's
+    seeded-sampling replacement, like split_assign for splits)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        langs = b.column("lang").to_pylist()
+        keep = []
+        for i, lg in zip(ids, langs):
+            bucket = int(hashlib.md5(f"{lg}|{i}".encode()).hexdigest()[:6],
+                         16) % 100
+            rate = 10 if lg == "en" else 50 if lg == "de" else 20
+            keep.append(bucket < rate)
+        return b.filter(pa.array(keep, pa.bool_()))
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-size token chunking with overlap (window 100, stride 80) —
+    the training-data chunk/pack step.  Chunk boundaries computed
+    vectorized per batch (np.repeat + arange over per-doc chunk counts);
+    chunks exist while begin < n_tokens, so every non-empty doc gets
+    ceil(n/stride) chunks."""
+    import numpy as np
+
+    WINDOW, STRIDE = 100, 80
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = np.array([token_count(t) for t in b.column("text").to_pylist()],
+                     dtype=np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = -(-n // STRIDE)  # ceil(n/stride); 0 chunks for empty docs
+        tot = int(counts.sum())
+        rep_id = np.repeat(ids, counts)
+        rep_n = np.repeat(n, counts)
+        chunk_id = np.arange(tot) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        begin = chunk_id * STRIDE
+        end = np.minimum(begin + WINDOW, rep_n)
+        return pa.table({"doc_id": pa.array(rep_id, pa.int64()),
+                         "chunk_id": pa.array(chunk_id, pa.int64()),
+                         "begin_tok": pa.array(begin, pa.int64()),
+                         "end_tok": pa.array(end, pa.int64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"),
+                     ["doc_id", "chunk_id"])
+
+
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER join: every customer with their 1996 order count,
     zero-filled for customers with none.  The aggregate side collapses
@@ -2134,6 +2191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top3": doc_tfidf_top3,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
+        "docs_stratified_sample": docs_stratified_sample,
+        "doc_chunks": doc_chunks,
         # dedup
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -2542,6 +2601,32 @@ def oracle_sql() -> dict[str, str]:
                              AS bucket
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR),
+                                       1, 6))::INT64 % 100 AS bucket
+                FROM documents)
+            WHERE bucket < CASE WHEN lang = 'en' THEN 10
+                                WHEN lang = 'de' THEN 50
+                                ELSE 20 END
+            ORDER BY doc_id
+        """,
+        "doc_chunks": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+                FROM documents)
+            , c AS (
+                SELECT doc_id, n,
+                       unnest(range(0, CAST(ceil(n / 80.0) AS BIGINT)))
+                           AS chunk_id
+                FROM n WHERE n > 0)
+            SELECT doc_id, chunk_id,
+                   chunk_id * 80 AS begin_tok,
+                   LEAST(chunk_id * 80 + 100, n) AS end_tok
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "orders_nearby_counts": """
             SELECT a.o_orderkey,

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "doc_tfidf_top3",
     "doc_quality",
     "lang_id",
+    "doc_chunks",
+    "docs_stratified_sample",
     "events_heavy_hitters",
     "embedding_centroids",
     "dedup_exact",
