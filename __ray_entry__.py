@@ -50,18 +50,21 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-def _distinct_int(ds, col: str, cutoff: int = 256 << 20):
+def _distinct_int(ds, col: str, cutoff: int = None):
     """Distinct over one int column.  A Dataset ``groupby`` exists only
     to dedupe keys, at a fixed ~2.5 s exchange cost locally — under the
     cutoff the keys stream to the driver and dedupe with one np.unique
     (the result side of a set-op query is dimension-bounded); above it
     the distributed groupby runs."""
+    from elevant_ray.stages.util import scale_cutoff
+
     m = ds.materialize()
-    if m.size_bytes() > cutoff:
+    if m.size_bytes() > (cutoff if cutoff is not None
+                         else scale_cutoff(256 << 20)):
         from ray.data.aggregate import Count
 
         return (m.groupby(col).aggregate(Count(alias_name="_c"))
-                .select_columns([col]))
+                .select_columns([col]).materialize())
     import numpy as np
     import pandas as pd
 
@@ -70,7 +73,7 @@ def _distinct_int(ds, col: str, cutoff: int = 256 << 20):
     return pd.DataFrame({col: np.unique(np_columns(m, [col])[col])})
 
 
-def _det_sort(ds, by, descending=False, cutoff=256 << 20):
+def _det_sort(ds, by, descending=False, cutoff=None):
     """Deterministic result ordering for the driver contract.
 
     The trailing global sort on a query result exists only so results
@@ -86,6 +89,10 @@ def _det_sort(ds, by, descending=False, cutoff=256 << 20):
     if not isinstance(ds, ray.data.Dataset):
         df = ds
     else:
+        from elevant_ray.stages.util import scale_cutoff
+
+        if cutoff is None:
+            cutoff = scale_cutoff(256 << 20)
         m = ds.materialize()
         if m.count() == 0:
             # empty inputs (or fully-filtered pipelines) can leave
@@ -183,7 +190,9 @@ def q3_top_orders(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return b.append_column("rev", rev).select(["l_orderkey", "rev"])
 
-    if orders.size_bytes() <= (64 << 20):
+    from elevant_ray.stages.util import scale_cutoff
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
         o = np_columns(orders.map_batches(sel_orders, batch_format="pyarrow"),
                        ["o_orderkey", "o_orderdate"])
         odate = IntKeyMap(o["o_orderkey"], o["o_orderdate"])
@@ -280,7 +289,9 @@ def region_revenue(sf_dir: str):
     # the lineitem scan — zero shuffles before the tiny final groupby.
     # Beyond the cutoff, fall back to the hash-partitioned Dataset.join
     # (the 100 TB path).
-    if orders.size_bytes() <= (64 << 20):
+    from elevant_ray.stages.util import scale_cutoff
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
         o = np_columns(orders, ["o_orderkey", "o_custkey"])
         omap = IntKeyMap(o["o_orderkey"],
                          cmap.take_checked(o["o_custkey"]))
@@ -1110,7 +1121,9 @@ def dedup_simhash(sf_dir: str):
     edges = pairs.select_columns(["left", "right"])
     labels = connected_components(edges, num_partitions=_shuffle_parts())
 
-    if labels.size_bytes() <= (1 << 30):
+    from elevant_ray.stages.util import scale_cutoff as _sc
+
+    if labels.size_bytes() <= _sc(1 << 30):
         # near-dup label table ≪ corpus: broadcast it and label every doc
         # in one map (singletons keep their own id) — no outer-join
         # exchange.  Falls back to the join when labels outgrow a

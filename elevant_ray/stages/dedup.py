@@ -25,6 +25,9 @@ from elevant_ray.functions.minhash import (
 from elevant_ray.functions.tokens import md5_fingerprint
 
 
+from elevant_ray.stages.util import scale_cutoff as _scale_cutoff
+
+
 def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
     """Exact dedup: keep, per `key` group, the row with the smallest
     (`order_col`, then serialized-row lexicographic) — deterministic
@@ -484,7 +487,8 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
         # broadcast verification needs every doc's gram-hash blob in one
         # object-store dict: fine into the GBs, join-side beyond
         verify = ("broadcast"
-                  if doc_table.size_bytes() <= (64 << 20) else "join")
+                  if doc_table.size_bytes() <= _scale_cutoff(64 << 20)
+                  else "join")
 
     if verify == "broadcast":
         # candidate pairs keep only ids; both hash blobs come from the

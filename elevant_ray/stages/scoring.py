@@ -196,7 +196,10 @@ def verify_pairs(pairs, pages, id_col: str = "url",
     side = pages.select_columns([id_col, "text", "canon"])
 
     if side_mode == "auto":
-        side_mode = "broadcast" if pages.size_bytes() <= (64 << 20) else "join"
+        from elevant_ray.stages.util import scale_cutoff
+
+        side_mode = ("broadcast" if pages.size_bytes() <= scale_cutoff(64 << 20)
+                     else "join")
 
     if side_mode == "broadcast":
         side_ref = ray.put({r[id_col]: (r["text"], r["canon"])

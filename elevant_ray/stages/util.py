@@ -6,6 +6,20 @@ from __future__ import annotations
 _BCAST_CACHE: dict = {}
 
 
+def scale_cutoff(default: int) -> int:
+    """Broadcast/driver-short-circuit size cutoff in bytes.
+
+    ``ELEVANT_RAY_BROADCAST_CUTOFF`` overrides every small-side
+    broadcast / driver-combine decision at once — set it to 0 to force
+    the distributed fallback paths (hash-partitioned joins, Dataset
+    sorts, shuffle groupbys: the 100 TB code paths) on small data; the
+    conformance tests do exactly that."""
+    import os
+
+    v = os.environ.get("ELEVANT_RAY_BROADCAST_CUTOFF")
+    return int(v) if v is not None and v != "" else default
+
+
 def cached_get(ref):
     """Per-worker-process memoized ``ray.get`` for broadcast side data.
 

@@ -1,0 +1,73 @@
+"""Scale-path conformance: force the distributed fallbacks (hash-
+partitioned joins, Dataset sorts, shuffle distincts, join-side dedup
+labeling) by zeroing the broadcast cutoff, and check they produce the
+same results as the broadcast/driver short-circuits — on small data,
+against the DuckDB oracle where one exists, else against the
+default-path result.  These are the code paths a 100 TB run takes."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# queries whose size-cutoff branch swaps broadcast↔join / driver↔shuffle
+ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
+                  "repeat_customers"]
+PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+def _run(name: str) -> pd.DataFrame:
+    import ray.data
+
+    import __ray_entry__ as m
+
+    r = m.queries()[name](SF_DIR)
+    if isinstance(r, ray.data.Dataset):
+        r = r.to_pandas()
+    elif hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    return r
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_distributed_fallback_matches_oracle(name, ray_session, ddb,
+                                             monkeypatch):
+    import __ray_entry__ as m
+
+    monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+    got = _norm(_run(name))
+    want = _norm(ddb.execute(m.oracle_sql()[name]).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+@pytest.mark.parametrize("name", PATH_VS_PATH)
+def test_distributed_fallback_matches_broadcast_path(name, ray_session,
+                                                     monkeypatch):
+    default = _norm(_run(name))
+    monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+    fallback = _norm(_run(name))
+    pd.testing.assert_frame_equal(fallback, default, check_dtype=False)
