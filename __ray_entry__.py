@@ -2135,6 +2135,46 @@ def doc_token_quantiles_approx(sf_dir: str):
                             group_cols=["lang"])
 
 
+def user_top_event(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (ties → the
+    lexicographically smallest type, the reference's deterministic
+    tie-break discipline).  One two-phase count on the bounded
+    (user, type) key, argmax on the driver."""
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cnt = partial_group_agg(ds, ["user_id", "event_type"],
+                            count_alias="n", combine="driver")
+    cnt = cnt.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+    top = cnt.drop_duplicates("user_id").reset_index(drop=True)
+    top["n"] = top["n"].astype("int64")
+    return top[["user_id", "event_type", "n"]]
+
+
+def events_moving_avg(sf_dir: str):
+    """Window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): 3-event
+    moving average of value per user, ordered by (ts, event_id) — one
+    bucket shuffle, vectorized pandas rolling per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ma = (g.groupby("user_id")["value"]
+              .rolling(3, min_periods=1).mean().reset_index(drop=True))
+        out = g[["user_id", "event_id"]].copy()
+        out["moving_avg"] = np.floor(ma.to_numpy() * 1e4 + 0.5) / 1e4
+        return out
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "user_id", per_bucket),
+                     ["user_id", "event_id"])
+
+
 def events_heavy_hitters(sf_dir: str):
     """Approximate top-10 users by event count via a Misra-Gries
     mergeable summary + exact recount of survivors
@@ -2194,6 +2234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": events_user_gaps,
         "events_heavy_hitters": events_heavy_hitters,
         "events_prop_buckets": events_prop_buckets,
+        "user_top_event": user_top_event,
+        "events_moving_avg": events_moving_avg,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
@@ -2549,6 +2591,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY k_bucket ORDER BY k_bucket
+        """,
+        "user_top_event": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC,
+                                                     event_type) AS rn
+                  FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "events_moving_avg": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS moving_avg
+            FROM events ORDER BY user_id, event_id
         """,
         "events_user_gaps": """
             WITH g AS (

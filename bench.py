@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "docs_stratified_sample",
     "events_heavy_hitters",
+    "user_top_event",
+    "events_moving_avg",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
