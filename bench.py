@@ -234,23 +234,30 @@ def run_scaling(sf_dir: str, levels=(8, 32), replicate: int = 0,
               file=sys.stderr)
     pages = _num_pages(sf_dir)
     results = {}
+    ambient = {}
     for cpus in levels:
         best = None
+        loads = []
         for rep in range(repeats):
+            pre_load = os.getloadavg()[0]
             cmd = [sys.executable, os.path.abspath(__file__), "--one",
                    FLAGSHIP, "--num-cpus", str(cpus), "--sf-dir", sf_dir]
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  check=True)
             child = json.loads(out.stdout.strip().splitlines()[-1])
+            post_load = os.getloadavg()[0]
+            loads.append(round(max(pre_load, post_load), 1))
             print(f"# scaling num_cpus={cpus} rep{rep}: "
                   f"{child['elapsed']:.3f}s "
-                  f"-> {pages / child['elapsed']:.1f} pages/s",
+                  f"-> {pages / child['elapsed']:.1f} pages/s "
+                  f"(loadavg {pre_load:.1f}->{post_load:.1f})",
                   file=sys.stderr)
             # min over repeats: the host box is shared, so the fastest
             # run is the least-interfered estimate of true cost
             if best is None or child["elapsed"] < best["elapsed"]:
                 best = child
         results[cpus] = best
+        ambient[cpus] = loads
     lo, hi = levels
     thr = {c: pages / results[c]["elapsed"] for c in levels}
     eff = thr[hi] / (thr[lo] * (hi / lo))
@@ -264,6 +271,10 @@ def run_scaling(sf_dir: str, levels=(8, 32), replicate: int = 0,
         },
         "sf": sf_dir, "num_cpus": hi, "pages": pages,
         "levels": list(levels),
+        # ambient 1-min load average around each repeat: on this shared
+        # single-CPU host the ratio is only meaningful when these are
+        # comparable across levels (see BASELINE.md)
+        "ambient_loadavg": {str(c): ambient[c] for c in levels},
     }
 
 
