@@ -2187,6 +2187,91 @@ def events_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, "user_id", k=10, capacity=64)
 
 
+def bigram_counts(sf_dir: str):
+    """Order-2 n-gram counts (language-model build step): per-batch
+    partial Counters → small (w1, w2) shuffle (stages/text_stats);
+    result ordering via _det_sort (driver-side under the cutoff)."""
+    from elevant_ray.stages.text_stats import bigram_counts as bc
+
+    return _det_sort(bc(_read(sf_dir, "documents", ["text"]), sort=False),
+                     ["w1", "w2"])
+
+
+def customer_ntile(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal,
+    c_custkey): equal-depth quartile assignment per segment.  One bucket
+    shuffle co-locates each segment, then the exact NTILE split (first
+    n%4 tiles get one extra row) is computed vectorized from per-segment
+    rank and size — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"],
+                          kind="stable")
+        grp = g.groupby("c_mktsegment")
+        n = grp["c_custkey"].transform("size").to_numpy()
+        r = grp.cumcount().to_numpy()
+        q, rem = n // 4, n % 4
+        boundary = rem * (q + 1)
+        tile = np.where(r < boundary, r // (q + 1),
+                        rem + (r - boundary) // np.maximum(q, 1))
+        out = g[["c_custkey", "c_mktsegment", "c_acctbal"]].copy()
+        out["tile"] = (tile + 1).astype("int64")
+        return out
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "c_mktsegment", per_bucket),
+                     ["c_mktsegment", "tile", "c_custkey"])
+
+
+def lineitem_price_corr(sf_dir: str):
+    """Grouped Pearson correlation of quantity vs extended price per
+    return flag — the canonical mergeable-moments aggregate: one scan
+    emits per-batch partial (n, Σx, Σy, Σxy, Σx², Σy²), the driver
+    combines the ≤ groups × blocks partial rows and closes the corr
+    formula.  Exactly associative; no second pass over the fact table."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("l_quantity"), pa.float64())
+        y = pc.cast(b.column("l_extendedprice"), pa.float64())
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "sx": x, "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sx2": pc.multiply(x, x),
+            "sy2": pc.multiply(y, y),
+        })
+
+    agg = partial_group_agg(ds.map_batches(moments, batch_format="pyarrow"),
+                            ["l_returnflag"],
+                            sum_cols=["sx", "sy", "sxy", "sx2", "sy2"],
+                            count_alias="n_rows", combine="driver")
+    n = agg["n_rows"].to_numpy(dtype=np.float64)
+    cov = n * agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy()
+    vx = n * agg["sx2"].to_numpy() - agg["sx"].to_numpy() ** 2
+    vy = n * agg["sy2"].to_numpy() - agg["sy"].to_numpy() ** 2
+    denom = np.sqrt(vx * vy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.where(denom > 0, cov / denom, np.nan)
+    out = agg[["l_returnflag"]].copy()
+    # half-away-from-zero to match SQL ROUND; sign-aware since corr < 0
+    out["price_qty_corr"] = (
+        np.sign(corr) * np.floor(np.abs(corr) * 1e6 + 0.5) / 1e6)
+    out["n_rows"] = agg["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2221,6 +2306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_in_customer": orders_rank_in_customer,
         "orders_price_histogram": orders_price_histogram,
         "small_quantity_revenue": small_quantity_revenue,
+        "customer_ntile": customer_ntile,
+        "lineitem_price_corr": lineitem_price_corr,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -2242,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": doc_token_quantiles,
         "doc_token_quantiles_approx": doc_token_quantiles_approx,
         "unigram_counts": unigram_counts,
+        "bigram_counts": bigram_counts,
         "doc_quality": doc_quality,
         "doc_tfidf_top3": doc_tfidf_top3,
         "lang_id": lang_id,
@@ -2790,6 +2878,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
                   FROM documents)
             GROUP BY token ORDER BY token
+        """,
+        "bigram_counts": """
+            SELECT w1, w2, count(*)::BIGINT AS count
+            FROM (
+              SELECT tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY sub) AS w2
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+                           generate_subscripts(
+                               regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS sub
+                    FROM documents)
+            ) WHERE w2 IS NOT NULL
+            GROUP BY w1, w2 ORDER BY w1, w2
+        """,
+        "customer_ntile": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tile
+            FROM customer
+            ORDER BY c_mktsegment, tile, c_custkey
+        """,
+        "lineitem_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "doc_quality": f"""
             SELECT doc_id,

@@ -58,3 +58,32 @@ def unigram_counts(ds, text_col: str = "text"):
     return (partials.groupby("token")
             .aggregate(Sum("partial", alias_name="count"))
             .sort("token"))
+
+
+def _partial_bigram_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    counts: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = unigrams(t)
+        counts.update(zip(toks, toks[1:]))
+    keys = list(counts.keys())
+    return pa.table({
+        "w1": pa.array([k[0] for k in keys], pa.string()),
+        "w2": pa.array([k[1] for k in keys], pa.string()),
+        "partial": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def bigram_counts(ds, text_col: str = "text", sort: bool = True):
+    """Adjacent-token-pair counts over the corpus — the n-gram language
+    model build step.  Same two-phase shape as ``unigram_counts``
+    (count_unigrams.py:12-31 generalized to order 2): per-batch partial
+    Counters keep the shuffle at (distinct bigrams × blocks) rows, not
+    one row per token occurrence.  ``sort=False`` skips the trailing
+    range exchange when the caller orders the result itself."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: _partial_bigram_counts(b, text_col), batch_format="pyarrow")
+    out = (partials.groupby(["w1", "w2"])
+           .aggregate(Sum("partial", alias_name="count")))
+    return out.sort(["w1", "w2"]) if sort else out
