@@ -2272,6 +2272,210 @@ def lineitem_price_corr(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def orders_yearly_growth(sf_dir: str):
+    """Window over an aggregate: yearly revenue with year-over-year
+    delta.  The fact scan reduces to one tiny per-year partial table
+    (integer cents for associative exactness); the lag() runs on the
+    driver over ≤ a few dozen year rows."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), pa.scalar(100.0))), pa.int64()),
+        })
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["year"], sum_cols=["cents"],
+                            count_alias="n_orders", combine="driver")
+    agg = agg.sort_values("year").reset_index(drop=True)
+    rev = agg["cents"].to_numpy(dtype=np.int64)
+    delta = np.concatenate(([0], np.diff(rev))) if len(rev) else rev
+    out = agg[["year"]].copy()
+    out["revenue"] = rev / 100.0
+    out["n_orders"] = agg["n_orders"].astype("int64")
+    # first year has no predecessor: COALESCE(..., 0) in the oracle too
+    out["yoy_delta"] = delta / 100.0
+    out["year"] = out["year"].astype("int64")
+    return out
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: customers whose balance exceeds the global
+    positive-balance average and who placed no order since 1998,
+    counted per segment.  The scalar subquery is one mergeable
+    (Σcents, n) partial reduce broadcast back into the scan; the
+    NOT-EXISTS side is a distinct custkey membership mask (bounded by
+    customer cardinality — IntKeyMap broadcast, same discipline as
+    customers_inactive).  The threshold compare runs in exact integer
+    arithmetic (cents · n > Σcents) so no float boundary can flip a
+    row."""
+    import datetime
+
+    import numpy as np
+
+    from elevant_ray.stages.util import (
+        IntKeyMap, np_columns, partial_group_agg,
+    )
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("c_acctbal"), pa.scalar(100.0))), pa.int64())
+        keep = pc.greater(cents, pa.scalar(0, pa.int64()))
+        cents = pc.filter(cents, keep)
+        return pa.table({"k": pa.array([0] * len(cents), pa.int8()),
+                         "cents": cents})
+
+    pos = partial_group_agg(cust.map_batches(pos_partial,
+                                             batch_format="pyarrow"),
+                            ["k"], sum_cols=["cents"], count_alias="n",
+                            combine="driver")
+    if len(pos) == 0:
+        scents, n_pos = 0, 0
+    else:
+        scents = int(pos["cents"].iloc[0])
+        n_pos = int(pos["n"].iloc[0])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("o_orderdate"),
+                                pa.scalar(datetime.datetime(1998, 1, 1)))
+        return b.filter(keep).select(["o_custkey"])
+
+    active = np.unique(np_columns(
+        orders.map_batches(recent, batch_format="pyarrow"),
+        ["o_custkey"])["o_custkey"])
+    amap = IntKeyMap(active)
+
+    def pick(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("c_acctbal"), pa.scalar(100.0))), pa.int64())
+        above = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                           pa.scalar(scents, pa.int64()))
+        no_orders = ~amap.contains(
+            b.column("c_custkey").to_numpy(zero_copy_only=False))
+        m = pc.and_(above, pa.array(no_orders))
+        return pa.table({
+            "c_mktsegment": pc.filter(b.column("c_mktsegment"), m),
+            "cents": pc.filter(cents, m),
+        })
+
+    agg = partial_group_agg(cust.map_batches(pick, batch_format="pyarrow"),
+                            ["c_mktsegment"], sum_cols=["cents"],
+                            count_alias="n_cust", combine="driver")
+    out = agg[["c_mktsegment"]].copy()
+    out["n_cust"] = agg["n_cust"].astype("int64")
+    out["total_bal"] = agg["cents"] / 100.0
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def part_min_cost_supplier(sf_dir: str):
+    """Per-part argmin join (TPC-H Q2 shape on lineitem): for every part,
+    the cheapest extended price seen and the smallest supplier key
+    achieving it, joined to the supplier name.  Two-phase argmin: each
+    batch reduces to one candidate row per part (lexicographic
+    (price, suppkey) min via vectorized sort + drop_duplicates), then one
+    bucket shuffle finishes the reduction per part; the supplier
+    dimension broadcasts as an IntKeyMap."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (
+        IntKeyMap, bucketed_group_apply, partial_group_agg,
+    )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    skeys = np.fromiter((r["s_suppkey"] for r in sup), dtype=np.int64,
+                        count=len(sup))
+    smap = IntKeyMap(skeys, np.array([r["s_name"] for r in sup],
+                                     dtype=object))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def reduce_frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "l_extendedprice", "l_suppkey"],
+                          kind="stable")
+        return g.drop_duplicates("l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(reduce_frame(b.to_pandas()),
+                                    preserve_index=False)
+
+    reduced = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "l_partkey", reduce_frame)
+
+    def finish(b: pa.Table) -> pa.Table:
+        names = smap.take_checked(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "p_partkey": b.column("l_partkey"),
+            "min_price": b.column("l_extendedprice"),
+            "supplier_name": pa.array(names, pa.string()),
+        })
+
+    return _det_sort(reduced.map_batches(finish, batch_format="pyarrow"),
+                     ["p_partkey"])
+
+
+def nation_segment_cube(sf_dir: str):
+    """CUBE(nationkey, segment) over customers: all four grouping sets
+    (fine, two marginals, grand total) derived from ONE scan — the fine
+    (nation, segment) partial aggregate is dimension-bounded, so the
+    coarser levels re-aggregate it on the driver instead of re-scanning
+    the fact table (same discipline as nation_region_rollup).  Sentinels:
+    nationkey −1 / segment 'ALL'."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment",
+                                    "c_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "segment": b.column("c_mktsegment"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("c_acctbal"), pa.scalar(100.0))), pa.int64()),
+        })
+
+    fine = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["nationkey", "segment"], sum_cols=["cents"],
+                             count_alias="n_cust", combine="driver")
+    if fine.empty:
+        # SQL CUBE over an empty table still yields the () grouping set
+        return pd.DataFrame({"nationkey": pd.array([-1], dtype="int64"),
+                             "segment": ["ALL"],
+                             "n_cust": pd.array([0], dtype="int64"),
+                             "bal_cents": pd.array([0], dtype="int64")})
+    by_nation = fine.groupby("nationkey", as_index=False).agg(
+        n_cust=("n_cust", "sum"), cents=("cents", "sum"))
+    by_nation["segment"] = "ALL"
+    by_seg = fine.groupby("segment", as_index=False).agg(
+        n_cust=("n_cust", "sum"), cents=("cents", "sum"))
+    by_seg["nationkey"] = -1
+    total = pd.DataFrame({"nationkey": [-1], "segment": ["ALL"],
+                          "n_cust": [fine["n_cust"].sum()],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, by_nation, by_seg, total], ignore_index=True)
+    out["nationkey"] = out["nationkey"].astype("int64")
+    out["n_cust"] = out["n_cust"].astype("int64")
+    out["bal_cents"] = out["cents"].astype("int64")
+    return (out[["nationkey", "segment", "n_cust", "bal_cents"]]
+            .sort_values(["nationkey", "segment"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2308,6 +2512,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": small_quantity_revenue,
         "customer_ntile": customer_ntile,
         "lineitem_price_corr": lineitem_price_corr,
+        "orders_yearly_growth": orders_yearly_growth,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "part_min_cost_supplier": part_min_cost_supplier,
+        "nation_segment_cube": nation_segment_cube,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -2905,6 +3113,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "orders_yearly_growth": """
+            WITH y AS (
+              SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS year,
+                     round(sum(o_totalprice), 2) AS revenue,
+                     count(*)::BIGINT AS n_orders
+              FROM orders GROUP BY 1)
+            SELECT year, revenue, n_orders,
+                   COALESCE(round(revenue - lag(revenue) OVER (ORDER BY year), 2),
+                            0) AS yoy_delta
+            FROM y ORDER BY year
+        """,
+        "q22_sales_opportunity": """
+            WITH pos AS (
+              SELECT CAST(round(sum(c_acctbal * 100)) AS BIGINT) AS scents,
+                     count(*)::BIGINT AS n
+              FROM customer
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+            SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer, pos
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.scents
+              AND c_custkey NOT IN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "part_min_cost_supplier": """
+            SELECT l_partkey AS p_partkey, l_extendedprice AS min_price,
+                   s_name AS supplier_name
+            FROM (SELECT l_partkey, l_extendedprice, l_suppkey,
+                         row_number() OVER (PARTITION BY l_partkey
+                                            ORDER BY l_extendedprice,
+                                                     l_suppkey) AS rn
+                  FROM lineitem) t
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rn = 1 ORDER BY p_partkey
+        """,
+        "nation_segment_cube": """
+            SELECT COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+                   COALESCE(c_mktsegment, 'ALL') AS segment,
+                   count(*)::BIGINT AS n_cust,
+                   CAST(round(sum(c_acctbal * 100)) AS BIGINT) AS bal_cents
+            FROM customer
+            GROUP BY CUBE(c_nationkey, c_mktsegment)
+            ORDER BY nationkey, segment
         """,
         "doc_quality": f"""
             SELECT doc_id,

@@ -46,8 +46,8 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
         result = result.to_pandas()
     elif hasattr(result, "to_pandas"):
         result = result.to_pandas()
-    if name == "nation_region_rollup":
-        # SQL ROLLUP keeps the () grouping set: aggregating an empty
+    if name in ("nation_region_rollup", "nation_segment_cube"):
+        # SQL ROLLUP/CUBE keep the () grouping set: aggregating an empty
         # table still yields the grand-total row (DuckDB agrees)
         assert len(result) == 1
     else:
