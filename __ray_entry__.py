@@ -2476,6 +2476,81 @@ def nation_segment_cube(sf_dir: str):
             .sort_values(["nationkey", "segment"]).reset_index(drop=True))
 
 
+def party_nations_union(sf_dir: str):
+    """UNION (distinct) set-op: every nation key appearing on either the
+    customer or the supplier side.  ``Dataset.union`` concatenates the
+    two projected scans lazily (no shuffle); the distinct is one bounded
+    key dedup (_distinct_int — driver np.unique under the cutoff, the
+    distributed groupby above it)."""
+    def proj(table: str, col: str):
+        ds = _read(sf_dir, table, [col])
+
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"nationkey": pc.cast(b.column(col), pa.int64())})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    u = proj("customer", "c_nationkey").union(proj("supplier", "s_nationkey"))
+    return _det_sort(_distinct_int(u, "nationkey"), ["nationkey"])
+
+
+def brand_names_concat(sf_dir: str):
+    """Ordered grouped string concatenation (string_agg ... ORDER BY):
+    per brand, all part names joined '|' in part-key order.  One bucket
+    shuffle co-locates each brand; the concat is a vectorized pandas
+    sort + groupby-join per bucket, never a per-row Python loop."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_name"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "p_partkey"], kind="stable")
+        out = g.groupby("p_brand", as_index=False).agg(
+            names=("p_name", "|".join),
+            n_parts=("p_name", "size"))
+        out["n_parts"] = out["n_parts"].astype("int64")
+        return out
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "p_brand", per_bucket),
+                     ["p_brand"])
+
+
+def orders_weekly_gapfill(sf_dir: str):
+    """Time-spine gap fill: weekly order counts INCLUDING zero weeks —
+    the resample step of a time-series pipeline.  The fact scan reduces
+    to per-week partials (week = date_trunc); the spine (bounded:
+    weeks between global min and max) is generated on the driver and
+    left-joined against the tiny aggregate there."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(b.column("o_orderdate"), unit="week")
+        return pa.table({"week": pc.cast(wk, pa.timestamp("us"))})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["week"], count_alias="n_orders",
+                            combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"week": pd.Series([], dtype="datetime64[us]"),
+                             "n_orders": pd.Series([], dtype="int64")})
+    agg["week"] = pd.to_datetime(agg["week"])
+    spine = pd.DataFrame({"week": pd.date_range(
+        agg["week"].min(), agg["week"].max(), freq="7D")})
+    out = spine.merge(agg, on="week", how="left")
+    out["n_orders"] = np.nan_to_num(
+        out["n_orders"].to_numpy(dtype=np.float64)).astype("int64")
+    out["week"] = out["week"].astype("datetime64[us]")
+    return out.sort_values("week").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2516,6 +2591,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_sales_opportunity": q22_sales_opportunity,
         "part_min_cost_supplier": part_min_cost_supplier,
         "nation_segment_cube": nation_segment_cube,
+        "party_nations_union": party_nations_union,
+        "brand_names_concat": brand_names_concat,
+        "orders_weekly_gapfill": orders_weekly_gapfill,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -3159,6 +3237,30 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY CUBE(c_nationkey, c_mktsegment)
             ORDER BY nationkey, segment
+        """,
+        "party_nations_union": """
+            SELECT nationkey FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+              UNION
+              SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+            ORDER BY nationkey
+        """,
+        "brand_names_concat": """
+            SELECT p_brand,
+                   string_agg(p_name, '|' ORDER BY p_partkey) AS names,
+                   count(*)::BIGINT AS n_parts
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "orders_weekly_gapfill": """
+            WITH w AS (SELECT date_trunc('week', o_orderdate) AS week,
+                              count(*)::BIGINT AS n
+                       FROM orders GROUP BY 1),
+                 spine AS (SELECT unnest(generate_series(
+                              (SELECT min(week) FROM w),
+                              (SELECT max(week) FROM w),
+                              INTERVAL 7 DAY)) AS week)
+            SELECT spine.week AS week, COALESCE(w.n, 0)::BIGINT AS n_orders
+            FROM spine LEFT JOIN w USING (week) ORDER BY week
         """,
         "doc_quality": f"""
             SELECT doc_id,

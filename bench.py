@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "events_heavy_hitters",
     "user_top_event",
     "events_moving_avg",
+    "bigram_counts",
+    "lineitem_price_corr",
+    "customer_ntile",
+    "part_min_cost_supplier",
+    "orders_weekly_gapfill",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
