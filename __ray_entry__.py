@@ -2203,27 +2203,22 @@ def customer_ntile(sf_dir: str):
     shuffle co-locates each segment, then the exact NTILE split (first
     n%4 tiles get one extra row) is computed vectorized from per-segment
     rank and size — no per-row Python."""
-    import numpy as np
     import pandas as pd
 
     ds = _read(sf_dir, "customer",
                ["c_custkey", "c_mktsegment", "c_acctbal"])
 
+    from elevant_ray.stages.util import bucketed_group_apply, ntile_assign
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"],
                           kind="stable")
         grp = g.groupby("c_mktsegment")
-        n = grp["c_custkey"].transform("size").to_numpy()
-        r = grp.cumcount().to_numpy()
-        q, rem = n // 4, n % 4
-        boundary = rem * (q + 1)
-        tile = np.where(r < boundary, r // (q + 1),
-                        rem + (r - boundary) // np.maximum(q, 1))
         out = g[["c_custkey", "c_mktsegment", "c_acctbal"]].copy()
-        out["tile"] = (tile + 1).astype("int64")
+        out["tile"] = ntile_assign(
+            grp["c_custkey"].transform("size").to_numpy(),
+            grp.cumcount().to_numpy(), 4)
         return out
-
-    from elevant_ray.stages.util import bucketed_group_apply
 
     return _det_sort(bucketed_group_apply(ds, "c_mktsegment", per_bucket),
                      ["c_mktsegment", "tile", "c_custkey"])
@@ -2257,13 +2252,10 @@ def lineitem_price_corr(sf_dir: str):
                             ["l_returnflag"],
                             sum_cols=["sx", "sy", "sxy", "sx2", "sy2"],
                             count_alias="n_rows", combine="driver")
-    n = agg["n_rows"].to_numpy(dtype=np.float64)
-    cov = n * agg["sxy"].to_numpy() - agg["sx"].to_numpy() * agg["sy"].to_numpy()
-    vx = n * agg["sx2"].to_numpy() - agg["sx"].to_numpy() ** 2
-    vy = n * agg["sy2"].to_numpy() - agg["sy"].to_numpy() ** 2
-    denom = np.sqrt(vx * vy)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        corr = np.where(denom > 0, cov / denom, np.nan)
+    from elevant_ray.stages.util import pearson_from_moments
+
+    corr = pearson_from_moments(agg["n_rows"], agg["sx"], agg["sy"],
+                                agg["sxy"], agg["sx2"], agg["sy2"])
     out = agg[["l_returnflag"]].copy()
     # half-away-from-zero to match SQL ROUND; sign-aware since corr < 0
     out["price_qty_corr"] = (

@@ -365,3 +365,44 @@ def pin_schema(ds, schema):
         return b.select(schema.names).cast(schema)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ntile_assign(sizes, ranks, tiles: int):
+    """Exact SQL NTILE(tiles): 1-based tile for each row given its
+    0-based rank within its partition and the partition size (both
+    per-row arrays, so whole buckets of many partitions vectorize in
+    one call).  SQL semantics: the first ``n % tiles`` tiles get one
+    extra row; partitions smaller than ``tiles`` yield tiles 1..n."""
+    import numpy as np
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    ranks = np.asarray(ranks, dtype=np.int64)
+    q, rem = sizes // tiles, sizes % tiles
+    boundary = rem * (q + 1)
+    tile = np.where(ranks < boundary, ranks // (q + 1),
+                    rem + (ranks - boundary) // np.maximum(q, 1))
+    return (tile + 1).astype(np.int64)
+
+
+def pearson_from_moments(n, sx, sy, sxy, sx2, sy2):
+    """Pearson correlation closed from mergeable per-group moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the combine step of the distributed
+    corr aggregate.  Degenerate groups (zero variance) → NaN, matching
+    SQL corr()."""
+    import numpy as np
+
+    n = np.asarray(n, dtype=np.float64)
+    sx, sy = np.asarray(sx, np.float64), np.asarray(sy, np.float64)
+    sx2, sy2 = np.asarray(sx2, np.float64), np.asarray(sy2, np.float64)
+    cov = n * np.asarray(sxy, np.float64) - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    # n·Σx² − (Σx)² cancels catastrophically for (near-)constant groups:
+    # clamp anything below the roundoff floor of its operands to true
+    # zero variance so degenerate groups yield NaN, not float noise
+    tol = 4 * np.finfo(np.float64).eps
+    vx = np.where(vx <= tol * (n * np.abs(sx2) + sx * sx), 0.0, vx)
+    vy = np.where(vy <= tol * (n * np.abs(sy2) + sy * sy), 0.0, vy)
+    denom = np.sqrt(vx * vy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(denom > 0, cov / denom, np.nan)

@@ -1,0 +1,84 @@
+"""Property tests for the window/aggregate combine kernels backing the
+driver-contract queries: exact SQL NTILE assignment and the Pearson
+correlation closed from mergeable moment sums."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elevant_ray.stages.util import ntile_assign, pearson_from_moments
+
+
+def _ntile_reference(n: int, k: int) -> list[int]:
+    """SQL NTILE per the standard: sizes differ by at most one, larger
+    tiles first (one row per rank, 1-based tile numbers)."""
+    q, rem = divmod(n, k)
+    out = []
+    for tile in range(1, k + 1):
+        out.extend([tile] * (q + (1 if tile <= rem else 0)))
+    return out
+
+
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                max_size=8),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=200, deadline=None)
+def test_ntile_matches_sql_semantics(group_sizes, k):
+    # build the per-row (size, rank) arrays for several partitions at
+    # once — the same shape the bucketed query kernel feeds it
+    sizes = np.concatenate([np.full(n, n) for n in group_sizes])
+    ranks = np.concatenate([np.arange(n) for n in group_sizes])
+    got = ntile_assign(sizes, ranks, k)
+    want = np.concatenate([_ntile_reference(n, k) for n in group_sizes])
+    assert (got == want).all()
+
+
+def test_ntile_small_partitions_use_leading_tiles():
+    # n < k: each row its own tile, numbered 1..n (DuckDB agrees)
+    assert ntile_assign([2, 2], [0, 1], 4).tolist() == [1, 2]
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=3, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_pearson_from_moments_matches_numpy(xy):
+    x = np.array([p[0] for p in xy])
+    y = np.array([p[1] for p in xy])
+    n = len(x)
+    got = pearson_from_moments(
+        [n], [x.sum()], [y.sum()], [(x * y).sum()],
+        [(x * x).sum()], [(y * y).sum()])[0]
+    if np.std(x) == 0 or np.std(y) == 0:
+        assert np.isnan(got)
+        return
+    want = np.corrcoef(x, y)[0, 1]
+    if np.isnan(want) or np.isnan(got):
+        # one side hit its degenerate-variance floor (near-constant
+        # column): both forms must agree it is not a meaningful corr
+        assert np.isnan(got) or abs(got) <= 1 + 1e-9
+        return
+    # moment form is less numerically stable than the centered form;
+    # bounded data keeps them within a loose float tolerance
+    assert got == np.clip(got, -1 - 1e-9, 1 + 1e-9)
+    assert abs(got - want) < 1e-4
+
+
+def test_pearson_split_merge_associativity():
+    # merging per-batch moment partials must equal the single-pass result
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=1000)
+    y = 0.3 * x + rng.normal(size=1000)
+    parts = np.array_split(np.arange(1000), 7)
+    n = sum(len(p) for p in parts)
+    sx = sum(x[p].sum() for p in parts)
+    sy = sum(y[p].sum() for p in parts)
+    sxy = sum((x[p] * y[p]).sum() for p in parts)
+    sx2 = sum((x[p] * x[p]).sum() for p in parts)
+    sy2 = sum((y[p] * y[p]).sum() for p in parts)
+    merged = pearson_from_moments([n], [sx], [sy], [sxy], [sx2], [sy2])[0]
+    single = pearson_from_moments(
+        [1000], [x.sum()], [y.sum()], [(x * y).sum()],
+        [(x * x).sum()], [(y * y).sum()])[0]
+    assert abs(merged - single) < 1e-12
