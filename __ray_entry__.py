@@ -2543,6 +2543,84 @@ def orders_weekly_gapfill(sf_dir: str):
     return out.sort_values("week").reset_index(drop=True)
 
 
+def user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — the
+    information-theoretic grouped aggregate (a behavioral-diversity /
+    bot-detection feature at corpus scale).  One two-phase count on the
+    bounded (user, type) key; the entropy closes vectorized on the
+    driver from the count partials (−Σ p·log₂p per user via one
+    np.add.at scatter, no per-user Python loop)."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cnt = partial_group_agg(ds, ["user_id", "event_type"],
+                            count_alias="n", combine="driver")
+    if cnt.empty:
+        import pandas as pd
+
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "entropy": pd.Series([], dtype="float64"),
+            "n_events": pd.Series([], dtype="int64")})
+    users, inv = np.unique(cnt["user_id"].to_numpy(), return_inverse=True)
+    n = cnt["n"].to_numpy(dtype=np.float64)
+    tot = np.zeros(len(users))
+    np.add.at(tot, inv, n)
+    p = n / tot[inv]
+    h = np.zeros(len(users))
+    np.add.at(h, inv, -p * np.log2(p))
+    # +0.0 normalizes IEEE −0.0 (single-type users) to +0.0, matching
+    # the oracle's `+ 0`; half-away rounding is moot for h ≥ 0
+    h = np.floor(h * 1e6 + 0.5) / 1e6 + 0.0
+    import pandas as pd
+
+    return pd.DataFrame({"user_id": users.astype("int64"), "entropy": h,
+                         "n_events": tot.astype("int64")})
+
+
+def doc_token_quartiles_cont(sf_dir: str):
+    """Interpolated (continuous) per-language token-count quartiles —
+    quantile_cont, the linear-interpolation counterpart of the exact
+    percentile_disc stage.  Quartile fractions are dyadic (k/4), so the
+    interpolated values are exactly representable doubles and the
+    oracle compares bit-exact.  Long-format result, one bucket shuffle
+    per language."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    counts = ds.map_batches(f, batch_format="pyarrow")
+
+    QS = (0.25, 0.5, 0.75)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in g.groupby("lang"):
+            v = np.sort(sub["n_tokens"].to_numpy(dtype=np.float64))
+            qv = np.quantile(v, QS, method="linear")
+            rows.append(pd.DataFrame(
+                {"lang": lang, "q": QS, "n_tokens": qv}))
+        return (pd.concat(rows, ignore_index=True) if rows
+                else pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                   "q": pd.Series([], dtype="float64"),
+                                   "n_tokens": pd.Series([], dtype="float64")}))
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(counts, "lang", per_bucket),
+                     ["lang", "q"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2600,11 +2678,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": events_heavy_hitters,
         "events_prop_buckets": events_prop_buckets,
         "user_top_event": user_top_event,
+        "user_event_entropy": user_event_entropy,
         "events_moving_avg": events_moving_avg,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
         "doc_token_quantiles": doc_token_quantiles,
+        "doc_token_quartiles_cont": doc_token_quartiles_cont,
         "doc_token_quantiles_approx": doc_token_quantiles_approx,
         "unigram_counts": unigram_counts,
         "bigram_counts": bigram_counts,
@@ -3242,6 +3322,31 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(p_name, '|' ORDER BY p_partkey) AS names,
                    count(*)::BIGINT AS n_parts
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS n
+                       FROM events GROUP BY 1, 2),
+                 t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.user_id,
+                   round(sum(-(n / tot) * log2(n / tot)), 6) + 0 AS entropy,
+                   CAST(t.tot AS BIGINT) AS n_events
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot ORDER BY c.user_id
+        """,
+        "doc_token_quartiles_cont": """
+            WITH c AS (SELECT lang,
+                              length(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+                       FROM documents)
+            SELECT lang, 0.25::DOUBLE AS q,
+                   quantile_cont(n, 0.25)::DOUBLE AS n_tokens
+            FROM c GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5::DOUBLE, quantile_cont(n, 0.5)::DOUBLE
+            FROM c GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75::DOUBLE, quantile_cont(n, 0.75)::DOUBLE
+            FROM c GROUP BY lang
+            ORDER BY lang, q
         """,
         "orders_weekly_gapfill": """
             WITH w AS (SELECT date_trunc('week', o_orderdate) AS week,
