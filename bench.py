@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "events_moving_avg",
     "bigram_counts",
     "lineitem_price_corr",
+    "user_event_entropy",
+    "doc_token_quartiles_cont",
     "customer_ntile",
     "part_min_cost_supplier",
     "orders_weekly_gapfill",

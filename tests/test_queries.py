@@ -74,3 +74,11 @@ def test_entry_smoke(ray_session):
     df = _to_df(ds)
     assert len(df) >= 0
     assert set(df.columns) == {"url", "cluster"}
+
+
+def test_every_oracle_key_has_a_query():
+    # an oracle whose key no longer matches a query would silently stop
+    # being conformance-checked — lock the alignment
+    import __ray_entry__ as m
+
+    assert set(m.oracle_sql()) <= set(m.queries())

@@ -17,7 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # queries whose size-cutoff branch swaps broadcast↔join / driver↔shuffle
 ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
-                  "repeat_customers"]
+                  "repeat_customers", "party_nations_union",
+                  "bigram_counts", "part_min_cost_supplier"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
