@@ -73,6 +73,40 @@ def _distinct_int(ds, col: str, cutoff: int = None):
     return pd.DataFrame({col: np.unique(np_columns(m, [col])[col])})
 
 
+def _ts_us(obj, cols):
+    """Realign timestamp columns to timestamp[us].
+
+    Ray's hash-shuffle groupby (and pandas map_groups block conversion)
+    downcasts timestamp[us] key columns to timestamp[s]; the parquet
+    inputs and the DuckDB oracle are microsecond-resolution, and the
+    driver's value-hash is unit-sensitive, so query outputs must put the
+    unit back."""
+    import ray.data
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if isinstance(obj, ray.data.Dataset):
+        def f(b: pa.Table) -> pa.Table:
+            for c in cols:
+                if c in b.column_names:
+                    b = b.set_column(b.column_names.index(c), c,
+                                     pc.cast(b.column(c),
+                                             pa.timestamp("us")))
+            return b
+
+        return obj.map_batches(f, batch_format="pyarrow")
+    if isinstance(obj, pa.Table):
+        for c in cols:
+            if c in obj.column_names:
+                obj = obj.set_column(obj.column_names.index(c), c,
+                                     pc.cast(obj.column(c),
+                                             pa.timestamp("us")))
+        return obj
+    for c in cols:
+        if c in obj.columns:
+            obj[c] = obj[c].astype("datetime64[us]")
+    return obj
+
+
 def _det_sort(ds, by, descending=False, cutoff=None):
     """Deterministic result ordering for the driver contract.
 
@@ -234,12 +268,16 @@ def q3_top_orders(sf_dir: str):
     import pandas as pd
 
     def topk(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         df = b.to_pandas()
         if df.empty:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
                              "o_orderdate": pa.array([], pa.timestamp("us")),
                              "revenue": pa.array([], pa.float64())})
-        df["revenue"] = df["revenue"].round(2)
+        # half-away-from-zero to match SQL ROUND (revenues positive)
+        df["revenue"] = np.floor(
+            df["revenue"].to_numpy(dtype=np.float64) * 100 + 0.5) / 100
         df = df.sort_values(["revenue", "o_orderdate", "l_orderkey"],
                             ascending=[False, True, True]).head(10)
         return pa.Table.from_pandas(
@@ -254,9 +292,9 @@ def q3_top_orders(sf_dir: str):
             "o_orderdate": pd.Series([], dtype="datetime64[us]"),
             "revenue": pd.Series([], dtype="float64")})]
     allp = pd.concat(parts, ignore_index=True)
-    return allp.sort_values(["revenue", "o_orderdate", "l_orderkey"],
-                            ascending=[False, True, True]).head(10) \
-        .reset_index(drop=True)
+    return _ts_us(allp.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                                   ascending=[False, True, True]).head(10)
+                  .reset_index(drop=True), "o_orderdate")
 
 
 def region_revenue(sf_dir: str):
@@ -689,10 +727,16 @@ def events_hourly(sf_dir: str):
                             sum_cols=["value"], count_alias="n_events")
 
     def finish(b: pa.Table) -> pa.Table:
+        # cents-form rounding: round(x·100)/100 reproduces the exact
+        # double SQL ROUND(x, 2) yields, where pc.round(x, ndigits=2)
+        # can land one ULP away (pow-of-ten scaling differs)
+        cents = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)),
+                         round_mode="half_towards_infinity")
         return pa.table({"event_type": b.column("event_type"),
-                         "hour": b.column("hour"),
+                         "hour": pc.cast(b.column("hour"),
+                                         pa.timestamp("us")),
                          "n_events": b.column("n_events"),
-                         "sum_value": pc.round(b.column("value"), ndigits=2)})
+                         "sum_value": pc.divide(cents, pa.scalar(100.0))})
 
     return _det_sort(agg.map_batches(finish, batch_format="pyarrow") \
         , ["event_type", "hour"])
@@ -894,7 +938,19 @@ def events_attribution(sf_dir: str):
                     left_cols=["event_id", "ts"],
                     right_cols=["src_event_id", "src_ts"],
                     num_partitions=_shuffle_parts())
-    return _det_sort(out, "event_id")
+    res = _ts_us(_det_sort(out, "event_id"), ["ts", "src_ts"])
+
+    # the left-outer pandas merge upcasts the (never-null) purchase id
+    # to float64; the oracle keeps it int64
+    def fix_id(b: pa.Table) -> pa.Table:
+        if "event_id" in b.column_names:
+            b = b.set_column(b.column_names.index("event_id"), "event_id",
+                             pc.cast(b.column("event_id"), pa.int64()))
+        return b
+
+    if isinstance(res, pa.Table):
+        return fix_id(res)
+    return res.map_batches(fix_id, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,17 @@ def test_query_runs_and_matches_oracle(name, ray_session, ddb):
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-9, atol=1e-9)
+    # the driver's value-hash is unit- and dtype-sensitive: datetime
+    # columns must carry the oracle's exact resolution ([us], not the
+    # [s] Ray's hash shuffle downcasts to) and integers must stay
+    # integers (no float64 upcast from outer joins)
+    for c in got.columns:
+        wk, gk = want[c].dtype.kind, got[c].dtype.kind
+        if wk == "M" or gk == "M":
+            assert got[c].dtype == want[c].dtype, \
+                f"{name}.{c}: {got[c].dtype} != {want[c].dtype}"
+        elif wk == "i":
+            assert gk == "i", f"{name}.{c}: {got[c].dtype} not integer"
 
 
 def test_entry_smoke(ray_session):
