@@ -2677,6 +2677,109 @@ def doc_token_quartiles_cont(sf_dir: str):
                      ["lang", "q"])
 
 
+def orders_priority_dense_rank(sf_dir: str):
+    """dense_rank() OVER (PARTITION BY custkey ORDER BY priority): tied
+    rows share a rank and ranks stay contiguous (contrast
+    orders_rank_in_customer's row_number).  One bucket shuffle, pandas
+    C-level dense rank per bucket."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderpriority"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["rnk"] = (g.groupby("o_custkey")["o_orderpriority"]
+                    .rank(method="dense").astype("int64"))
+        return g[["o_custkey", "o_orderkey", "o_orderpriority", "rnk"]]
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _det_sort(bucketed_group_apply(ds, "o_custkey", per_bucket),
+                     ["o_custkey", "o_orderkey"])
+
+
+def nation_balance_stddev(sf_dir: str):
+    """Grouped sample standard deviation from mergeable moments
+    (n, Σx, Σx²) — one scan, driver close (same discipline as
+    lineitem_price_corr)."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("s_acctbal"), pa.float64())
+        return pa.table({
+            "nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+            "sx": x, "sx2": pc.multiply(x, x)})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["nationkey"], sum_cols=["sx", "sx2"],
+                            count_alias="n", combine="driver")
+    n = agg["n"].to_numpy(dtype=np.float64)
+    vx = n * agg["sx2"].to_numpy() - agg["sx"].to_numpy() ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt(np.maximum(vx, 0.0) / (n * (n - 1)))
+    sd = np.where(n > 1, sd, np.nan)
+    out = agg[["nationkey"]].copy()
+    out["nationkey"] = out["nationkey"].astype("int64")
+    out["stddev_bal"] = np.floor(sd * 1e6 + 0.5) / 1e6
+    out["n_suppliers"] = agg["n"].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def returnflag_weighted_avg(sf_dir: str):
+    """Ratio-of-sums aggregate: quantity-weighted average extended price
+    per return flag — two mergeable sums closed on the driver (never a
+    per-row division)."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = pc.cast(b.column("l_quantity"), pa.float64())
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "wsum": pc.multiply(b.column("l_extendedprice"), q),
+            "w": q})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["l_returnflag"], sum_cols=["wsum", "w"],
+                            combine="driver")
+    out = agg[["l_returnflag"]].copy()
+    wavg = agg["wsum"].to_numpy() / agg["w"].to_numpy()
+    out["wavg_price"] = np.floor(wavg * 1e6 + 0.5) / 1e6
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def customer_running_max(sf_dir: str):
+    """Cumulative window max: each order's running maximum total price
+    within its customer history (ordered by date, then key).  One
+    bucket shuffle + vectorized per-key cummax; raw prices pass through
+    untouched so the oracle compares bit-exact."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        g["running_max"] = g.groupby("o_custkey")["o_totalprice"].cummax()
+        return g[["o_custkey", "o_orderkey", "o_orderdate", "running_max"]]
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    return _ts_us(_det_sort(bucketed_group_apply(ds, "o_custkey",
+                                                 per_bucket),
+                            ["o_custkey", "o_orderkey"]), "o_orderdate")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2720,6 +2823,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_nations_union": party_nations_union,
         "brand_names_concat": brand_names_concat,
         "orders_weekly_gapfill": orders_weekly_gapfill,
+        "orders_priority_dense_rank": orders_priority_dense_rank,
+        "nation_balance_stddev": nation_balance_stddev,
+        "returnflag_weighted_avg": returnflag_weighted_avg,
+        "customer_running_max": customer_running_max,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -3378,6 +3485,33 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(p_name, '|' ORDER BY p_partkey) AS names,
                    count(*)::BIGINT AS n_parts
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "orders_priority_dense_rank": """
+            SELECT o_custkey, o_orderkey, o_orderpriority,
+                   CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderpriority)
+                        AS BIGINT) AS rnk
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "nation_balance_stddev": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   round(stddev_samp(s_acctbal), 6) AS stddev_bal,
+                   count(*)::BIGINT AS n_suppliers
+            FROM supplier GROUP BY s_nationkey ORDER BY nationkey
+        """,
+        "returnflag_weighted_avg": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity)
+                         / sum(l_quantity), 6) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "customer_running_max": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   max(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS running_max
+            FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "user_event_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS n
