@@ -109,24 +109,64 @@ def _permuted(shingles: np.ndarray, num_perm: int) -> np.ndarray:
     return vals
 
 
+_EMPTY_BIN = np.uint64(0xFFFFFFFFFFFFFFFF)
+_DENSIFY_MIX = (_MIX_RNG.randint(0, 1 << 62, size=256, dtype=np.int64)
+                .astype(np.uint64) | np.uint64(1))
+
+
 def minhash_signature(shingles: np.ndarray, num_perm: int = 128) -> np.ndarray:
     """(num_perm,) uint64 minhash signature of a shingle-hash set."""
-    return _permuted(shingles, num_perm).min(axis=0)
+    return minhash_signatures_batch([shingles], num_perm=num_perm)[0]
 
 
 def minhash_signatures_batch(shingle_sets: List[np.ndarray],
                              num_perm: int = 128) -> np.ndarray:
-    """(n_docs, num_perm) signatures for a whole batch in ONE numpy
-    pass: concatenate every doc's shingles, hash once, segment-min with
-    ``np.minimum.reduceat`` — per-doc Python overhead disappears."""
-    if not shingle_sets:
+    """(n_docs, num_perm) signatures via ONE-PERMUTATION HASHING with
+    densification (Li/Owen/Zhang NIPS'12; Shrivastava & Li ICML'14) —
+    public constructions, like the k-permutation form they replace.
+
+    Each (already avalanched) shingle hash is binned by its top
+    log2(num_perm) bits and the per-(doc, bin) minimum is one
+    ``np.minimum.at`` scatter — a single pass over the shingles where
+    the k-permutation form paid num_perm multiply–xorshift applications
+    per shingle (it dominated the whole blocking stage: 64× the work
+    for the same banding recall).  Empty bins are densified by circular
+    doubling-distance borrowing, then remixed with a bin-indexed odd
+    constant so borrowed bins only collide when their source bins do.
+    P(sig_a[j] == sig_b[j]) ≈ Jaccard(a, b) still holds bin-wise, so
+    banding math is unchanged.  ``num_perm`` must be a power of two.
+    Deterministic: no RNG at runtime, stable across runs/cluster sizes."""
+    n = len(shingle_sets)
+    if n == 0:
         return np.zeros((0, num_perm), dtype=np.uint64)
+    if num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two")
     lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
-                       count=len(shingle_sets))
-    flat = np.concatenate(shingle_sets) if len(shingle_sets) > 1 else shingle_sets[0]
-    vals = _permuted(flat, num_perm)
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    return np.minimum.reduceat(vals, offsets, axis=0)
+                       count=n)
+    flat = (np.concatenate(shingle_sets) if n > 1
+            else np.asarray(shingle_sets[0]))
+    flat = flat.astype(np.uint64, copy=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+    bins = (flat >> shift).astype(np.int64)
+    sig = np.full(n * num_perm, _EMPTY_BIN, dtype=np.uint64)
+    np.minimum.at(sig, doc_idx * num_perm + bins, flat)
+    sig = sig.reshape(n, num_perm)
+    empty = sig == _EMPTY_BIN
+    if empty.any():
+        orig_empty = empty
+        filled = sig
+        d = 1
+        while empty.any() and d < num_perm:
+            filled = np.where(empty, np.roll(filled, d, axis=1), filled)
+            empty = filled == _EMPTY_BIN
+            d <<= 1
+        # bin-indexed remix so a borrowed value matches across docs only
+        # when the borrowed-from bins match (plain copies would make all
+        # empty bins of sparse docs collide pairwise)
+        mix = _DENSIFY_MIX[:num_perm][None, :]
+        sig = np.where(orig_empty, _avalanche(filled * mix), filled)
+    return sig
 
 
 def band_keys(sig: np.ndarray, bands: int = 16) -> List[str]:
