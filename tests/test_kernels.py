@@ -165,3 +165,49 @@ def test_wikidata_qid():
     assert wikidata_qid("", t2q) == "<NIL>"
     assert wikidata_qid("http://ex.org/notInWiki/xyz", t2q) == "<NIL>"
     assert wikidata_qid("https://en.wikipedia.org/wiki/Nowhere", t2q) == "<NO_MAPPING>"
+
+
+# ---- one-permutation hashing specifics ----
+def test_oph_requires_power_of_two():
+    import pytest as _pytest
+
+    from elevant_ray.functions.minhash import minhash_signatures_batch
+
+    with _pytest.raises(ValueError):
+        minhash_signatures_batch([np.arange(5, dtype=np.uint64)], num_perm=48)
+
+
+def test_oph_densifies_sparse_docs_deterministically():
+    from elevant_ray.functions.minhash import minhash_signatures_batch
+
+    one = np.array([12345], dtype=np.uint64)  # single shingle → 63 empty bins
+    s1 = minhash_signatures_batch([one], num_perm=64)[0]
+    s2 = minhash_signatures_batch([one], num_perm=64)[0]
+    assert np.array_equal(s1, s2)
+    assert (s1 != np.uint64(0xFFFFFFFFFFFFFFFF)).all()  # no EMPTY leaks
+    # densified bins must NOT all collide with another sparse doc's
+    # densified bins (the bin-indexed remix breaks plain-copy collisions)
+    other = np.array([99999], dtype=np.uint64)
+    s3 = minhash_signatures_batch([other], num_perm=64)[0]
+    assert np.mean(s1 == s3) < 0.2
+
+
+def test_oph_bin_match_rate_tracks_jaccard():
+    from elevant_ray.functions.minhash import minhash_signatures_batch
+
+    from elevant_ray.functions.minhash import _avalanche
+
+    # full-range avalanched hashes, as shingle_hashes emits — raw ints
+    # with fixed top bits would leave systematic empty bins
+    rng = np.random.default_rng(3)
+    base = _avalanche(rng.integers(0, 1 << 63, size=2000, dtype=np.int64)
+                      .astype(np.uint64))
+    a = base
+    b = np.concatenate([base[:1000],
+                        _avalanche(rng.integers(1, 1 << 63, size=1000,
+                                                dtype=np.int64)
+                                   .astype(np.uint64))])
+    j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    sa, sb = minhash_signatures_batch([a, b], num_perm=128)
+    est = float(np.mean(sa == sb))
+    assert abs(est - j) < 0.15, (est, j)
