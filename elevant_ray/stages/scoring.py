@@ -201,6 +201,37 @@ def verify_pairs(pairs, pages, id_col: str = "url",
         side_mode = ("broadcast" if pages.size_bytes() <= scale_cutoff(64 << 20)
                      else "join")
 
+    if side_mode == "join":
+        # endpoint semi-join prefilter: the side table only needs rows
+        # whose id is a pair endpoint (≤ 2·|pairs| rows, usually a small
+        # fraction of the corpus after blocking) — without it both
+        # co-group joins exchange the FULL page text twice.  Endpoint
+        # set collected under the broadcast cutoff; beyond it the
+        # unfiltered join path below stands.  The shrunken side often
+        # falls under the broadcast cutoff entirely, collapsing the two
+        # exchanges into a map-side dict attach.
+        from elevant_ray.stages.util import scale_cutoff
+
+        pairs = pairs.materialize()
+        if pairs.size_bytes() <= scale_cutoff(64 << 20):
+            eps: set = set()
+            for b in pairs.iter_batches(batch_format="pyarrow"):
+                eps.update(b.column("left").to_pylist())
+                eps.update(b.column("right").to_pylist())
+            eps_ref = ray.put(eps)
+
+            def only_endpoints(b: pa.Table) -> pa.Table:
+                from elevant_ray.stages.util import cached_get
+
+                s = cached_get(eps_ref)
+                mask = [u in s for u in b.column(id_col).to_pylist()]
+                return b.filter(pa.array(mask, pa.bool_()))
+
+            side = side.map_batches(only_endpoints,
+                                    batch_format="pyarrow").materialize()
+            if side.size_bytes() <= scale_cutoff(64 << 20):
+                side_mode = "broadcast"
+
     if side_mode == "broadcast":
         side_ref = ray.put({r[id_col]: (r["text"], r["canon"])
                             for r in side.take_all()})
