@@ -2780,6 +2780,360 @@ def customer_running_max(sf_dir: str):
                             ["o_custkey", "o_orderkey"]), "o_orderdate")
 
 
+def _rev_cents(b: pa.Table):
+    """``l_extendedprice·(1−l_discount)`` in exact 1e-4-dollar integer
+    units.  Revenue data is 2-decimal price × 2-decimal discount: the
+    product has 4 exact decimal digits, so group sums land exactly on
+    .xx5 rounding boundaries all the time and double summation order
+    decides the side — integer arithmetic makes Ray and the SQL oracle
+    agree bit-for-bit (same discipline as small_quantity_revenue /
+    q22_sales_opportunity).  int64 headroom: ≤1e9 per item."""
+    import numpy as np
+
+    p = np.rint(b.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    d = np.rint(b.column("l_discount")
+                .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    return p * (100 - d)
+
+
+def _cents_to_dollars(s):
+    """Half-up 2-decimal dollars from an exact 1e-4-unit integer sum
+    (scalar or ndarray) — the integer analog of SQL ROUND(x, 2)."""
+    import numpy as np
+
+    q, r = np.divmod(s, 100)
+    return (q + (r >= 50)) / 100.0
+
+
+# SQL mirror of _rev_cents / _cents_to_dollars (oracle side)
+_REV_C_SQL = ("CAST(round(l_extendedprice*100) AS BIGINT)"
+              " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+
+
+def _c2d_sql(expr: str) -> str:
+    return (f"(({expr}) // 100 + CASE WHEN ({expr}) % 100 >= 50"
+            f" THEN 1 ELSE 0 END) / 100.0")
+
+
+def q7_trade_volume(sf_dir: str):
+    """Cross-nation trade volume (TPC-H Q7 shape): revenue between
+    (supplier nation, customer nation) pairs per ship year, excluding
+    domestic trade.  Under the broadcast cutoff all four dims fold into
+    the single lineitem scan as IntKeyMaps; beyond it the orders side
+    goes through the hash-partitioned co-group join (the 100 TB path).
+    One 3-key driver-combined aggregate either way (25×25×years groups,
+    hard-bounded)."""
+    import numpy as np
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                   ["s_suppkey", "s_nationkey"])
+    smap = IntKeyMap(s["s_suppkey"],
+                     np.array([nation[k] for k in s["s_nationkey"].tolist()],
+                              dtype=object))
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    cmap = IntKeyMap(c["c_custkey"],
+                     np.array([nation[k] for k in c["c_nationkey"].tolist()],
+                              dtype=object))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def line_pre(b: pa.Table) -> pa.Table:
+        rev_c = _rev_cents(b)
+        sup = smap.take_checked(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        yr = pc.cast(pc.year(b.column("l_shipdate")), pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "supp_nation": pa.array(sup, pa.string()),
+                         "l_year": yr,
+                         "rev_c": pa.array(rev_c, pa.int64())})
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        o = np_columns(orders, ["o_orderkey", "o_custkey"])
+        omap = IntKeyMap(o["o_orderkey"], cmap.take_checked(o["o_custkey"]))
+
+        def fold(b: pa.Table) -> pa.Table:
+            b = line_pre(b)
+            cus = omap.take_checked(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            return b.append_column("cust_nation", pa.array(cus, pa.string()))
+
+        joined = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def o_pre(b: pa.Table) -> pa.Table:
+            cus = cmap.take_checked(
+                b.column("o_custkey").to_numpy(zero_copy_only=False))
+            return pa.table({"l_orderkey": b.column("o_orderkey"),
+                             "cust_nation": pa.array(cus, pa.string())})
+
+        joined = cogroup_join(
+            line.map_batches(line_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("supp_nation", pa.string()),
+                                   ("l_year", pa.int64()),
+                                   ("rev_c", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("cust_nation", pa.string())]))
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(b.column("supp_nation"),
+                               b.column("cust_nation")))
+        return b.filter(m).select(["supp_nation", "cust_nation", "l_year",
+                                   "rev_c"])
+
+    agg = partial_group_agg(joined.map_batches(cross_only,
+                                               batch_format="pyarrow"),
+                            ["supp_nation", "cust_nation", "l_year"],
+                            sum_cols=["rev_c"], combine="driver")
+    out = agg[["supp_nation", "cust_nation", "l_year"]].copy()
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue"] = _cents_to_dollars(agg["rev_c"].to_numpy())
+    return out
+
+
+def q10_returned_revenue(sf_dir: str):
+    """Returned-item reporting (TPC-H Q10 shape): top 20 customers by
+    revenue on returned lineitems, enriched with name + nation.  The
+    heavy side is one filtered lineitem scan; the top-k closes with
+    per-block partial top-20s so only 20×blocks candidate rows ever
+    reach the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_c": pa.array(_rev_cents(b), pa.int64())})
+
+    flt = line.map_batches(returned, batch_format="pyarrow")
+    small = orders.size_bytes() <= scale_cutoff(64 << 20)
+    if small:
+        o = np_columns(orders, ["o_orderkey", "o_custkey"])
+        omap = IntKeyMap(o["o_orderkey"], o["o_custkey"])
+
+        def to_cust(b: pa.Table) -> pa.Table:
+            ck = omap.take_checked(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            return pa.table({"o_custkey": pa.array(ck, pa.int64()),
+                             "rev_c": b.column("rev_c")})
+
+        by_cust = flt.map_batches(to_cust, batch_format="pyarrow")
+    else:
+        def o_pre(b: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": b.column("o_orderkey"),
+                             "o_custkey": b.column("o_custkey")})
+
+        by_cust = cogroup_join(
+            flt, orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("rev_c", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64())])) \
+            .map_batches(lambda b: b.select(["o_custkey", "rev_c"]),
+                         batch_format="pyarrow")
+
+    agg = partial_group_agg(by_cust, ["o_custkey"], sum_cols=["rev_c"],
+                            combine="driver" if small else "dataset")
+    if not isinstance(agg, pd.DataFrame):
+        def local_topk(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().sort_values(
+                ["rev_c", "o_custkey"], ascending=[False, True]).head(20)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = (agg.sort_values(["rev_c", "o_custkey"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    keys = pa.array(top["o_custkey"].to_numpy(), pa.int64())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("c_custkey"), value_set=keys))
+
+    cust = pd.DataFrame(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pyarrow").take_all())
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    if cust.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype="object"),
+                             "n_name": pd.Series([], dtype="object"),
+                             "revenue": pd.Series([], dtype="float64")})
+    cust["n_name"] = cust["c_nationkey"].map(nation)
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["revenue"] = _cents_to_dollars(out["rev_c"].to_numpy())
+    return (out.sort_values(["rev_c", "o_custkey"], ascending=[False, True])
+            [["c_custkey", "c_name", "n_name", "revenue"]]
+            .reset_index(drop=True))
+
+
+def q14_promo_revenue(sf_dir: str):
+    """Promotion-revenue share (TPC-H Q14 shape): percent of H1-1997
+    revenue from PROMO-type parts — a correlated conditional aggregate
+    folded into one lineitem scan via a broadcast partkey→is-promo
+    bitmap; the ratio closes on the driver from two mergeable sums."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    p = np_columns(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                   ["p_partkey", "p_type"])
+    promo = np.array([t.startswith("PROMO") for t in p["p_type"].tolist()],
+                     dtype=np.int64)
+    pmap = IntKeyMap(p["p_partkey"], promo)
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1997, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 7, 1))
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        rev_c = _rev_cents(b)
+        is_promo = pmap.take_checked(
+            b.column("l_partkey").to_numpy(zero_copy_only=False))
+        return pa.table({"g": pa.array(np.zeros(len(rev_c), np.int64)),
+                         "promo_c": pa.array(rev_c * is_promo, pa.int64()),
+                         "rev_c": pa.array(rev_c, pa.int64())})
+
+    agg = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                            ["g"], sum_cols=["promo_c", "rev_c"],
+                            count_alias="n_items", combine="driver")
+    if agg.empty:
+        # SQL grand-total semantics: aggregating zero rows still yields
+        # one row (NULL ratio, zero count) — same rule as ROLLUP/CUBE
+        return pd.DataFrame({"promo_pct": [float("nan")],
+                             "n_items": pd.array([0], dtype="int64")})
+    # exact integer sums; one double division, identical operands on
+    # the oracle side ⇒ identical double ⇒ identical round-6
+    pct = (100.0 * float(agg["promo_c"].iloc[0])) / float(agg["rev_c"].iloc[0])
+    return pd.DataFrame({
+        "promo_pct": [np.floor(pct * 1e6 + 0.5) / 1e6],
+        "n_items": agg["n_items"].astype("int64").iloc[:1].to_numpy()})
+
+
+def q18_large_volume(sf_dir: str):
+    """Large-volume orders (TPC-H Q18 shape): orders whose total line
+    quantity exceeds 250, with customer names.  The per-order HAVING
+    aggregate is a high-cardinality hash groupby (partials would not
+    shrink it); the survivors are few, so the enrichment joins run as
+    broadcast isin-filters against the qualifying key set."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    empty = pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype="object"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "sum_qty": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+    per_order = line.groupby("l_orderkey").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"))
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("sum_qty"), pa.scalar(250.0)))
+
+    big = pd.DataFrame(
+        per_order.map_batches(having, batch_format="pyarrow").take_all())
+    if big.empty:
+        return empty
+    okeys = pa.array(big["l_orderkey"].to_numpy(), pa.int64())
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("o_orderkey"), value_set=okeys))
+
+    orders = pd.DataFrame(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+        .map_batches(order_rows, batch_format="pyarrow").take_all())
+    ckeys = pa.array(np.unique(orders["o_custkey"].to_numpy()), pa.int64())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("c_custkey"), value_set=ckeys))
+
+    cust = pd.DataFrame(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(cust_rows, batch_format="pyarrow").take_all())
+    out = (big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    out["sum_qty"] = np.floor(out["sum_qty"].to_numpy() + 0.5).astype("int64")
+    out = out[["o_orderkey", "o_custkey", "c_name", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+    return _ts_us(out.sort_values("o_orderkey").reset_index(drop=True),
+                  "o_orderdate")
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Disjunctive-predicate revenue (TPC-H Q19 shape): three
+    brand/size/quantity conjunctions OR-ed together, evaluated as one
+    vectorized mask over the lineitem scan with broadcast partkey→
+    (brand, size) maps — the shape that exercises predicate pushdown
+    without a join."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    p = np_columns(_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+                   ["p_partkey", "p_brand", "p_size"])
+    bnum = np.array([int(b.split("#", 1)[1]) for b in p["p_brand"].tolist()],
+                    dtype=np.int64)
+    bmap = IntKeyMap(p["p_partkey"], bnum)
+    szmap = IntKeyMap(p["p_partkey"], p["p_size"].astype(np.int64))
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        bn = bmap.take_checked(pk)
+        sz = szmap.take_checked(pk)
+        m = (((bn == 12) & (sz >= 1) & (sz <= 5) & (qty >= 1) & (qty <= 11))
+             | ((bn == 23) & (sz >= 1) & (sz <= 10) & (qty >= 10) & (qty <= 20))
+             | ((bn == 34) & (sz >= 1) & (sz <= 15) & (qty >= 20) & (qty <= 30)))
+        rev_c = _rev_cents(b)
+        return pa.table({"g": pa.array(np.zeros(int(m.sum()), np.int64)),
+                         "rev_c": pa.array(rev_c[m], pa.int64())})
+
+    agg = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                            ["g"], sum_cols=["rev_c"], count_alias="n_items",
+                            combine="driver")
+    if agg.empty:
+        # SQL grand-total semantics (see q14_promo_revenue)
+        return pd.DataFrame({"revenue": [float("nan")],
+                             "n_items": pd.array([0], dtype="int64")})
+    return pd.DataFrame({
+        "revenue": [float(_cents_to_dollars(int(agg["rev_c"].iloc[0])))],
+        "n_items": agg["n_items"].astype("int64").iloc[:1].to_numpy()})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2827,6 +3181,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_stddev": nation_balance_stddev,
         "returnflag_weighted_avg": returnflag_weighted_avg,
         "customer_running_max": customer_running_max,
+        "q7_trade_volume": q7_trade_volume,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -3512,6 +3871,64 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "q7_trade_volume": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   {_c2d_sql('s')} AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+                         sum({_REV_C_SQL}) AS s
+                  FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                  WHERE n1.n_name <> n2.n_name
+                  GROUP BY 1, 2, 3)
+            ORDER BY 1, 2, 3
+        """,
+        "q10_returned_revenue": f"""
+            SELECT c_custkey, c_name, n_name, {_c2d_sql('s')} AS revenue
+            FROM (SELECT c_custkey, c_name, n_name, sum({_REV_C_SQL}) AS s
+                  FROM lineitem
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation ON n_nationkey = c_nationkey
+                  WHERE l_returnflag = 'R'
+                  GROUP BY 1, 2, 3)
+            ORDER BY s DESC, c_custkey
+            LIMIT 20
+        """,
+        "q14_promo_revenue": f"""
+            SELECT round((100.0 * sum({_REV_C_SQL})
+                              FILTER (WHERE p_type LIKE 'PROMO%'))
+                         / sum({_REV_C_SQL}), 6) AS promo_pct,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "q18_large_volume": """
+            SELECT o_orderkey, o_custkey, c_name, o_orderdate, o_totalprice,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(l_quantity) > 250) q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_orderkey
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT {_c2d_sql(f'sum({_REV_C_SQL})')} AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "user_event_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS n

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "customer_ntile",
     "part_min_cost_supplier",
     "orders_weekly_gapfill",
+    "q7_trade_volume",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",

@@ -46,9 +46,11 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
         result = result.to_pandas()
     elif hasattr(result, "to_pandas"):
         result = result.to_pandas()
-    if name in ("nation_region_rollup", "nation_segment_cube"):
-        # SQL ROLLUP/CUBE keep the () grouping set: aggregating an empty
-        # table still yields the grand-total row (DuckDB agrees)
+    if name in ("nation_region_rollup", "nation_segment_cube",
+                "q14_promo_revenue", "q19_disjunctive_revenue"):
+        # SQL ROLLUP/CUBE and ungrouped scalar aggregates keep the ()
+        # grouping set: aggregating an empty table still yields the
+        # grand-total row (DuckDB agrees)
         assert len(result) == 1
     else:
         assert len(result) == 0, \

@@ -18,7 +18,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # queries whose size-cutoff branch swaps broadcast↔join / driver↔shuffle
 ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "repeat_customers", "party_nations_union",
-                  "bigram_counts", "part_min_cost_supplier"]
+                  "bigram_counts", "part_min_cost_supplier",
+                  "q7_trade_volume", "q10_returned_revenue"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
