@@ -3134,6 +3134,349 @@ def q19_disjunctive_revenue(sf_dir: str):
         "n_items": agg["n_items"].astype("int64").iloc[:1].to_numpy()})
 
 
+def events_retention(sf_dir: str):
+    """Week-over-week retention: per week, how many active users are
+    also active the following week.  The distinct (user, week) set is a
+    partial-aggregated groupby; the retained check is a self-merge of
+    that (already small) pair set shifted by 7 days — the canonical
+    cohort metric over append-only event logs."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(b.column("ts"), unit="week")
+        return pa.table({"user_id": b.column("user_id"), "week": wk})
+
+    pairs = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["user_id", "week"], count_alias="n",
+                              combine="driver")
+    if pairs.empty:
+        return pd.DataFrame({
+            "week": pd.Series([], dtype="datetime64[us]"),
+            "active": pd.Series([], dtype="int64"),
+            "retained": pd.Series([], dtype="int64"),
+            "retention": pd.Series([], dtype="float64")})
+    df = pairs[["user_id", "week"]].copy()
+    df["week"] = df["week"].astype("datetime64[us]")
+    future = df.copy()
+    future["week"] = future["week"] - pd.Timedelta(days=7)
+    future["hit"] = 1
+    m = df.merge(future, on=["user_id", "week"], how="left")
+    m["hit"] = m["hit"].fillna(0).astype("int64")
+    per = m.groupby("week", as_index=False).agg(
+        active=("user_id", "size"), retained=("hit", "sum"))
+    per["active"] = per["active"].astype("int64")
+    ret = (per["retained"].to_numpy(dtype=np.float64)
+           / per["active"].to_numpy())
+    per["retention"] = np.floor(ret * 1e6 + 0.5) / 1e6
+    return per.sort_values("week").reset_index(drop=True)
+
+
+def event_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences: lead() within (user ORDER BY ts, event_id), then a global
+    (from, to) count.  One bucket shuffle; the per-bucket lead is a
+    vectorized groupby-shift; per-bucket partial counts keep the final
+    combine at (types² × buckets) rows."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    if ds.count() == 0:
+        return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
+                             "to_type": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        nxt = g.groupby("user_id")["event_type"].shift(-1)
+        m = nxt.notna()
+        out = pd.DataFrame({"from_type": g.loc[m, "event_type"],
+                            "to_type": nxt[m]})
+        return (out.groupby(["from_type", "to_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    agg = partial_group_agg(bucketed_group_apply(ds, "user_id", per_bucket),
+                            ["from_type", "to_type"], sum_cols=["n"],
+                            combine="driver")
+    out = agg.copy()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def user_first_last_event(sf_dir: str):
+    """Per-user first_value/last_value over the time-ordered event
+    stream (ORDER BY ts, event_id) plus the count — one bucket shuffle,
+    vectorized groupby first/last per bucket."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    if ds.count() == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "first_type": pd.Series([], dtype="object"),
+                             "last_type": pd.Series([], dtype="object"),
+                             "n_events": pd.Series([], dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gb = g.groupby("user_id")
+        sz = gb.size()
+        return pd.DataFrame({
+            "user_id": sz.index.to_numpy(),
+            "first_type": gb["event_type"].first().to_numpy(),
+            "last_type": gb["event_type"].last().to_numpy(),
+            "n_events": sz.to_numpy().astype("int64")})
+
+    return _det_sort(bucketed_group_apply(ds, "user_id", per_bucket),
+                     ["user_id"])
+
+
+def supplier_pctile(sf_dir: str):
+    """percent_rank() and cume_dist() within nation over account
+    balance — rank-normalization windows (the feature-scaling step of a
+    training pipeline).  min/max tie ranks reproduce SQL semantics
+    exactly; one bucket shuffle, C-level ranks per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    if ds.count() == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "nationkey": pd.Series([], dtype="int64"),
+                             "s_acctbal": pd.Series([], dtype="float64"),
+                             "pct_rank": pd.Series([], dtype="float64"),
+                             "cume": pd.Series([], dtype="float64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("s_nationkey")["s_acctbal"]
+        rmin = gb.rank(method="min").to_numpy()
+        rmax = gb.rank(method="max").to_numpy()
+        n = gb.transform("size").to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n > 1, (rmin - 1) / (n - 1), 0.0)
+        cd = rmax / n
+        out = pd.DataFrame({
+            "s_suppkey": g["s_suppkey"].to_numpy(),
+            "nationkey": g["s_nationkey"].to_numpy().astype("int64"),
+            "s_acctbal": g["s_acctbal"].to_numpy(),
+            "pct_rank": np.floor(pr * 1e6 + 0.5) / 1e6,
+            "cume": np.floor(cd * 1e6 + 0.5) / 1e6})
+        return out
+
+    return _det_sort(bucketed_group_apply(ds, "s_nationkey", per_bucket),
+                     ["s_suppkey"])
+
+
+def lineitem_regr(sf_dir: str):
+    """Grouped simple linear regression (regr_slope / regr_intercept of
+    extended price on quantity per return flag) from mergeable moments —
+    a two-pass centered form: pass 1 gets per-group means, pass 2 sums
+    centered cross-moments, so no catastrophic cancellation at any group
+    scale (the one-pass raw-moment form loses ~7 digits here)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def m1(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "sx": pc.cast(b.column("l_quantity"), pa.float64()),
+                         "sy": b.column("l_extendedprice")})
+
+    a1 = partial_group_agg(ds.map_batches(m1, batch_format="pyarrow"),
+                           ["l_returnflag"], sum_cols=["sx", "sy"],
+                           count_alias="n", combine="driver")
+    if a1.empty:
+        return pd.DataFrame({"l_returnflag": pd.Series([], dtype="object"),
+                             "slope": pd.Series([], dtype="float64"),
+                             "intercept": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    flags = a1["l_returnflag"].to_numpy(dtype=object)
+    nv = a1["n"].to_numpy(dtype=np.float64)
+    mux = a1["sx"].to_numpy() / nv
+    muy = a1["sy"].to_numpy() / nv
+
+    def m2(b: pa.Table) -> pa.Table:
+        f = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(flags, f)
+        x = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dx = x - mux[idx]
+        dy = y - muy[idx]
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "sxx": pa.array(dx * dx), "sxy": pa.array(dx * dy)})
+
+    a2 = partial_group_agg(ds.map_batches(m2, batch_format="pyarrow"),
+                           ["l_returnflag"], sum_cols=["sxx", "sxy"],
+                           combine="driver")
+    sxx = a2["sxx"].to_numpy()
+    sxy = a2["sxy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(sxx > 0, sxy / sxx, np.nan)
+    intercept = muy - slope * mux
+
+    def r6(v):
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    out = a1[["l_returnflag"]].copy()
+    out["slope"] = r6(slope)
+    out["intercept"] = r6(intercept)
+    out["n"] = a1["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def events_value_skewness(sf_dir: str):
+    """Grouped sample skewness (bias-corrected G1, DuckDB's definition)
+    from mergeable centered moments — the same two-pass discipline as
+    lineitem_regr extended to third order."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def m1(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "sx": b.column("value")})
+
+    a1 = partial_group_agg(ds.map_batches(m1, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["sx"],
+                           count_alias="n", combine="driver")
+    if a1.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "skew": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    types = a1["event_type"].to_numpy(dtype=object)
+    nv = a1["n"].to_numpy(dtype=np.float64)
+    mu = a1["sx"].to_numpy() / nv
+
+    def m2(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(types, t)
+        d = b.column("value").to_numpy(zero_copy_only=False) - mu[idx]
+        return pa.table({"event_type": b.column("event_type"),
+                         "s2": pa.array(d * d), "s3": pa.array(d * d * d)})
+
+    a2 = partial_group_agg(ds.map_batches(m2, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["s2", "s3"],
+                           combine="driver")
+    m2_ = a2["s2"].to_numpy() / nv
+    m3_ = a2["s3"].to_numpy() / nv
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g1 = m3_ / np.power(m2_, 1.5)
+        skew = g1 * np.sqrt(nv * (nv - 1)) / (nv - 2)
+    skew = np.where((nv > 2) & (m2_ > 0), skew, np.nan)
+    out = a1[["event_type"]].copy()
+    out["skew"] = np.sign(skew) * np.floor(np.abs(skew) * 1e6 + 0.5) / 1e6
+    out["n"] = a1["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def nation_acctbal_geomean(sf_dir: str):
+    """Grouped geometric mean of positive balances — a log-domain
+    mergeable aggregate (sum of ln, closed with exp on the driver)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("s_acctbal"), pa.scalar(0.0)))
+        x = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({"nationkey": pc.cast(b.column("s_nationkey"),
+                                              pa.int64()),
+                         "lnx": pa.array(np.log(x))})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["nationkey"], sum_cols=["lnx"],
+                            count_alias="n_pos", combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                             "geomean_bal": pd.Series([], dtype="float64"),
+                             "n_pos": pd.Series([], dtype="int64")})
+    n = agg["n_pos"].to_numpy(dtype=np.float64)
+    geo = np.exp(agg["lnx"].to_numpy() / n)
+    out = agg[["nationkey"]].copy()
+    out["nationkey"] = out["nationkey"].astype("int64")
+    out["geomean_bal"] = np.floor(geo * 1e6 + 0.5) / 1e6
+    out["n_pos"] = agg["n_pos"].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def orders_month_seasonality(sf_dir: str):
+    """Calendar seasonality: order count and average price by
+    month-of-year (EXTRACT month) — a date-part rollup closed from
+    sum+count partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"month": pc.cast(pc.month(b.column("o_orderdate")),
+                                          pa.int64()),
+                         "s": b.column("o_totalprice")})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["month"], sum_cols=["s"],
+                            count_alias="n_orders", combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"month": pd.Series([], dtype="int64"),
+                             "n_orders": pd.Series([], dtype="int64"),
+                             "avg_price": pd.Series([], dtype="float64")})
+    avg = agg["s"].to_numpy() / agg["n_orders"].to_numpy(dtype=np.float64)
+    out = agg[["month"]].copy()
+    out["month"] = out["month"].astype("int64")
+    out["n_orders"] = agg["n_orders"].astype("int64")
+    out["avg_price"] = np.floor(avg * 100 + 0.5) / 100
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def token_zipf(sf_dir: str):
+    """Rank-frequency head of the corpus vocabulary: top-100 tokens by
+    global count with their Zipf rank — ranked top-k over the word-count
+    aggregate (corpus-statistics step of an LM data pipeline)."""
+    import numpy as np
+
+    import ray.data
+
+    from elevant_ray.stages.text_stats import unigram_counts as uc
+
+    import pandas as pd
+
+    t = uc(_read(sf_dir, "documents", ["text"]))
+    res = _det_sort(t, ["count", "token"], descending=[True, False])
+    if isinstance(res, ray.data.Dataset):
+        df = res.limit(100).to_pandas()
+    else:
+        df = res.to_pandas().head(100)
+    if not {"token", "count"}.issubset(df.columns):
+        # empty corpus: the aggregate's schema-less empty block dropped
+        # the column names — rebuild the typed empty frame
+        df = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                           "count": pd.Series([], dtype="int64")})
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "token", "count"]]
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3186,6 +3529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "supplier_pctile": supplier_pctile,
+        "lineitem_regr": lineitem_regr,
+        "nation_acctbal_geomean": nation_acctbal_geomean,
+        "orders_month_seasonality": orders_month_seasonality,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -3202,6 +3549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": user_top_event,
         "user_event_entropy": user_event_entropy,
         "events_moving_avg": events_moving_avg,
+        "events_retention": events_retention,
+        "event_type_transitions": event_type_transitions,
+        "user_first_last_event": user_first_last_event,
+        "events_value_skewness": events_value_skewness,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
@@ -3212,6 +3563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "doc_quality": doc_quality,
         "doc_tfidf_top3": doc_tfidf_top3,
+        "token_zipf": token_zipf,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "docs_stratified_sample": docs_stratified_sample,
@@ -3929,6 +4281,87 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "events_retention": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              date_trunc('week', ts) AS week FROM events)
+            SELECT a.week AS week, count(*)::BIGINT AS active,
+                   count(b.user_id)::BIGINT AS retained,
+                   round(count(b.user_id)::DOUBLE / count(*), 6) AS retention
+            FROM w a LEFT JOIN w b
+              ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "event_type_transitions": """
+            WITH s AS (SELECT event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+                       FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_first_last_event": """
+            WITH s AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn,
+                              count(*) OVER (PARTITION BY user_id) AS cnt
+                       FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = cnt THEN event_type END) AS last_type,
+                   max(cnt)::BIGINT AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "supplier_pctile": """
+            SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nationkey,
+                   s_acctbal,
+                   round(percent_rank() OVER (PARTITION BY s_nationkey
+                                              ORDER BY s_acctbal), 6)
+                       AS pct_rank,
+                   round(cume_dist() OVER (PARTITION BY s_nationkey
+                                           ORDER BY s_acctbal), 6) AS cume
+            FROM supplier ORDER BY s_suppkey
+        """,
+        "lineitem_regr": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_value_skewness": """
+            SELECT event_type, round(skewness(value), 6) AS skew,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "nation_acctbal_geomean": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   round(exp(avg(ln(s_acctbal))), 6) AS geomean_bal,
+                   count(*)::BIGINT AS n_pos
+            FROM supplier WHERE s_acctbal > 0
+            GROUP BY 1 ORDER BY 1
+        """,
+        "orders_month_seasonality": """
+            SELECT EXTRACT(month FROM o_orderdate)::BIGINT AS month,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice) / count(*), 2) AS avg_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "token_zipf": """
+            WITH c AS (SELECT token, count(*)::BIGINT AS count
+                       FROM (SELECT unnest(regexp_extract_all(
+                                 lower(text), '[a-z0-9_]+')) AS token
+                             FROM documents)
+                       GROUP BY token)
+            SELECT CAST(row_number() OVER (ORDER BY count DESC, token)
+                        AS BIGINT) AS rank,
+                   token, count
+            FROM c ORDER BY count DESC, token LIMIT 100
         """,
         "user_event_entropy": """
             WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS n

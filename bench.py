@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "events_retention",
+    "event_type_transitions",
+    "user_first_last_event",
+    "supplier_pctile",
+    "lineitem_regr",
+    "events_value_skewness",
+    "token_zipf",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
