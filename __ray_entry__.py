@@ -3477,6 +3477,51 @@ def token_zipf(sf_dir: str):
     return df[["rank", "token", "count"]]
 
 
+def part_name_similarity(sf_dir: str):
+    """Within-blocking-key pairwise string scoring — the flagship
+    verify stage's exact shape (north-star "batched Jaro-Winkler/
+    Levenshtein + token-Jaccard scorer") on an oracle-checkable metric
+    pair: all part pairs sharing a brand, scored with unit-cost edit
+    distance and char-set Jaccard, kept at lev ≤ 4.  Brand groups
+    co-locate with one bucket shuffle; scoring memoizes over distinct
+    name pairs (bounded vocabulary ⇒ O(vocab²) DP work regardless of
+    pair count)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.scoring import score_name_pairs
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"])
+    empty = pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                          "pk1": pd.Series([], dtype="int64"),
+                          "pk2": pd.Series([], dtype="int64"),
+                          "name1": pd.Series([], dtype="object"),
+                          "name2": pd.Series([], dtype="object"),
+                          "lev": pd.Series([], dtype="int64"),
+                          "char_jac": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for brand, gg in g.groupby("p_brand"):
+            gg = gg.sort_values("p_partkey")
+            pk = gg["p_partkey"].to_numpy()
+            nm = gg["p_name"].to_numpy(dtype=object)
+            i, j = np.triu_indices(len(pk), k=1)
+            lev, jac = score_name_pairs(nm[i], nm[j])
+            m = lev <= 4
+            outs.append(pd.DataFrame({
+                "p_brand": brand, "pk1": pk[i][m], "pk2": pk[j][m],
+                "name1": nm[i][m], "name2": nm[j][m],
+                "lev": lev[m], "char_jac": jac[m]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return _det_sort(bucketed_group_apply(ds, "p_brand", per_bucket),
+                     ["p_brand", "pk1", "pk2"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3533,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
         "orders_month_seasonality": orders_month_seasonality,
+        "part_name_similarity": part_name_similarity,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -4351,6 +4397,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "part_name_similarity": """
+            SELECT a.p_brand AS p_brand, a.p_partkey AS pk1,
+                   b.p_partkey AS pk2, a.p_name AS name1, b.p_name AS name2,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS lev,
+                   jaccard(a.p_name, b.p_name) AS char_jac
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+            ORDER BY 1, 2, 3
         """,
         "token_zipf": """
             WITH c AS (SELECT token, count(*)::BIGINT AS count

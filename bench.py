@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "lineitem_regr",
     "events_value_skewness",
     "token_zipf",
+    "part_name_similarity",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",

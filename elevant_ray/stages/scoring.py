@@ -44,16 +44,15 @@ def token_lev_similarity(a: List[str], b: List[str]) -> float:
                            np.array([hash(t) for t in b], dtype=np.int64))
 
 
-def _lev_sim_hashed(ai: np.ndarray, bi: np.ndarray) -> float:
-    """token_lev_similarity over pre-hashed token arrays (the per-pair
-    hot path — hashing is hoisted out and memoized by the caller)."""
+def _lev_dist(ai: np.ndarray, bi: np.ndarray) -> int:
+    """Unit-cost edit distance over two integer code arrays (same
+    vectorized prefix-min DP row update as documented on
+    token_lev_similarity)."""
     n, m = len(ai), len(bi)
-    if n == 0 and m == 0:
-        return 1.0
-    if n == 0 or m == 0:
-        return 0.0
     if n < m:  # fewer rows over the longer side
         ai, bi, n, m = bi, ai, m, n
+    if m == 0:
+        return n
     ks = np.arange(1, m + 1)
     prev = np.arange(m + 1)
     for i in range(1, n + 1):
@@ -63,7 +62,57 @@ def _lev_sim_hashed(ai: np.ndarray, bi: np.ndarray) -> float:
         cur[0] = i
         cur[1:] = ks + np.minimum(acc, i)
         prev = cur
-    return 1.0 - prev[m] / max(n, m)
+    return int(prev[m])
+
+
+def _lev_sim_hashed(ai: np.ndarray, bi: np.ndarray) -> float:
+    """token_lev_similarity over pre-hashed token arrays (the per-pair
+    hot path — hashing is hoisted out and memoized by the caller)."""
+    n, m = len(ai), len(bi)
+    if n == 0 and m == 0:
+        return 1.0
+    if n == 0 or m == 0:
+        return 0.0
+    return 1.0 - _lev_dist(ai, bi) / max(n, m)
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Character-level unit-cost edit distance, semantics-identical to
+    DuckDB/Postgres ``levenshtein`` (differentially tested) — the
+    north-star's pairwise-scorer edit metric over codepoint arrays."""
+    if s1 == s2:
+        return 0
+    a = np.frombuffer(s1.encode("utf-32-le"), np.uint32).astype(np.int64)
+    b = np.frombuffer(s2.encode("utf-32-le"), np.uint32).astype(np.int64)
+    return _lev_dist(a, b)
+
+
+def charset_jaccard(s1: str, s2: str) -> float:
+    """Jaccard similarity of the two strings' character sets —
+    semantics-identical to DuckDB ``jaccard`` (differentially
+    tested)."""
+    a, b = set(s1), set(s2)
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def score_name_pairs(names1, names2):
+    """Batched (levenshtein, charset_jaccard) over paired name arrays,
+    memoized by distinct pair: within-blocking-key scoring hits the
+    same bounded name vocabulary over and over, so work is O(distinct
+    pairs), not O(pairs)."""
+    memo: dict = {}
+    lev = np.empty(len(names1), np.int64)
+    jac = np.empty(len(names1), np.float64)
+    for i, (a, b) in enumerate(zip(names1.tolist(), names2.tolist())):
+        key = (a, b)
+        v = memo.get(key)
+        if v is None:
+            v = (levenshtein(a, b), charset_jaccard(a, b))
+            memo[key] = v
+        lev[i], jac[i] = v
+    return lev, jac
 
 
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:

@@ -62,3 +62,28 @@ def test_entity_scorer_tie_breaks(ray_session):
     # wikipedia strategy: min among most-popular (baseline_linker.py:77-80)
     s2 = EntityScorer(a_ref, p_ref, strategy="wikipedia", drop_dates=False)
     assert s2._select({"Q5", "Q10", "Q2"}) == "Q10"
+
+
+def test_levenshtein_and_charset_jaccard_match_duckdb():
+    """The oracle-facing char-level metrics must be semantics-identical
+    to DuckDB's levenshtein / jaccard (part_name_similarity relies on
+    it)."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from elevant_ray.stages.scoring import charset_jaccard, levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(31072020)
+    words = ["cold widget", "small widget", "large bolt", "blue rod", "",
+             "a", "aa b"] + [
+        "".join(rng.choices("abcdef ", k=rng.randint(1, 12)))
+        for _ in range(25)]
+    for a, b in itertools.combinations(words, 2):
+        lev = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == lev, (a, b)
+        if a and b:  # DuckDB jaccard rejects empty strings
+            jac = con.execute("SELECT jaccard(?, ?)", [a, b]).fetchone()[0]
+            assert abs(charset_jaccard(a, b) - jac) < 1e-15, (a, b)
