@@ -99,20 +99,25 @@ def charset_jaccard(s1: str, s2: str) -> float:
 
 def score_name_pairs(names1, names2):
     """Batched (levenshtein, charset_jaccard) over paired name arrays,
-    memoized by distinct pair: within-blocking-key scoring hits the
-    same bounded name vocabulary over and over, so work is O(distinct
-    pairs), not O(pairs)."""
-    memo: dict = {}
-    lev = np.empty(len(names1), np.int64)
-    jac = np.empty(len(names1), np.float64)
-    for i, (a, b) in enumerate(zip(names1.tolist(), names2.tolist())):
-        key = (a, b)
-        v = memo.get(key)
-        if v is None:
-            v = (levenshtein(a, b), charset_jaccard(a, b))
-            memo[key] = v
-        lev[i], jac[i] = v
-    return lev, jac
+    deduplicated by distinct pair: within-blocking-key scoring hits the
+    same bounded name vocabulary over and over, so the interpreted DP
+    runs O(distinct pairs) times while the per-pair plumbing (factorize,
+    unique, gather) stays vectorized — no Python work per input pair."""
+    import pandas as pd
+
+    if len(names1) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64))
+    codes, uniques = pd.factorize(np.concatenate([names1, names2]))
+    k = len(uniques)
+    pair = codes[:len(names1)].astype(np.int64) * k + codes[len(names1):]
+    upair, inv = np.unique(pair, return_inverse=True)
+    ulev = np.empty(len(upair), np.int64)
+    ujac = np.empty(len(upair), np.float64)
+    for idx, code in enumerate(upair.tolist()):
+        a, b = uniques[code // k], uniques[code % k]
+        ulev[idx] = levenshtein(a, b)
+        ujac[idx] = charset_jaccard(a, b)
+    return ulev[inv], ujac[inv]
 
 
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
