@@ -3522,6 +3522,142 @@ def part_name_similarity(sf_dir: str):
                      ["p_brand", "pk1", "pk2"])
 
 
+def nation_balance_full_join(sf_dir: str):
+    """FULL OUTER join of two filtered per-nation aggregates (rich
+    customers vs rich suppliers, acctbal > 4500): nations present on
+    only one side keep a NULL on the other.  Both sides shrink to
+    dimension-bounded aggregates first, so the outer join closes on the
+    driver under the cutoff; beyond it the hash-partitioned co-group
+    join runs with how='full_outer' (the 100 TB path, knob-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (cogroup_join, partial_group_agg,
+                                         scale_cutoff)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def pre(key, col):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b.column(col), pa.scalar(4500.0)))
+            return pa.table({"nationkey": pc.cast(b.column(key), pa.int64()),
+                             "bal": b.column(col),
+                             "one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+        return f
+
+    # the per-nation aggregate is dimension-bounded, so the driver
+    # combine (zero exchanges) is the right plan at every input size;
+    # the knob still forces the dataset-groupby + co-group path
+    small = (cust.size_bytes() + supp.size_bytes()) <= scale_cutoff(
+        16 << 30)
+    if small:
+        def side_pd(ds, key, col, side):
+            agg = partial_group_agg(
+                ds.map_batches(pre(key, col), batch_format="pyarrow"),
+                ["nationkey"], sum_cols=["bal", "one"], combine="driver")
+            agg.columns = ["nationkey", f"{side}_bal_raw", f"{side}_n_raw"]
+            return agg
+
+        df = side_pd(cust, "c_nationkey", "c_acctbal", "cust").merge(
+            side_pd(supp, "s_nationkey", "s_acctbal", "supp"),
+            on="nationkey", how="outer")
+    else:
+        def rn(side):
+            def f(b: pa.Table) -> pa.Table:
+                return b.rename_columns(
+                    ["nationkey", f"{side}_bal_raw", f"{side}_n_raw"])
+            return f
+
+        c_agg = partial_group_agg(
+            cust.map_batches(pre("c_nationkey", "c_acctbal"),
+                             batch_format="pyarrow"),
+            ["nationkey"], sum_cols=["bal", "one"], combine="dataset") \
+            .map_batches(rn("cust"), batch_format="pyarrow")
+        s_agg = partial_group_agg(
+            supp.map_batches(pre("s_nationkey", "s_acctbal"),
+                             batch_format="pyarrow"),
+            ["nationkey"], sum_cols=["bal", "one"], combine="dataset") \
+            .map_batches(rn("supp"), batch_format="pyarrow")
+        schema = lambda side: pa.schema([  # noqa: E731
+            ("nationkey", pa.int64()), (f"{side}_bal_raw", pa.float64()),
+            (f"{side}_n_raw", pa.int64())])
+        df = cogroup_join(c_agg, s_agg, on="nationkey",
+                          left_schema=schema("cust"),
+                          right_schema=schema("supp"),
+                          how="full_outer").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                             "cust_bal": pd.Series([], dtype="float64"),
+                             "supp_bal": pd.Series([], dtype="float64"),
+                             "n_cust": pd.Series([], dtype="int64"),
+                             "n_supp": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({
+        "nationkey": df["nationkey"].astype("int64"),
+        "cust_bal": np.floor(df["cust_bal_raw"].to_numpy(np.float64)
+                             * 100 + 0.5) / 100,
+        "supp_bal": np.floor(df["supp_bal_raw"].to_numpy(np.float64)
+                             * 100 + 0.5) / 100,
+        "n_cust": df["cust_n_raw"].fillna(0).astype("int64"),
+        "n_supp": df["supp_n_raw"].fillna(0).astype("int64")})
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def doc_token_mad(sf_dir: str):
+    """Grouped robust dispersion: exact median absolute deviation of
+    per-doc token counts per language.  Token counts are small ints, so
+    each language reduces to a (count → weight) histogram via one
+    partial aggregate; both interpolated medians (the center and the
+    deviation median) close on the driver from the histogram — exact
+    at any corpus size without a distributed sort."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"lang": b.column("lang"),
+                         "n": pa.array(n, pa.int64())})
+
+    hist = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["lang", "n"], count_alias="w",
+                             combine="driver")
+    if hist.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "mad": pd.Series([], dtype="float64"),
+                             "med": pd.Series([], dtype="float64"),
+                             "n_docs": pd.Series([], dtype="int64")})
+
+    def wq50(vals: np.ndarray, w: np.ndarray) -> float:
+        # interpolated median of the weighted multiset (quantile_cont
+        # semantics: v[lo] + (h-lo)·(v[hi]-v[lo]) at h=(N-1)/2)
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        n = int(w.sum())
+        h = (n - 1) * 0.5
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        cw = np.cumsum(w)
+        a = vals[np.searchsorted(cw, lo + 1)]
+        b = vals[np.searchsorted(cw, hi + 1)]
+        return float(a + (h - lo) * (b - a))
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        v = g["n"].to_numpy(np.float64)
+        w = g["w"].to_numpy(np.int64)
+        med = wq50(v, w)
+        mad = wq50(np.abs(v - med), w)
+        rows.append((lang, mad, med, int(w.sum())))
+    out = pd.DataFrame(rows, columns=["lang", "mad", "med", "n_docs"])
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3579,6 +3715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_acctbal_geomean": nation_acctbal_geomean,
         "orders_month_seasonality": orders_month_seasonality,
         "part_name_similarity": part_name_similarity,
+        "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "split_assign": split_assign,
         # events
@@ -3605,6 +3742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": doc_token_quantiles,
         "doc_token_quartiles_cont": doc_token_quartiles_cont,
         "doc_token_quantiles_approx": doc_token_quantiles_approx,
+        "doc_token_mad": doc_token_mad,
         "unigram_counts": unigram_counts,
         "bigram_counts": bigram_counts,
         "doc_quality": doc_quality,
@@ -4397,6 +4535,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "nation_balance_full_join": """
+            WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                              round(sum(c_acctbal), 2) AS cust_bal,
+                              count(*)::BIGINT AS n_cust
+                       FROM customer WHERE c_acctbal > 4500 GROUP BY 1),
+                 s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                              round(sum(s_acctbal), 2) AS supp_bal,
+                              count(*)::BIGINT AS n_supp
+                       FROM supplier WHERE s_acctbal > 4500 GROUP BY 1)
+            SELECT nationkey, cust_bal, supp_bal,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s USING (nationkey)
+            ORDER BY nationkey
+        """,
+        "doc_token_mad": """
+            WITH c AS (SELECT lang,
+                              length(regexp_extract_all(text, '\\S+'))::BIGINT
+                                  AS n
+                       FROM documents)
+            SELECT lang, mad(n) AS mad, median(n) AS med,
+                   count(*)::BIGINT AS n_docs
+            FROM c GROUP BY lang ORDER BY lang
         """,
         "part_name_similarity": """
             SELECT a.p_brand AS p_brand, a.p_partkey AS pk1,

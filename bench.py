@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "events_value_skewness",
     "token_zipf",
     "part_name_similarity",
+    "nation_balance_full_join",
+    "doc_token_mad",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
