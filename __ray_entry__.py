@@ -3658,6 +3658,95 @@ def doc_token_mad(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def events_value_zscore(sf_dir: str):
+    """Per-type feature standardization: z-score of each event's value
+    against its event type's mean/stddev — the training-data
+    normalization step.  Group stats come from one partial-aggregated
+    pass (mean) plus one centered pass (variance, same two-pass
+    discipline as lineitem_regr); the normalization itself is a
+    stateless broadcast map, no shuffle touches the event rows."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def m1(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "sx": b.column("value")})
+
+    a1 = partial_group_agg(ds.map_batches(m1, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["sx"],
+                           count_alias="n", combine="driver")
+    if a1.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "event_type": pd.Series([], dtype="object"),
+                             "z": pd.Series([], dtype="float64")})
+    types = a1["event_type"].to_numpy(dtype=object)
+    nv = a1["n"].to_numpy(dtype=np.float64)
+    mu = a1["sx"].to_numpy() / nv
+
+    def m2(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(types, t)
+        d = b.column("value").to_numpy(zero_copy_only=False) - mu[idx]
+        return pa.table({"event_type": b.column("event_type"),
+                         "s2": pa.array(d * d)})
+
+    a2 = partial_group_agg(ds.map_batches(m2, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["s2"],
+                           combine="driver")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt(a2["s2"].to_numpy() / (nv - 1))
+    sd = np.where((nv > 1) & (sd > 0), sd, np.nan)
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(types, t)
+        z = (b.column("value").to_numpy(zero_copy_only=False)
+             - mu[idx]) / sd[idx]
+        # round 4, not 6: mu/sd differ from the oracle's accumulators
+        # by ~1e-12 relative, and at 1e-6 boundary spacing the flip
+        # probability across 10^4+ rows is no longer negligible
+        z = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4 + 0.0
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "z": pa.array(z, pa.float64())})
+
+    return _det_sort(ds.map_batches(norm, batch_format="pyarrow"),
+                     ["event_id"])
+
+
+def docs_hash_sample(sf_dir: str):
+    """Deterministic fixed-size uniform sample: the k documents with
+    the smallest multiplicative-hash rank — a distributed bottom-k
+    (per-block partial bottom-k, tiny driver close), reproducible
+    across runs and cluster sizes, unlike random_shuffle().limit()."""
+    import numpy as np
+    import pandas as pd
+
+    K = 100
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def ranked(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids * 2654435761) % 4294967296
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "lang": b.column("lang"),
+                      "h": pa.array(h, pa.int64())})
+        df = t.to_pandas().sort_values(["h", "doc_id"]).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(ranked, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "lang": pd.Series([], dtype="object"),
+                             "h": pd.Series([], dtype="int64")})
+    return (parts.sort_values(["h", "doc_id"]).head(K)
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3736,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": event_type_transitions,
         "user_first_last_event": user_first_last_event,
         "events_value_skewness": events_value_skewness,
+        "events_value_zscore": events_value_zscore,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
@@ -3751,6 +3841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_hash_sample": docs_hash_sample,
         "doc_chunks": doc_chunks,
         # dedup
         "dedup_exact": dedup_exact,
@@ -4535,6 +4626,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_zscore": """
+            WITH s AS (SELECT event_type, avg(value) AS mu,
+                              stddev_samp(value) AS sd
+                       FROM events GROUP BY 1)
+            SELECT event_id, e.event_type,
+                   round((value - mu) / sd, 4) + 0 AS z
+            FROM events e JOIN s USING (event_type)
+            ORDER BY event_id
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang,
+                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+            FROM documents ORDER BY h, doc_id LIMIT 100
         """,
         "nation_balance_full_join": """
             WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

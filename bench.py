@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "part_name_similarity",
     "nation_balance_full_join",
     "doc_token_mad",
+    "events_value_zscore",
+    "docs_hash_sample",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
