@@ -3747,6 +3747,74 @@ def docs_hash_sample(sf_dir: str):
             .reset_index(drop=True))
 
 
+def events_purchaser_events(sf_dir: str):
+    """Semi-join with a Bloom prefilter: every event of a user who made
+    a high-value purchase (value > 200).  The build side folds into one OR-merged
+    bitset (fixed bytes per block — it never shuffles); the probe side
+    prefilters map-side with zero false negatives, and the small
+    surviving fraction verifies exactly — broadcast key set under the
+    cutoff, hash-partitioned co-group join beyond (the 100 TB path:
+    bloom cuts the join's shuffle volume to ~the true match rate)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.sketches import bloom_contains, bloom_from_dataset
+    from elevant_ray.stages.util import cogroup_join, np_columns, scale_cutoff
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    if ev.count() == 0:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "event_type": pd.Series([], dtype="object")})
+
+    def build_pre(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("event_type"), pa.scalar("purchase")),
+                    pc.greater(b.column("value"), pa.scalar(200.0)))
+        return b.filter(m).select(["user_id"])
+
+    build = ev.map_batches(build_pre, batch_format="pyarrow").materialize()
+    words = bloom_from_dataset(build, "user_id")
+
+    def pref(b: pa.Table) -> pa.Table:
+        mask = bloom_contains(
+            words,
+            b.column("user_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        return b.filter(pa.array(mask)).select(
+            ["event_id", "user_id", "event_type"])
+
+    cand = ev.map_batches(pref, batch_format="pyarrow")
+    if build.size_bytes() <= scale_cutoff(64 << 20):
+        keys = np.unique(np_columns(build, ["user_id"])["user_id"]) \
+            if build.count() else np.empty(0, np.int64)
+
+        def verify(b: pa.Table) -> pa.Table:
+            u = b.column("user_id").to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return b.slice(0, 0)
+            i = np.clip(np.searchsorted(keys, u), 0, len(keys) - 1)
+            return b.filter(pa.array(keys[i] == u))
+
+        out = cand.map_batches(verify, batch_format="pyarrow")
+    else:
+        dk = _distinct_int(build, "user_id")
+        if not hasattr(dk, "map_batches"):  # driver frame → Dataset
+            import ray.data as rd
+
+            dk = rd.from_pandas(dk)
+        out = cogroup_join(
+            cand, dk, on="user_id",
+            left_schema=pa.schema([("event_id", pa.int64()),
+                                   ("user_id", pa.int64()),
+                                   ("event_type", pa.string())]),
+            right_schema=pa.schema([("user_id", pa.int64())])) \
+            .map_batches(lambda b: b.select(
+                ["event_id", "user_id", "event_type"]),
+                batch_format="pyarrow")
+    return _det_sort(out, ["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3826,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": user_first_last_event,
         "events_value_skewness": events_value_skewness,
         "events_value_zscore": events_value_zscore,
+        "events_purchaser_events": events_purchaser_events,
         "orders_nearby_counts": orders_nearby_counts,
         # text analysis
         "doc_token_counts": doc_token_counts,
@@ -4626,6 +4695,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_purchaser_events": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id IN (SELECT user_id FROM events
+                              WHERE event_type = 'purchase'
+                                AND value > 200)
+            ORDER BY event_id
         """,
         "events_value_zscore": """
             WITH s AS (SELECT event_type, avg(value) AS mu,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "doc_token_mad",
     "events_value_zscore",
     "docs_hash_sample",
+    "events_purchaser_events",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",

@@ -242,3 +242,64 @@ def approx_quantiles(ds, col: str, qs, group_cols=None,
     names = group_cols + ["q", "value"]
     cols = list(zip(*rows)) if rows else [[] for _ in names]
     return pa.table({n: pa.array(list(c)) for n, c in zip(names, cols)})
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (semi-join prefilter)
+# ---------------------------------------------------------------------------
+
+def bloom_bits(values: np.ndarray, m_bits: int, k: int = 4) -> np.ndarray:
+    """Bloom-filter bitset (uint64 words) over int64 keys: k derived
+    hashes from one splitmix64 pass (Kirsch-Mitzenmacher double
+    hashing), m_bits a power of two.  Per-batch partials merge by
+    bitwise OR — associative + commutative, so the build side never
+    shuffles: each block contributes a fixed m/8-byte partial no matter
+    how many rows it holds."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of 2"
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(values) == 0:
+        return words
+    h = _hash64(values)
+    h1 = h & np.uint64(m_bits - 1)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd ⇒ full-cycle stride
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return words
+
+
+def bloom_contains(words: np.ndarray, values: np.ndarray,
+                   k: int = 4) -> np.ndarray:
+    """Membership mask; no false negatives, FP rate ≈ (1-e^{-kn/m})^k."""
+    m_bits = len(words) * 64
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    h = _hash64(values)
+    h1 = h & np.uint64(m_bits - 1)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    mask = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask
+
+
+def bloom_from_dataset(ds, col: str, m_bits: int = 1 << 20,
+                       k: int = 4) -> np.ndarray:
+    """OR-merge of per-batch Bloom partials over ``ds[col]`` — the
+    distributed build of a semi-join prefilter.  Each batch emits one
+    fixed-size bitset row; the driver folds them with bitwise OR."""
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        w = bloom_bits(vals.astype(np.int64), m_bits, k)
+        return pa.table({"words": pa.array([w.tobytes()], pa.binary())})
+
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for batch in (ds.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+        for buf in batch.column("words").to_pylist():
+            words |= np.frombuffer(buf, dtype=np.uint64)
+    return words

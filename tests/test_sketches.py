@@ -116,3 +116,32 @@ def test_approx_quantiles_deterministic(ray_session):
     # uniform 0..996: quantile q ≈ 997q, allow sketch rank error
     for q, val in zip(a.column("q").to_pylist(), a.column("value").to_pylist()):
         assert abs(val - 997 * q) <= 997 * 0.02 + 2, (q, val)
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    import numpy as np
+
+    from elevant_ray.stages.sketches import bloom_bits, bloom_contains
+
+    rng = np.random.default_rng(31072020)
+    members = rng.integers(0, 1 << 62, size=5000, dtype=np.int64)
+    words = bloom_bits(members, m_bits=1 << 17, k=4)
+    assert bloom_contains(words, members).all(), "false negative"
+    probes = rng.integers(0, 1 << 62, size=100_000, dtype=np.int64)
+    outside = probes[~np.isin(probes, members)]
+    fp = bloom_contains(words, outside).mean()
+    # theoretical (1-e^{-kn/m})^k ≈ 4e-4 at n=5000, m=2^17, k=4
+    assert fp < 5e-3, fp
+
+
+def test_bloom_or_merge_equals_union_build():
+    import numpy as np
+
+    from elevant_ray.stages.sketches import bloom_bits
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 62, size=1000, dtype=np.int64)
+    b = rng.integers(0, 1 << 62, size=1000, dtype=np.int64)
+    m = 1 << 14
+    assert ((bloom_bits(a, m) | bloom_bits(b, m))
+            == bloom_bits(np.concatenate([a, b]), m)).all()
