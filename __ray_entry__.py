@@ -3815,6 +3815,42 @@ def events_purchaser_events(sf_dir: str):
     return _det_sort(out, ["event_id"])
 
 
+def part_pagerank(sf_dir: str):
+    """Iterative PageRank (3 damped iterations, simplified semantics —
+    sink mass leaks, mirrored by the oracle) over the deterministic part
+    DAG (k → k//7 and k → k//3 for k > 0, the type_closure graph).
+    Driver numpy scatter-add iteration under the edge cutoff; co-group
+    join + dst-sum exchange per iteration beyond it (knob-tested).  The
+    oracle unrolls the same three iterations as chained CTEs."""
+    import numpy as np
+
+    from elevant_ray.stages.graph import pagerank
+
+    ds = _read(sf_dir, "part", ["p_partkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for k in b.column("p_partkey").to_pylist():
+            if k > 0:
+                src.extend((k, k))
+                dst.extend((k // 7, k // 3))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    pr = pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                  num_iters=3, damping=0.85,
+                  num_partitions=_shuffle_parts())
+
+    def rnd(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column("node"),
+                         "rank": pa.array(np.floor(r * 1e8 + 0.5) / 1e8)})
+
+    if isinstance(pr, pa.Table):
+        return _det_sort(rnd(pr).to_pandas(), ["node"])
+    return _det_sort(pr.map_batches(rnd, batch_format="pyarrow"), ["node"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3874,6 +3910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_similarity": part_name_similarity,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
+        "part_pagerank": part_pagerank,
         "split_assign": split_assign,
         # events
         "events_hourly": events_hourly,
@@ -4695,6 +4732,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "part_pagerank": """
+            WITH e AS (SELECT p_partkey AS src, p_partkey // 7 AS dst
+                       FROM part WHERE p_partkey > 0
+                       UNION ALL
+                       SELECT p_partkey, p_partkey // 3
+                       FROM part WHERE p_partkey > 0),
+                 nodes AS (SELECT DISTINCT node FROM
+                           (SELECT src AS node FROM e
+                            UNION ALL SELECT dst FROM e)),
+                 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+                 deg AS (SELECT src, count(*)::DOUBLE AS d
+                         FROM e GROUP BY 1),
+                 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r
+                        FROM nodes),
+                 r1 AS (SELECT nodes.node,
+                               (1 - 0.85) / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(sum(r0.r / deg.d), 0) AS r
+                        FROM nodes
+                        LEFT JOIN e ON e.dst = nodes.node
+                        LEFT JOIN deg ON deg.src = e.src
+                        LEFT JOIN r0 ON r0.node = e.src
+                        GROUP BY nodes.node),
+                 r2 AS (SELECT nodes.node,
+                               (1 - 0.85) / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(sum(r1.r / deg.d), 0) AS r
+                        FROM nodes
+                        LEFT JOIN e ON e.dst = nodes.node
+                        LEFT JOIN deg ON deg.src = e.src
+                        LEFT JOIN r1 ON r1.node = e.src
+                        GROUP BY nodes.node),
+                 r3 AS (SELECT nodes.node,
+                               (1 - 0.85) / (SELECT n FROM nn)
+                               + 0.85 * COALESCE(sum(r2.r / deg.d), 0) AS r
+                        FROM nodes
+                        LEFT JOIN e ON e.dst = nodes.node
+                        LEFT JOIN deg ON deg.src = e.src
+                        LEFT JOIN r2 ON r2.node = e.src
+                        GROUP BY nodes.node)
+            SELECT node, round(r, 8) AS rank FROM r3 ORDER BY node
         """,
         "events_purchaser_events": """
             SELECT event_id, user_id, event_type FROM events

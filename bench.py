@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "events_value_zscore",
     "docs_hash_sample",
     "events_purchaser_events",
+    "part_pagerank",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",

@@ -222,3 +222,139 @@ def transitive_closure(edges, num_partitions: int = 8, max_rounds: int = 64,
 
     raise RuntimeError(
         f"transitive_closure: no fixpoint after {max_rounds} rounds")
+
+
+def pagerank(edges, num_iters: int = 3, damping: float = 0.85,
+             num_partitions: int = 8, cutoff: int = None):
+    """Iterative PageRank over (src, dst) edges, simplified semantics
+    (no dangling-mass redistribution — a sink node's mass leaks, which
+    the oracle mirrors): r₀ = 1/N over the distinct node set and
+
+        r_{t+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} r_t(u) / outdeg(u)
+
+    Under the edge-size cutoff the iteration runs as driver numpy
+    scatter-adds (same short-circuit discipline as transitive_closure);
+    beyond it each iteration is a co-group join of the rank state with
+    the edge list on src plus one dst-sum exchange, with the node/degree
+    table carried as iteration-invariant state — the hash-min-style
+    frontier pattern the north rule names for cluster formation, applied
+    to a value iteration.
+    """
+    import numpy as np
+
+    from elevant_ray.stages.util import (cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    e = edges.materialize()
+    if cutoff is None:
+        cutoff = scale_cutoff(16 << 20)
+    if e.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    if e.size_bytes() <= cutoff:
+        cols = np_columns(e, ["src", "dst"])
+        src, dst = cols["src"], cols["dst"]
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        deg = np.bincount(si, minlength=n)
+        r = np.full(n, 1.0 / n)
+        for _ in range(num_iters):
+            contrib = r[si] / deg[si]
+            s = np.zeros(n)
+            np.add.at(s, di, contrib)
+            r = (1.0 - damping) / n + damping * s
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rank": pa.array(r, pa.float64())})
+
+    # distributed path: state = (node, r, deg) Dataset
+    def src_key(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(b.column("src"), pa.int64()),
+                         "dst": pc.cast(b.column("dst"), pa.int64())})
+
+    ekeyed = e.map_batches(src_key, batch_format="pyarrow").materialize()
+    deg = partial_group_agg(
+        ekeyed.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "one": pa.array(
+                                    np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], sum_cols=["one"], combine="dataset",
+        num_partitions=num_partitions)
+
+    def all_nodes(b: pa.Table) -> pa.Table:
+        arr = np.unique(np.concatenate([
+            b.column("node").to_numpy(zero_copy_only=False),
+            b.column("dst").to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(arr, pa.int64()),
+                         "one": pa.array(np.ones(len(arr), np.int64))})
+
+    nodes_ds = partial_group_agg(
+        ekeyed.map_batches(all_nodes, batch_format="pyarrow"),
+        ["node"], sum_cols=["one"], combine="dataset",
+        num_partitions=num_partitions).materialize()
+    n = nodes_ds.count()
+    node_schema = pa.schema([("node", pa.int64()), ("one", pa.int64())])
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    # state: node, deg (0 for sinks), r
+    state = cogroup_join(
+        nodes_ds, deg.map_batches(
+            lambda b: b.rename_columns(["node", "deg"]),
+            batch_format="pyarrow"),
+        on="node", how="left_outer", num_partitions=num_partitions,
+        left_schema=node_schema, right_schema=deg_schema)
+
+    def init_r(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({"node": b.column("node"),
+                         "deg": pa.array(d, pa.int64()),
+                         "r": pa.array(np.full(b.num_rows, 1.0 / n))})
+
+    state = state.map_batches(init_r, batch_format="pyarrow").materialize()
+    state_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                              ("r", pa.float64())])
+    edge_schema = pa.schema([("node", pa.int64()), ("dst", pa.int64())])
+    for _ in range(num_iters):
+        j = cogroup_join(ekeyed, state, on="node",
+                         num_partitions=num_partitions,
+                         left_schema=edge_schema,
+                         right_schema=state_schema)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b.column("r").to_numpy(zero_copy_only=False)
+            d = b.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table({"node": b.column("dst"),
+                             "c": pa.array(r / d, pa.float64())})
+
+        sums = partial_group_agg(
+            j.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], sum_cols=["c"], combine="dataset",
+            num_partitions=num_partitions)
+        nxt = cogroup_join(
+            state.map_batches(lambda b: b.select(["node", "deg"]),
+                              batch_format="pyarrow"),
+            sums.map_batches(
+                lambda b: b.rename_columns(["node", "c"]),
+                batch_format="pyarrow"),
+            on="node", how="left_outer", num_partitions=num_partitions,
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("deg", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("c", pa.float64())]))
+
+        def close(b: pa.Table) -> pa.Table:
+            c = np.nan_to_num(
+                b.column("c").to_numpy(zero_copy_only=False), nan=0.0)
+            r = (1.0 - damping) / n + damping * c
+            return pa.table({"node": b.column("node"),
+                             "deg": b.column("deg"),
+                             "r": pa.array(r, pa.float64())})
+
+        state = nxt.map_batches(close, batch_format="pyarrow").materialize()
+    return state.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "rank": b.column("r")}),
+        batch_format="pyarrow")

@@ -20,7 +20,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "repeat_customers", "party_nations_union",
                   "bigram_counts", "part_min_cost_supplier",
                   "q7_trade_volume", "q10_returned_revenue",
-                  "nation_balance_full_join", "events_purchaser_events"]
+                  "nation_balance_full_join", "events_purchaser_events",
+                  "part_pagerank"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
