@@ -3054,8 +3054,18 @@ def q18_large_volume(sf_dir: str):
         "sum_qty": pd.Series([], dtype="int64")})
     if line.count() == 0:
         return empty
-    per_order = line.groupby("l_orderkey").aggregate(
-        Sum("l_quantity", alias_name="sum_qty"))
+
+    # pre-shrink before the unavoidable per-order exchange: an order's
+    # lines are adjacent in the generated parquet, so per-batch Arrow
+    # partials collapse most orders to one row before the shuffle
+    def partial(b: pa.Table) -> pa.Table:
+        return (b.group_by("l_orderkey")
+                .aggregate([("l_quantity", "sum")])
+                .rename_columns(["l_orderkey", "sum_qty"]))
+
+    per_order = (line.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("sum_qty", alias_name="sum_qty")))
 
     def having(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b.column("sum_qty"), pa.scalar(250.0)))
