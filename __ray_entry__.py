@@ -3861,6 +3861,72 @@ def part_pagerank(sf_dir: str):
     return _det_sort(pr.map_batches(rnd, batch_format="pyarrow"), ["node"])
 
 
+def supplier_ship_except_all(sf_dir: str):
+    """EXCEPT ALL (bag difference with multiplicity): per supplier, how
+    many more lineitems they shipped in 1996 than in 1997 — two partial
+    count aggregates diffed on the driver, surviving multiplicities
+    only.  The multiset semantics (max(c96 − c97, 0)) distinguish this
+    from the distinct EXCEPT already covered by customer_except."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate"])
+
+    def year_counts(b: pa.Table) -> pa.Table:
+        yr = pc.year(b.column("l_shipdate"))
+        m96 = pc.equal(yr, pa.scalar(1996, pa.int64()))
+        m97 = pc.equal(yr, pa.scalar(1997, pa.int64()))
+        return pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "c96": pc.cast(m96, pa.int64()),
+            "c97": pc.cast(m97, pa.int64())})
+
+    agg = partial_group_agg(
+        line.map_batches(year_counts, batch_format="pyarrow"),
+        ["l_suppkey"], sum_cols=["c96", "c97"], combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    n = np.maximum(agg["c96"].to_numpy(np.int64)
+                   - agg["c97"].to_numpy(np.int64), 0)
+    out = pd.DataFrame({"l_suppkey": agg["l_suppkey"].astype("int64"),
+                        "n": n})
+    return (out[out["n"] > 0].sort_values("l_suppkey")
+            .reset_index(drop=True))
+
+
+def returnflag_harmonic_qty(sf_dir: str):
+    """Grouped harmonic mean of quantities (n / Σ(1/x)) — the
+    reciprocal-domain mergeable aggregate, complementing the log-domain
+    geometric mean."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "inv": pa.array(1.0 / q)})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["l_returnflag"], sum_cols=["inv"],
+                            count_alias="n", combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"l_returnflag": pd.Series([], dtype="object"),
+                             "hmean_qty": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    h = agg["n"].to_numpy(np.float64) / agg["inv"].to_numpy()
+    out = agg[["l_returnflag"]].copy()
+    out["hmean_qty"] = np.floor(h * 1e6 + 0.5) / 1e6
+    out["n"] = agg["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3888,6 +3954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": orders_priority_pivot,
         "part_brand_sets": part_brand_sets,
         "customer_except": customer_except,
+        "supplier_ship_except_all": supplier_ship_except_all,
+        "returnflag_harmonic_qty": returnflag_harmonic_qty,
         "repeat_customers": repeat_customers,
         "customer_order_counts": customer_order_counts,
         "customers_inactive": customers_inactive,
@@ -4742,6 +4810,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_ship_except_all": """
+            WITH d AS (
+                SELECT l_suppkey FROM lineitem
+                WHERE EXTRACT(year FROM l_shipdate) = 1996
+                EXCEPT ALL
+                SELECT l_suppkey FROM lineitem
+                WHERE EXTRACT(year FROM l_shipdate) = 1997)
+            SELECT l_suppkey, count(*)::BIGINT AS n
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "returnflag_harmonic_qty": """
+            SELECT l_returnflag,
+                   round(count(*) / sum(1.0 / l_quantity), 6) AS hmean_qty,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "part_pagerank": """
             WITH e AS (SELECT p_partkey AS src, p_partkey // 7 AS dst

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "docs_hash_sample",
     "events_purchaser_events",
     "part_pagerank",
+    "supplier_ship_except_all",
+    "returnflag_harmonic_qty",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
