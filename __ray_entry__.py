@@ -3927,6 +3927,43 @@ def returnflag_harmonic_qty(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def unigram_counts_incremental(sf_dir: str):
+    """Incremental refresh of unigram_counts: the corpus arrives as two
+    append-only increments (doc_id parity) folded into persisted
+    bucketed state (state/incremental.py — per-bucket merges, untouched
+    buckets carry over, exactly-once per increment id).  The final
+    state equals the one-shot aggregate bit-for-bit, so it shares the
+    unigram oracle."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from elevant_ray.stages.text_stats import _partial_unigram_counts
+    from elevant_ray.state.incremental import incremental_group_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="elevant_inc_")
+    state = root + "/state"
+    try:
+        out = None
+        for part in (0, 1):
+            def half(b: pa.Table, part=part) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 2 == part))
+
+            tok = (ds.map_batches(half, batch_format="pyarrow")
+                   .map_batches(lambda b: _partial_unigram_counts(b, "text"),
+                                batch_format="pyarrow"))
+            out = incremental_group_sum(state, tok, ["token"], ["partial"],
+                                        increment_id=f"half-{part}")
+        df = out.rename(columns={"partial": "count"})
+        df["count"] = df["count"].astype("int64")
+        return df.sort_values("token").reset_index(drop=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4018,6 +4055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles_approx": doc_token_quantiles_approx,
         "doc_token_mad": doc_token_mad,
         "unigram_counts": unigram_counts,
+        "unigram_counts_incremental": unigram_counts_incremental,
         "bigram_counts": bigram_counts,
         "doc_quality": doc_quality,
         "doc_tfidf_top3": doc_tfidf_top3,
@@ -4563,6 +4601,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
             FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 20
+        """,
+        "unigram_counts_incremental": """
+            SELECT token, count(*)::BIGINT AS count
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY token
         """,
         "unigram_counts": """
             SELECT token, count(*)::BIGINT AS count

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "part_pagerank",
     "supplier_ship_except_all",
     "returnflag_harmonic_qty",
+    "unigram_counts_incremental",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
