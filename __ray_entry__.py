@@ -3964,6 +3964,41 @@ def unigram_counts_incremental(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def embedding_stats(sf_dir: str):
+    """Nested-list kernels over the Arrow ``list<float>`` column without
+    per-row Python: the flat values buffer is taken zero-copy and
+    segment-reduced with ``np.maximum.reduceat`` / ``np.add.reduceat``
+    over the list offsets — per-vector max component and L1 norm,
+    variable-length safe."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    if ds.count() == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int32"),
+                             "vmax": pd.Series([], dtype="float64"),
+                             "l1": pd.Series([], dtype="float64")})
+
+    def stats(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        flat = col.combine_chunks()
+        vals = flat.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = flat.offsets.to_numpy()
+        starts = offs[:-1]
+        vmax = np.maximum.reduceat(vals, starts)
+        l1 = np.add.reduceat(np.abs(vals), starts)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "label": b.column("label"),
+            "vmax": pa.array(np.sign(vmax)
+                             * np.floor(np.abs(vmax) * 1e6 + 0.5) / 1e6),
+            "l1": pa.array(np.floor(l1 * 1e6 + 0.5) / 1e6)})
+
+    return _det_sort(ds.map_batches(stats, batch_format="pyarrow"),
+                     ["vec_id"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4075,6 +4110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn_ivf,
         "neardup_embedding": neardup_embedding,
         "embedding_centroids": embedding_centroids,
+        "embedding_stats": embedding_stats,
         # multimodal (stubbed decode, real Ray plumbing)
         "multimodal_features": multimodal_features,
         # pages / ELEVANT
@@ -4854,6 +4890,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice) / count(*), 2) AS avg_price
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_stats": """
+            SELECT vec_id, label,
+                   round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+                   round(list_sum(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x))), 6) AS l1
+            FROM embeddings ORDER BY vec_id
         """,
         "supplier_ship_except_all": """
             WITH d AS (

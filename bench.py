@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "supplier_ship_except_all",
     "returnflag_harmonic_qty",
     "unigram_counts_incremental",
+    "embedding_stats",
     "embedding_centroids",
     "dedup_exact",
     "dedup_minhash",
