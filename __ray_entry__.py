@@ -3999,6 +3999,353 @@ def embedding_stats(sf_dir: str):
                      ["vec_id"])
 
 
+def q4_order_priority(sf_dir: str):
+    """Order-priority checking (TPC-H Q4 shape): per priority, the
+    number of 1996H1 orders with at least one line shipped ≥ 90 days
+    after the order date — an EXISTS semi-join.  The order window ships
+    as a broadcast IntKeyMap (orderkey → orderdate µs); the lineitem
+    side never shuffles: each batch probes the map, applies the
+    lateness predicate, and collapses to its distinct qualifying
+    orderkeys, so only ≤ |window orders| keys reach the combine.
+    Beyond the broadcast cutoff the same semi-join runs
+    hash-partitioned (util.cogroup_join) with the identical per-batch
+    distinct pre-shrink."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns
+
+    empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                          "n_orders": pd.Series([], dtype="int64")})
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1996, 7, 1))
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        b = b.filter(m)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority")})
+
+    win = np_columns(orders.map_batches(window, batch_format="pyarrow"),
+                     ["o_orderkey", "odate_us", "o_orderpriority"])
+    if len(win["o_orderkey"]) == 0:
+        return empty
+    omap = IntKeyMap(win["o_orderkey"],
+                     win["odate_us"].astype(np.int64))
+    ninety = np.int64(90 * 86400 * 1_000_000)
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        odate, found = omap.take(ok)
+        ship = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = found & (ship >= odate + ninety)
+        return pa.table({"o_orderkey": pa.array(np.unique(ok[m]),
+                                                pa.int64())})
+
+    late = np.unique(np_columns(
+        line.map_batches(late_keys, batch_format="pyarrow"),
+        ["o_orderkey"])["o_orderkey"])
+    hit = np.isin(win["o_orderkey"], late)
+    if not hit.any():
+        return empty
+    out = (pd.DataFrame({"o_orderpriority": win["o_orderpriority"][hit]})
+           .groupby("o_orderpriority", as_index=False).size()
+           .rename(columns={"size": "n_orders"}))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q12_late_lines(sf_dir: str):
+    """Late-line priority split (TPC-H Q12 shape): per ship year, the
+    number of lines belonging to high-priority orders (1-URGENT /
+    2-HIGH) vs others, among lines shipped ≥ 60 days after their order
+    date.  Under the cutoff the orders side folds into the lineitem
+    scan as one broadcast IntKeyMap whose int64 value packs
+    (orderdate µs << 1 | priority-class bit); beyond it the
+    hash-partitioned co-group join carries the same two columns.
+    Either way the counting is a two-phase conditional aggregate
+    (per-batch Arrow partials over ≤ |years| groups)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    empty = pd.DataFrame({"l_year": pd.Series([], dtype="int64"),
+                          "high_lines": pd.Series([], dtype="int64"),
+                          "low_lines": pd.Series([], dtype="int64")})
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    if line.count() == 0 or orders.count() == 0:
+        return empty
+    sixty = np.int64(60 * 86400 * 1_000_000)
+    prio = pa.array(["1-URGENT", "2-HIGH"])
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        high = pc.cast(pc.is_in(b.column("o_orderpriority"),
+                                value_set=prio), pa.int64())
+        packed = pc.add(
+            pc.shift_left(pc.cast(b.column("o_orderdate"), pa.int64()),
+                          pa.scalar(1, pa.int64())), high)
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "packed": packed})
+
+    def unpack(yr, ship, packed):
+        m = ship >= (packed >> 1) + sixty
+        high = (packed & 1)[m]
+        return pa.table({"l_year": pa.array(yr[m], pa.int64()),
+                         "high": pa.array(high, pa.int64()),
+                         "low": pa.array(1 - high, pa.int64())})
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        o = np_columns(orders.map_batches(o_pre, batch_format="pyarrow"),
+                       ["l_orderkey", "packed"])
+        omap = IntKeyMap(o["l_orderkey"], o["packed"].astype(np.int64))
+
+        def fold(b: pa.Table) -> pa.Table:
+            ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            packed = omap.take_checked(ok)
+            ship = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            yr = pc.year(b.column("l_shipdate")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return unpack(yr, ship, packed)
+
+        pre = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def l_pre(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+                "l_year": pc.cast(pc.year(b.column("l_shipdate")),
+                                  pa.int64())})
+
+        joined = cogroup_join(
+            line.map_batches(l_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("ship_us", pa.int64()),
+                                   ("l_year", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("packed", pa.int64())]))
+
+        def fold2(b: pa.Table) -> pa.Table:
+            return unpack(
+                b.column("l_year").to_numpy(zero_copy_only=False),
+                b.column("ship_us").to_numpy(zero_copy_only=False),
+                b.column("packed").to_numpy(zero_copy_only=False))
+
+        pre = joined.map_batches(fold2, batch_format="pyarrow")
+
+    agg = partial_group_agg(pre, ["l_year"], sum_cols=["high", "low"],
+                            combine="driver")
+    if agg is None or len(agg) == 0:
+        return empty
+    out = agg[["l_year"]].copy()
+    out["l_year"] = out["l_year"].astype("int64")
+    out["high_lines"] = agg["high"].astype("int64")
+    out["low_lines"] = agg["low"].astype("int64")
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly n orders, including the zero bucket — the
+    LEFT JOIN folded into arithmetic.  Per-customer counts come from
+    one high-cardinality groupby over orders (per-batch partials
+    pre-shrink the exchange), the histogram over counts is a tiny
+    two-phase aggregate, and the 0-order customers are total customers
+    minus matched actives (one subtraction instead of an outer join;
+    relies on the generator's FK integrity o_custkey ⊆ c_custkey,
+    asserted in tests)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    empty = pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                          "custdist": pd.Series([], dtype="int64")})
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    if n_cust == 0:
+        return empty
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    if orders.count() == 0:
+        return pd.DataFrame({"c_count": pd.Series([0], dtype="int64"),
+                             "custdist": pd.Series([n_cust],
+                                                   dtype="int64")})
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (b.group_by("o_custkey")
+                .aggregate([("o_custkey", "count")])
+                .rename_columns(["o_custkey", "n"]))
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="c_count")))
+    hist = partial_group_agg(
+        per_cust.map_batches(lambda b: b.select(["c_count"]),
+                             batch_format="pyarrow"),
+        ["c_count"], count_alias="custdist", combine="driver")
+    out = hist[["c_count", "custdist"]].copy()
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    zero = n_cust - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": pd.Series([0], dtype="int64"),
+                                "custdist": pd.Series([zero],
+                                                      dtype="int64")})],
+            ignore_index=True)
+    return (out.sort_values(["custdist", "c_count"], ascending=False)
+            .reset_index(drop=True))
+
+
+def q16_supplier_variety(sf_dir: str):
+    """Supplier-variety count (TPC-H Q16 shape): per (brand, size), the
+    number of DISTINCT suppliers shipping that part class, excluding
+    one brand and a supplier blacklist (NOT IN).  Part attributes fold
+    into the lineitem scan as broadcast IntKeyMaps; each batch
+    collapses to its distinct (brand, size, suppkey) triples before the
+    one global distinct groupby, so the exchange moves ≤ |triples|
+    rows; the final per-(brand,size) count is a two-phase partial
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from elevant_ray.stages.util import (IntKeyMap, np_columns,
+                                         partial_group_agg)
+
+    empty = pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                          "p_size": pd.Series([], dtype="int64"),
+                          "supplier_cnt": pd.Series([], dtype="int64")})
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    if line.count() == 0 or part.count() == 0:
+        return empty
+    p = np_columns(part, ["p_partkey", "p_brand", "p_size"])
+    bmap = IntKeyMap(p["p_partkey"], p["p_brand"])
+    szmap = IntKeyMap(p["p_partkey"], p["p_size"].astype(np.int64))
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]),
+                   ["s_suppkey", "s_acctbal"])
+    bad = s["s_suppkey"][s["s_acctbal"] < 0] if len(s["s_suppkey"]) else []
+    badmap = IntKeyMap(np.asarray(bad, np.int64)) if len(bad) else None
+
+    def triples(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        brand = bmap.take_checked(pk)
+        size = szmap.take_checked(pk)
+        keep = brand != "Brand#1"
+        if badmap is not None:
+            keep &= ~badmap.contains(sk)
+        t = pa.table({"p_brand": pa.array(brand[keep], pa.string()),
+                      "p_size": pa.array(size[keep], pa.int64()),
+                      "l_suppkey": pa.array(sk[keep], pa.int64())})
+        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    distinct = (line.map_batches(triples, batch_format="pyarrow")
+                .groupby(["p_brand", "p_size", "l_suppkey"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["p_brand", "p_size", "l_suppkey"]))
+    agg = partial_group_agg(distinct, ["p_brand", "p_size"],
+                            count_alias="supplier_cnt", combine="driver")
+    if agg is None or len(agg) == 0:
+        return empty
+    out = agg[["p_brand", "p_size", "supplier_cnt"]].copy()
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+def q21_sole_late_shipper(sf_dir: str):
+    """Suppliers who alone shipped last (TPC-H Q21 shape): in orders
+    with lines from ≥ 2 suppliers, find the supplier whose latest line
+    is the order's unique latest ship date (every other supplier
+    shipped strictly earlier), and count such orders per supplier.
+    Stage 1 collapses lineitem to per-(order, supplier) max ship dates
+    (per-batch Arrow partials shrink the exchange); stage 2 resolves
+    the per-order argmax-uniqueness inside one hash-bucketed co-group
+    (util.bucketed_group_apply — vectorized pandas transforms, no
+    per-key Python); stage 3 is a tiny per-supplier count with a
+    broadcast name lookup."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    from elevant_ray.stages.util import (IntKeyMap, bucketed_group_apply,
+                                         np_columns, partial_group_agg)
+
+    empty = pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                          "numwait": pd.Series([], dtype="int64")})
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+    if line.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_suppkey": b.column("l_suppkey"),
+                      "ship_us": pc.cast(b.column("l_shipdate"),
+                                         pa.int64())})
+        return (t.group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("ship_us", "max")])
+                .rename_columns(["l_orderkey", "l_suppkey", "ship_us"]))
+
+    per_os = (line.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_orderkey", "l_suppkey"])
+              .aggregate(Max("ship_us", alias_name="ship_us")))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey")["ship_us"]
+        mx = g.transform("max").to_numpy()
+        nsupp = g.transform("size").to_numpy()
+        at_max = df["ship_us"].to_numpy() == mx
+        n_at_max = (df.assign(_am=at_max).groupby("l_orderkey")["_am"]
+                    .transform("sum").to_numpy())
+        keep = (nsupp > 1) & at_max & (n_at_max == 1)
+        return df.loc[keep, ["l_suppkey"]]
+
+    waiters = bucketed_group_apply(per_os, "l_orderkey",
+                                   per_bucket).materialize()
+    if waiters.count() == 0:
+        return empty
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                   ["s_suppkey", "s_name"])
+    nmap = IntKeyMap(s["s_suppkey"], s["s_name"])
+
+    def name(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"s_name": pa.array(nmap.take_checked(sk),
+                                            pa.string())})
+
+    agg = partial_group_agg(waiters.map_batches(name,
+                                                batch_format="pyarrow"),
+                            ["s_name"], count_alias="numwait",
+                            combine="driver")
+    out = agg[["s_name", "numwait"]].copy()
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4053,6 +4400,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q12_late_lines": q12_late_lines,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q21_sole_late_shipper": q21_sole_late_shipper,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -4820,6 +5172,69 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >= o_orderdate
+                                              + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q12_late_lines": """
+            SELECT year(l_shipdate)::BIGINT AS l_year,
+                   count(*) FILTER (o_orderpriority IN
+                                    ('1-URGENT', '2-HIGH'))::BIGINT
+                     AS high_lines,
+                   count(*) FILTER (o_orderpriority NOT IN
+                                    ('1-URGENT', '2-HIGH'))::BIGINT
+                     AS low_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q13_order_count_distribution": """
+            WITH c_orders AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count::BIGINT AS c_count,
+                   count(*)::BIGINT AS custdist
+            FROM c_orders GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_size::BIGINT AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "q21_sole_late_shipper": """
+            WITH ls AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ship
+              FROM lineitem GROUP BY 1, 2
+            ), w AS (
+              SELECT l_orderkey, l_suppkey, ship,
+                     max(ship) OVER (PARTITION BY l_orderkey) AS mx,
+                     count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+              FROM ls
+            ), q AS (
+              SELECT l_orderkey, l_suppkey, ship, mx, nsupp,
+                     SUM(CASE WHEN ship = mx THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY l_orderkey) AS n_at_max
+              FROM w
+            )
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM q JOIN supplier ON l_suppkey = s_suppkey
+            WHERE nsupp > 1 AND ship = mx AND n_at_max = 1
+            GROUP BY s_name ORDER BY numwait DESC, s_name
         """,
         "events_retention": """
             WITH w AS (SELECT DISTINCT user_id,

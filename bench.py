@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q18_large_volume",
     "q19_disjunctive_revenue",
+    "q4_order_priority",
+    "q12_late_lines",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q21_sole_late_shipper",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
