@@ -4006,10 +4006,10 @@ def q4_order_priority(sf_dir: str):
     as a broadcast IntKeyMap (orderkey → orderdate µs); the lineitem
     side never shuffles: each batch probes the map, applies the
     lateness predicate, and collapses to its distinct qualifying
-    orderkeys, so only ≤ |window orders| keys reach the combine.
-    Beyond the broadcast cutoff the same semi-join runs
-    hash-partitioned (util.cogroup_join) with the identical per-batch
-    distinct pre-shrink."""
+    orderkeys, so only ≤ |window orders| keys reach the combine.  The
+    broadcast side is window-bounded, not corpus-bounded; past the
+    cutoff the scale path is the hash-partitioned cogroup semi-join
+    (util.cogroup_join) with the same per-batch distinct pre-shrink."""
     import datetime
 
     import numpy as np
@@ -4346,6 +4346,150 @@ def q21_sole_late_shipper(sf_dir: str):
             .reset_index(drop=True))
 
 
+def docs_pack_shards(sf_dir: str):
+    """Token-budget shard packing (the training-data "pack documents
+    into fixed-size shards" step): assign each document to the shard
+    its cumulative character count falls in, walking the corpus in
+    doc_id order with a 100k-char capacity.  The cumulative position is
+    an exact GLOBAL prefix sum — computed by the distributed
+    prefix-scan primitive (util.global_ordered_cumsum: key-range bucket
+    partials, a driver-side exclusive scan over ≤256 bucket totals, one
+    co-locating shuffle) — no global sort, no driver-side row loop."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cum_chars": pd.Series([], dtype="int64"),
+                          "shard": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cum = global_ordered_cumsum(ds, "doc_id", "n_chars")
+    if cum is None:
+        return empty
+    cap = np.int64(100_000)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = b.column("cum").to_numpy(zero_copy_only=False)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cum_chars": pa.array(c, pa.int64()),
+                         "shard": pa.array((c - n) // cap, pa.int64())})
+
+    return _det_sort(cum.map_batches(assign, batch_format="pyarrow"),
+                     "doc_id")
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-style pre-tokenizer counts: tokens are maximal runs of
+    letters, runs of digits, or single non-alnum-non-space chars — the
+    GPT-2-ish splitting rule.  One vectorized RE2 kernel per batch
+    (pc.count_substring_regex), zero Python per row; the DuckDB oracle
+    runs the same RE2 pattern via regexp_extract_all (differentially
+    verified byte-identical)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), pat)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents containing any
+    of a benchmark snippet set (here derived deterministically: the
+    40-char substring at offset 20 of every 97th document).  The
+    snippet set is bounded (benchmark-sized, not corpus-sized), so it
+    broadcasts once via ray.put and each batch runs one vectorized
+    substring-match kernel per snippet (pc.match_substring — C++ over
+    the whole batch; a production variant would compile the snippets
+    into one Aho-Corasick automaton per actor).  Output: contaminated
+    doc_id + how many distinct snippets it contains."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.util import cached_get
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_matches": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def snips(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((did % 97 == 0) & (nch >= 60)))
+        return pa.table({"snip": pc.utf8_slice_codeunits(
+            b.column("text"), 20, 60)})
+
+    snippets = sorted(set(
+        s for batch in ds.map_batches(snips, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for s in batch.column("snip").to_pylist()))
+    if not snippets:
+        return empty
+    ref = ray.put(snippets)
+
+    def match(b: pa.Table) -> pa.Table:
+        sn = cached_get(ref)
+        hits = np.zeros(b.num_rows, dtype=np.int64)
+        text = b.column("text")
+        for s in sn:
+            hits += pc.match_substring(text, s).to_numpy(
+                zero_copy_only=False)
+        keep = hits > 0
+        return pa.table({
+            "doc_id": pa.array(
+                b.column("doc_id").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "n_matches": pa.array(hits[keep], pa.int64())})
+
+    return _det_sort(ds.map_batches(match, batch_format="pyarrow"),
+                     "doc_id")
+
+
+def priority_intersect_all(sf_dir: str):
+    """INTERSECT ALL bag semantics (complement of the EXCEPT ALL
+    query): the multiset intersection of 1996 vs 1997 order
+    priorities — each value appears min(count96, count97) times.  One
+    scan produces both conditional per-priority counts (two-phase
+    partial aggregate); the min + row replication happens on the
+    ≤5-row result."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object")})
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    if orders.count() == 0:
+        return empty
+
+    def years(b: pa.Table) -> pa.Table:
+        yr = pc.year(b.column("o_orderdate"))
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "c96": pc.cast(pc.equal(yr, pa.scalar(1996, pa.int32())),
+                           pa.int64()),
+            "c97": pc.cast(pc.equal(yr, pa.scalar(1997, pa.int32())),
+                           pa.int64())})
+
+    agg = partial_group_agg(orders.map_batches(years,
+                                               batch_format="pyarrow"),
+                            ["o_orderpriority"], sum_cols=["c96", "c97"],
+                            combine="driver")
+    mult = np.minimum(agg["c96"].to_numpy(np.int64),
+                      agg["c97"].to_numpy(np.int64))
+    vals = np.repeat(agg["o_orderpriority"].to_numpy(), mult)
+    if len(vals) == 0:
+        return empty
+    return (pd.DataFrame({"o_orderpriority": vals})
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4405,6 +4549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "q16_supplier_variety": q16_supplier_variety,
         "q21_sole_late_shipper": q21_sole_late_shipper,
+        "priority_intersect_all": priority_intersect_all,
+        "docs_pack_shards": docs_pack_shards,
+        "doc_bpe_token_counts": doc_bpe_token_counts,
+        "docs_decontaminate": docs_decontaminate,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5235,6 +5383,40 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN supplier ON l_suppkey = s_suppkey
             WHERE nsupp > 1 AND ship = mx AND n_at_max = 1
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "priority_intersect_all": """
+            SELECT o_orderpriority FROM orders
+            WHERE year(o_orderdate) = 1996
+            INTERSECT ALL
+            SELECT o_orderpriority FROM orders
+            WHERE year(o_orderdate) = 1997
+            ORDER BY o_orderpriority
+        """,
+        "docs_pack_shards": """
+            SELECT doc_id,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+                     AS cum_chars,
+                   ((SUM(n_chars) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                     - n_chars) // 100000)::BIGINT AS shard
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                     AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_decontaminate": """
+            WITH snips AS (
+              SELECT DISTINCT substr(text, 21, 40) AS snip
+              FROM documents
+              WHERE doc_id % 97 = 0 AND length(text) >= 60)
+            SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM documents d JOIN snips s ON contains(d.text, s.snip)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "events_retention": """
             WITH w AS (SELECT DISTINCT user_id,

@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "q13_order_count_distribution",
     "q16_supplier_variety",
     "q21_sole_late_shipper",
+    "priority_intersect_all",
+    "docs_pack_shards",
+    "doc_bpe_token_counts",
+    "docs_decontaminate",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",

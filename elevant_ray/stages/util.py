@@ -406,3 +406,76 @@ def pearson_from_moments(n, sx, sy, sxy, sx2, sy2):
     denom = np.sqrt(vx * vy)
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(denom > 0, cov / denom, np.nan)
+
+
+def global_ordered_cumsum(ds, key: str, val: str, buckets: int = 256):
+    """Exact global running sum of ``val`` in ``key`` order, without a
+    global sort: the distributed prefix-scan primitive behind
+    token-budget shard packing and any "cumulative position in the
+    corpus" assignment.
+
+    Three bounded passes over a two-column projection:
+      1. min/max of ``key`` (per-batch partials → driver reduce) fixes
+         equal-width key-range buckets;
+      2. per-batch partial sums per bucket (map-side combine) → driver
+         exclusive scan over ≤ ``buckets`` ordered bucket totals;
+      3. one hash shuffle co-locating each bucket, then a vectorized
+         in-bucket sort + cumsum, plus the bucket's scanned offset.
+
+    No stage ever materializes more than the bucket totals on the
+    driver, and the one shuffle moves each row once — unlike a global
+    ``Dataset.sort`` + per-block scan, which pays a range exchange AND
+    needs block-index bookkeeping.  Requires unique integer keys (ties
+    would make "sum of all earlier rows" ambiguous).  Returns a Dataset
+    with columns (key, val, cum) where ``cum`` is the inclusive prefix
+    sum.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def minmax(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(k.min())], "hi": [int(k.max())]})
+
+    bounds = np_columns(ds.map_batches(minmax, batch_format="pyarrow"),
+                        ["lo", "hi"])
+    if len(bounds["lo"]) == 0:
+        return None
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    width = max(1, (hi - lo + 1 + buckets - 1) // buckets)
+
+    def bucket_sums(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        v = b.column(val).to_numpy(zero_copy_only=False)
+        bk = (k - lo) // width
+        t = pa.table({"rbkt": pa.array(bk, pa.int64()),
+                      "s": pa.array(v, pa.int64())})
+        return t.group_by("rbkt").aggregate([("s", "sum")]) \
+                .rename_columns(["rbkt", "s"])
+
+    part = np_columns(ds.map_batches(bucket_sums, batch_format="pyarrow"),
+                      ["rbkt", "s"])
+    totals = pd.DataFrame(part).groupby("rbkt")["s"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    omap = IntKeyMap(offsets.index.to_numpy(np.int64),
+                     offsets.to_numpy(np.int64))
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rbkt", pa.array((k - lo) // width, pa.int64()))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key, kind="stable")
+        off = int(omap.take_checked(g["rbkt"].to_numpy()[:1])[0]) \
+            if len(g) else 0
+        out = g[[key, val]].copy()
+        out["cum"] = g[val].to_numpy(np.int64).cumsum() + off
+        return out
+
+    return (ds.map_batches(add_bkt, batch_format="pyarrow")
+            .groupby("rbkt").map_groups(scan, batch_format="pandas"))

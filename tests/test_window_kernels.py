@@ -82,3 +82,36 @@ def test_pearson_split_merge_associativity():
         [1000], [x.sum()], [y.sum()], [(x * y).sum()],
         [(x * x).sum()], [(y * y).sum()])[0]
     assert abs(merged - single) < 1e-12
+
+
+def test_global_ordered_cumsum_matches_numpy(ray_session):
+    """Property: the distributed prefix scan equals np.cumsum in key
+    order, for sparse non-contiguous keys and values spanning many
+    bucket boundaries."""
+    import numpy as np
+    import ray.data
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 40, size=5000, dtype=np.int64))
+    vals = rng.integers(0, 10_000, size=len(keys)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"k": keys, "v": vals})
+    ).repartition(13)
+    out = (global_ordered_cumsum(ds, "k", "v", buckets=32)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    order = np.argsort(keys, kind="stable")
+    assert (out["k"].to_numpy() == keys[order]).all()
+    assert (out["cum"].to_numpy() == np.cumsum(vals[order])).all()
+
+
+def test_global_ordered_cumsum_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                       "v": pa.array([], pa.int64())}))
+    assert global_ordered_cumsum(ds, "k", "v") is None
