@@ -4490,6 +4490,140 @@ def priority_intersect_all(sf_dir: str):
             .sort_values("o_orderpriority").reset_index(drop=True))
 
 
+def events_value_kurtosis(sf_dir: str):
+    """Grouped excess kurtosis (bias-corrected G2, DuckDB's
+    definition) from mergeable centered moments — the two-pass
+    discipline of events_value_skewness extended to fourth order
+    (one-pass raw fourth moments lose ~10 digits at price scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def m1(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "sx": b.column("value")})
+
+    a1 = partial_group_agg(ds.map_batches(m1, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["sx"],
+                           count_alias="n", combine="driver")
+    if a1.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "kurt": pd.Series([], dtype="float64"),
+                             "n": pd.Series([], dtype="int64")})
+    types = a1["event_type"].to_numpy(dtype=object)
+    nv = a1["n"].to_numpy(dtype=np.float64)
+    mu = a1["sx"].to_numpy() / nv
+
+    def m2(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(types, t)
+        d = b.column("value").to_numpy(zero_copy_only=False) - mu[idx]
+        d2 = d * d
+        return pa.table({"event_type": b.column("event_type"),
+                         "s2": pa.array(d2), "s4": pa.array(d2 * d2)})
+
+    a2 = partial_group_agg(ds.map_batches(m2, batch_format="pyarrow"),
+                           ["event_type"], sum_cols=["s2", "s4"],
+                           combine="driver")
+    s2 = a2["s2"].to_numpy()
+    s4 = a2["s4"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g2 = nv * s4 / (s2 * s2) - 3.0
+        kurt = ((nv - 1) / ((nv - 2) * (nv - 3))) * ((nv + 1) * g2 + 6.0)
+    kurt = np.where((nv > 3) & (s2 > 0), kurt, np.nan)
+    out = a1[["event_type"]].copy()
+    out["kurt"] = np.sign(kurt) * np.floor(np.abs(kurt) * 1e6 + 0.5) / 1e6
+    out["n"] = a1["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def purchase_id_gaps(sf_dir: str):
+    """Islands-and-gaps over a filtered key space: the missing
+    event_id ranges between consecutive purchase events.  The classic
+    lag()-over-global-order formulation needs neighbor visibility
+    across partition boundaries — here solved scale-correctly: keys
+    hash into contiguous range buckets, each bucket finds its internal
+    gaps after one co-locating shuffle (vectorized np.diff), and the
+    cross-bucket seams are stitched on the driver from the ≤256
+    per-bucket (min, max) summaries that fall out of the pass-1
+    partials.  No global sort, no windowed self-join."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns
+
+    empty = pd.DataFrame({"gap_start": pd.Series([], dtype="int64"),
+                          "gap_end": pd.Series([], dtype="int64")})
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), pa.scalar("purchase"))
+        return pa.table({"k": b.filter(m).column("event_id")})
+
+    ks = ev.map_batches(keys_only, batch_format="pyarrow")
+
+    def minmax(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(k.min())], "hi": [int(k.max())]})
+
+    bounds = np_columns(ks.map_batches(minmax, batch_format="pyarrow"),
+                        ["lo", "hi"])
+    if len(bounds["lo"]) == 0:
+        return empty
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    buckets = 256
+    width = max(1, (hi - lo + 1 + buckets - 1) // buckets)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        bk = (k - lo) // width
+        t = pa.table({"rbkt": pa.array(bk, pa.int64()),
+                      "mn": pa.array(k, pa.int64()),
+                      "mx": pa.array(k, pa.int64())})
+        return (t.group_by("rbkt")
+                .aggregate([("mn", "min"), ("mx", "max")])
+                .rename_columns(["rbkt", "mn", "mx"]))
+
+    summ = pd.DataFrame(np_columns(
+        ks.map_batches(summarize, batch_format="pyarrow"),
+        ["rbkt", "mn", "mx"]))
+    summ = (summ.groupby("rbkt").agg(mn=("mn", "min"), mx=("mx", "max"))
+            .sort_index())
+    prev_mx = summ["mx"].to_numpy()[:-1]
+    next_mn = summ["mn"].to_numpy()[1:]
+    seam = next_mn - prev_mx > 1
+    boundary = pd.DataFrame({
+        "gap_start": (prev_mx[seam] + 1).astype("int64"),
+        "gap_end": (next_mn[seam] - 1).astype("int64")})
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        return b.append_column("rbkt",
+                               pa.array((k - lo) // width, pa.int64()))
+
+    def internal(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy(np.int64))
+        i = np.nonzero(np.diff(k) > 1)[0]
+        return pd.DataFrame({"gap_start": (k[i] + 1).astype("int64"),
+                             "gap_end": (k[i + 1] - 1).astype("int64")})
+
+    inner = (ks.map_batches(add_bkt, batch_format="pyarrow")
+             .groupby("rbkt").map_groups(internal, batch_format="pandas")
+             .to_pandas())
+    out = pd.concat([inner, boundary], ignore_index=True)
+    if out.empty:
+        return empty
+    out["gap_start"] = out["gap_start"].astype("int64")
+    out["gap_end"] = out["gap_end"].astype("int64")
+    return out.sort_values("gap_start").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4553,6 +4687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_shards": docs_pack_shards,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "docs_decontaminate": docs_decontaminate,
+        "events_value_kurtosis": events_value_kurtosis,
+        "purchase_id_gaps": purchase_id_gaps,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5474,6 +5610,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(skewness(value), 6) AS skew,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_value_kurtosis": """
+            SELECT event_type, round(kurtosis(value), 6) AS kurt,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "purchase_id_gaps": """
+            WITH o AS (SELECT event_id AS k FROM events
+                       WHERE event_type = 'purchase'),
+            d AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM o)
+            SELECT (pk + 1)::BIGINT AS gap_start,
+                   (k - 1)::BIGINT AS gap_end
+            FROM d WHERE pk IS NOT NULL AND k - pk > 1 ORDER BY 1
         """,
         "nation_acctbal_geomean": """
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey,

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "docs_pack_shards",
     "doc_bpe_token_counts",
     "docs_decontaminate",
+    "events_value_kurtosis",
+    "purchase_id_gaps",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
