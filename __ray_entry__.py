@@ -4624,6 +4624,90 @@ def purchase_id_gaps(sf_dir: str):
     return out.sort_values("gap_start").reset_index(drop=True)
 
 
+def events_trimmed_mean(sf_dir: str):
+    """Quantile-clipped (trimmed) aggregate: per event type, the mean
+    of values between the exact p05 and p95 percentile_disc thresholds.
+    The thresholds come from the exact distributed quantile primitive
+    (stages/quantiles.py — two-phase histogram over the discrete cents
+    domain, no sort); the clipped mean is then one filtered two-phase
+    aggregate.  The cents trick keeps the histogram cardinality bounded
+    by the value range, independent of row count."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import partial_group_agg
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "lo": pd.Series([], dtype="float64"),
+                          "hi": pd.Series([], dtype="float64"),
+                          "trimmed_mean": pd.Series([], dtype="float64"),
+                          "n_kept": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    if ds.count() == 0:
+        return empty
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b.column("event_type"),
+                         "value": b.column("value"),
+                         "c": pa.array(np.floor(v * 100 + 0.5)
+                                       .astype(np.int64))})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    q = grouped_quantiles(cds, "c", (0.05, 0.95),
+                          group_cols=["event_type"]).to_pandas()
+    lo = {r["event_type"]: int(r["c"]) for _, r in q.iterrows()
+          if r["q"] == 0.05}
+    hi = {r["event_type"]: int(r["c"]) for _, r in q.iterrows()
+          if r["q"] == 0.95}
+
+    def clip(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        lov = np.array([lo[x] for x in t.tolist()], np.int64)
+        hiv = np.array([hi[x] for x in t.tolist()], np.int64)
+        m = (c >= lov) & (c <= hiv)
+        return pa.table({
+            "event_type": b.column("event_type").filter(pa.array(m)),
+            "value": b.column("value").filter(pa.array(m))})
+
+    agg = partial_group_agg(cds.map_batches(clip, batch_format="pyarrow"),
+                            ["event_type"], sum_cols=["value"],
+                            count_alias="n_kept", combine="driver")
+    out = agg[["event_type"]].copy()
+    out["lo"] = np.array([lo[x] for x in out["event_type"]],
+                         np.float64) / 100.0
+    out["hi"] = np.array([hi[x] for x in out["event_type"]],
+                         np.float64) / 100.0
+    mean = agg["value"].to_numpy() / agg["n_kept"].to_numpy()
+    out["trimmed_mean"] = (np.sign(mean)
+                           * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6)
+    out["n_kept"] = agg["n_kept"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 4 iterations) over the
+    embedding column — semantic clustering for training-data curation
+    (stages/knn.py lloyd_kmeans: broadcast centroids, per-batch
+    count/sum partials, driver mean recompute; no shuffle).
+    Deterministic (seeded by the k smallest vec_ids, lowest-centroid
+    tie-break); exactness is gated by the numpy-differential test in
+    tests/test_kmeans.py (rows-only for the driver — the per-dimension
+    float reduction order is not reproducible in SQL)."""
+    import pandas as pd
+
+    from elevant_ray.stages.knn import lloyd_kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lloyd_kmeans(ds, k=8, iters=4)
+    if out is None:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+    return _det_sort(out, "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4689,6 +4773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": docs_decontaminate,
         "events_value_kurtosis": events_value_kurtosis,
         "purchase_id_gaps": purchase_id_gaps,
+        "events_trimmed_mean": events_trimmed_mean,
+        "embedding_kmeans": embedding_kmeans,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5615,6 +5701,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_trimmed_mean": """
+            WITH q AS (SELECT event_type,
+                              quantile_disc(value, 0.05) AS lo,
+                              quantile_disc(value, 0.95) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, lo, hi,
+                   round(avg(value), 6) AS trimmed_mean,
+                   count(*)::BIGINT AS n_kept
+            FROM events e JOIN q USING (event_type)
+            WHERE value >= lo AND value <= hi
+            GROUP BY e.event_type, lo, hi ORDER BY e.event_type
         """,
         "purchase_id_gaps": """
             WITH o AS (SELECT event_id AS k FROM events

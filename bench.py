@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "docs_decontaminate",
     "events_value_kurtosis",
     "purchase_id_gaps",
+    "events_trimmed_mean",
+    "embedding_kmeans",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",

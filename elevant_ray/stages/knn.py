@@ -229,3 +229,99 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas")
+
+
+def lloyd_kmeans(embeddings, k: int = 8, iters: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over an embedding column — the
+    semantic-clustering step of a training-data curation pipeline
+    (cluster-balanced sampling, per-cluster dedup).
+
+    Deterministic end to end: init centroids are the embeddings of the
+    k smallest ids; ties in the nearest-centroid argmin break to the
+    lowest centroid id.  Each iteration is ONE streaming pass: the
+    (k × d) centroid matrix broadcasts via ray.put (cached per worker),
+    every batch emits per-cluster (count, per-dimension sum) partials —
+    k × d floats, independent of batch rows — and the driver combines
+    ≤ blocks × k partial rows and recomputes the means.  Clusters that
+    lose all members are dropped (remaining ids keep their init
+    index), matching the inner-join semantics of a SQL re-aggregation.
+    A final pass emits (id, cluster).  No shuffle anywhere: the only
+    data movement is the tiny partial tables and the broadcast.
+
+    Returns a Dataset (id_col, cluster) or None for empty input.
+    """
+    import ray
+
+    from elevant_ray.stages.util import cached_get
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        arr = b.column(vec_col).combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False)
+        n = len(arr)
+        return v.astype(np.float64).reshape(n, len(v) // n) if n else \
+            np.zeros((0, 1))
+
+    def seed_part(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: b.column(vec_col)})
+        order = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    seeds = (embeddings.map_batches(seed_part, batch_format="pyarrow")
+             .to_pandas())
+    if seeds.empty:
+        return None
+    seeds = seeds.sort_values(id_col).head(k)
+    C = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in seeds[vec_col]])
+    cids = np.arange(len(C), dtype=np.int64)
+
+    sum_cols = [f"s{j}" for j in range(C.shape[1])]
+    for _ in range(iters):
+        ref = ray.put({"cids": cids, "C": C})
+
+        def partial(b: pa.Table) -> pa.Table:
+            st = cached_get(ref)
+            cc, cm = st["cids"], st["C"]
+            X = _mat(b)
+            if X.shape[0] == 0:
+                cnt = np.zeros(len(cc), np.int64)
+                S = np.zeros_like(cm)
+            else:
+                d2 = ((X[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                cnt = np.bincount(a, minlength=len(cc))
+                S = np.zeros_like(cm)
+                np.add.at(S, a, X)
+            cols = {"cid": pa.array(cc, pa.int64()),
+                    "n": pa.array(cnt, pa.int64())}
+            for j, name in enumerate(sum_cols):
+                cols[name] = pa.array(S[:, j])
+            return pa.table(cols)
+
+        parts = (embeddings.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        g = parts.groupby("cid", sort=True).sum()
+        keep = g["n"].to_numpy() > 0
+        cids = g.index.to_numpy(np.int64)[keep]
+        C = (g[sum_cols].to_numpy()[keep]
+             / g["n"].to_numpy()[keep, None])
+
+    ref = ray.put({"cids": cids, "C": C})
+
+    def assign(b: pa.Table) -> pa.Table:
+        st = cached_get(ref)
+        cc, cm = st["cids"], st["C"]
+        X = _mat(b)
+        if X.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        d2 = ((X[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            id_col: b.column(id_col),
+            "cluster": pa.array(cc[d2.argmin(axis=1)], pa.int64())})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
