@@ -4708,6 +4708,111 @@ def embedding_kmeans(sf_dir: str):
     return _det_sort(out, "vec_id")
 
 
+def nation_revenue_share(sf_dir: str):
+    """Ratio-to-report window (share of total): each customer nation's
+    slice of global order revenue.  One broadcast-probed scan + a tiny
+    two-phase aggregate; the total is the sum of the ≤25 per-nation
+    cents sums, so the 'window over the whole table' costs nothing
+    extra — exact integer cents until the final division."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "share": pd.Series([], dtype="float64")})
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    if not nation:
+        return empty
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    if len(c["c_custkey"]) == 0:
+        return empty
+    cmap = IntKeyMap(c["c_custkey"],
+                     np.array([nation[k] for k in c["c_nationkey"].tolist()],
+                              dtype=object))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    if orders.count() == 0:
+        return empty
+
+    def fold(b: pa.Table) -> pa.Table:
+        nat = cmap.take_checked(
+            b.column("o_custkey").to_numpy(zero_copy_only=False))
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"n_name": pa.array(nat, pa.string()),
+                         "rev_c": pa.array(
+                             np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    agg = partial_group_agg(orders.map_batches(fold,
+                                               batch_format="pyarrow"),
+                            ["n_name"], sum_cols=["rev_c"],
+                            combine="driver")
+    cents = agg["rev_c"].to_numpy(np.int64)
+    total = cents.sum()
+    out = agg[["n_name"]].copy()
+    out["revenue"] = _cents_to_dollars(cents)
+    share = cents / np.float64(total)
+    out["share"] = np.floor(share * 1e6 + 0.5) / 1e6
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def region_priority_grid(sf_dir: str):
+    """CROSS JOIN grid with zero-fill: every (region, order priority)
+    cell and its order count, including empty cells.  Both dimensions
+    are tiny, so the grid materializes on the driver; the counts come
+    from one broadcast-probed scan + two-phase aggregate — the classic
+    'dense report over a sparse fact' shape."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    empty = pd.DataFrame({"r_name": pd.Series([], dtype="object"),
+                          "o_orderpriority": pd.Series([], dtype="object"),
+                          "n_orders": pd.Series([], dtype="int64")})
+    nation = pd.DataFrame(_read(sf_dir, "nation").take_all())
+    region = pd.DataFrame(_read(sf_dir, "region").take_all())
+    if nation.empty or region.empty:
+        return empty
+    n2r = dict(zip(
+        nation["n_nationkey"],
+        region.set_index("r_regionkey")["r_name"]
+        .reindex(nation["n_regionkey"]).to_numpy()))
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    cmap = IntKeyMap(c["c_custkey"],
+                     np.array([n2r[k] for k in c["c_nationkey"].tolist()],
+                              dtype=object)) if len(c["c_custkey"]) else None
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    grid = pd.MultiIndex.from_product(
+        [sorted(region["r_name"]), prios],
+        names=["r_name", "o_orderpriority"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    if cmap is None or orders.count() == 0:
+        counts = pd.Series(0, index=grid, dtype="int64")
+    else:
+        def fold(b: pa.Table) -> pa.Table:
+            reg = cmap.take_checked(
+                b.column("o_custkey").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "r_name": pa.array(reg, pa.string()),
+                "o_orderpriority": b.column("o_orderpriority")})
+
+        agg = partial_group_agg(
+            orders.map_batches(fold, batch_format="pyarrow"),
+            ["r_name", "o_orderpriority"], count_alias="n_orders",
+            combine="driver")
+        counts = (agg.set_index(["r_name", "o_orderpriority"])["n_orders"]
+                  .reindex(grid, fill_value=0).astype("int64"))
+    out = counts.rename("n_orders").reset_index()
+    return out.sort_values(["r_name", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4775,6 +4880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_id_gaps": purchase_id_gaps,
         "events_trimmed_mean": events_trimmed_mean,
         "embedding_kmeans": embedding_kmeans,
+        "nation_revenue_share": nation_revenue_share,
+        "region_priority_grid": region_priority_grid,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5701,6 +5808,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "nation_revenue_share": f"""
+            WITH n AS (
+              SELECT n_name,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name)
+            SELECT n_name,
+                   {_c2d_sql('c')} AS revenue,
+                   round(c / SUM(c) OVER (), 6) AS share
+            FROM n ORDER BY n_name
+        """,
+        "region_priority_grid": """
+            SELECT r_name, o_orderpriority,
+                   COALESCE(cnt, 0)::BIGINT AS n_orders
+            FROM region
+            CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders
+                        UNION
+                        SELECT unnest(['1-URGENT', '2-HIGH', '3-MEDIUM',
+                                       '4-NOT SPECIFIED', '5-LOW'])) p
+            LEFT JOIN (
+              SELECT r_name AS rn, o_orderpriority AS op,
+                     count(*) AS cnt
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2) f
+              ON f.rn = r_name AND f.op = o_orderpriority
+            ORDER BY r_name, o_orderpriority
         """,
         "events_trimmed_mean": """
             WITH q AS (SELECT event_type,

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "purchase_id_gaps",
     "events_trimmed_mean",
     "embedding_kmeans",
+    "nation_revenue_share",
+    "region_priority_grid",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
