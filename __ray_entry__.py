@@ -4813,6 +4813,104 @@ def region_priority_grid(sf_dir: str):
         .reset_index(drop=True)
 
 
+def events_dedup_consecutive(sf_dir: str):
+    """Consecutive-duplicate compression per key (the 'collapse repeated
+    states' stream op): keep each event whose type differs from the
+    user's previous event.  One hash-bucketed co-group
+    (util.bucketed_group_apply) sorts whole user histories and applies
+    a vectorized shift-compare — the lag() filter without a windowed
+    shuffle per row."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_id", "event_type", "ts"])
+    if ds.count() == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "event_id": pd.Series([], dtype="int64"),
+                             "event_type": pd.Series([], dtype="object"),
+                             "ts": pd.Series([], dtype="datetime64[us]")})
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        keep = np.ones(len(df), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        return df.loc[keep,
+                      ["user_id", "event_id", "event_type", "ts"]]
+
+    out = bucketed_group_apply(ds, "user_id", per_bucket)
+    return _ts_us(_det_sort(out, ["user_id", "ts", "event_id"]), "ts")
+
+
+def nation_balance_band_join(sf_dir: str):
+    """Cross-table band join (theta join on an inequality): per nation,
+    the number of (customer, supplier) pairs whose account balances lie
+    within ±10.00 of each other — in exact integer cents, so the band
+    boundary never floats.  The supplier side is dimension-bounded: its
+    per-nation sorted cents arrays broadcast once, and every customer
+    batch resolves its band counts with two vectorized searchsorted
+    probes — no pair materialization, no shuffle.  Past the broadcast
+    cutoff the scale path is a nation-keyed co-group with the same
+    sorted-probe kernel per group."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.util import cached_get, np_columns, partial_group_agg
+
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "n_pairs": pd.Series([], dtype="int64")})
+    s = np_columns(_read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]),
+                   ["s_nationkey", "s_acctbal"])
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    if len(s["s_nationkey"]) == 0 or cust.count() == 0:
+        return empty
+    nk = s["s_nationkey"].astype(np.int64)
+    sc = np.floor(s["s_acctbal"] * 100 + 0.5).astype(np.int64)
+    order = np.lexsort((sc, nk))
+    nk, sc = nk[order], sc[order]
+    uniq, starts = np.unique(nk, return_index=True)
+    ends = np.append(starts[1:], len(nk))
+    ref = ray.put({"uniq": uniq, "starts": starts, "ends": ends, "sc": sc})
+    band = np.int64(1000)
+
+    def count_pairs(b: pa.Table) -> pa.Table:
+        st = cached_get(ref)
+        cn = b.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cc = np.floor(b.column("c_acctbal").to_numpy(zero_copy_only=False)
+                      * 100 + 0.5).astype(np.int64)
+        pos = np.searchsorted(st["uniq"], cn)
+        pos_c = np.minimum(pos, len(st["uniq"]) - 1)
+        found = st["uniq"][pos_c] == cn
+        total = np.zeros(len(cn), dtype=np.int64)
+        for i in np.unique(pos_c[found]):
+            m = found & (pos_c == i)
+            seg = st["sc"][st["starts"][i]:st["ends"][i]]
+            total[m] = (np.searchsorted(seg, cc[m] + band, side="right")
+                        - np.searchsorted(seg, cc[m] - band, side="left"))
+        keep = total > 0
+        return pa.table({"c_nationkey": pa.array(cn[keep], pa.int64()),
+                         "n_pairs": pa.array(total[keep], pa.int64())})
+
+    agg = partial_group_agg(
+        cust.map_batches(count_pairs, batch_format="pyarrow"),
+        ["c_nationkey"], sum_cols=["n_pairs"], combine="driver")
+    if agg is None or len(agg) == 0:
+        return empty
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    out = pd.DataFrame({
+        "n_name": [nation[k] for k in
+                   agg["c_nationkey"].astype(int).tolist()],
+        "n_pairs": agg["n_pairs"].astype("int64")})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4882,6 +4980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": embedding_kmeans,
         "nation_revenue_share": nation_revenue_share,
         "region_priority_grid": region_priority_grid,
+        "events_dedup_consecutive": events_dedup_consecutive,
+        "nation_balance_band_join": nation_balance_band_join,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5808,6 +5908,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_dedup_consecutive": """
+            WITH o AS (
+              SELECT user_id, event_id, event_type, ts,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id, event_id, event_type, ts
+            FROM o WHERE prev IS NULL OR event_type <> prev
+            ORDER BY user_id, ts, event_id
+        """,
+        "nation_balance_band_join": """
+            SELECT n_name, count(*)::BIGINT AS n_pairs
+            FROM customer
+            JOIN supplier ON c_nationkey = s_nationkey
+              AND abs(CAST(round(c_acctbal * 100) AS BIGINT)
+                      - CAST(round(s_acctbal * 100) AS BIGINT)) <= 1000
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "nation_revenue_share": f"""
             WITH n AS (

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "nation_revenue_share",
     "region_priority_grid",
+    "events_dedup_consecutive",
+    "nation_balance_band_join",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
