@@ -4911,6 +4911,89 @@ def nation_balance_band_join(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def embedding_component_stats(sf_dir: str):
+    """Positional UNNEST (explode with ordinality): per embedding
+    dimension index, the mean and max component value across all
+    vectors.  No explode ever materializes — each batch reshapes the
+    list column's flat values buffer to (rows × dim) and emits one
+    64-row columnwise partial (sum, count, max); the combine is a tiny
+    driver reduction.  The SQL oracle pays the real 64× row explosion
+    (unnest + generate_subscripts)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                          "mean_val": pd.Series([], dtype="float64"),
+                          "max_val": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding").combine_chunks()
+        n = len(arr)
+        v = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(v) // n
+        X = v.reshape(n, d)
+        return pa.table({"dim": pa.array(np.arange(d), pa.int64()),
+                         "s": pa.array(X.sum(axis=0)),
+                         "n": pa.array(np.full(d, n, np.int64)),
+                         "mx": pa.array(X.max(axis=0))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("dim", sort=True).agg(
+        s=("s", "sum"), n=("n", "sum"), mx=("mx", "max"))
+    mean = g["s"].to_numpy() / g["n"].to_numpy()
+    out = pd.DataFrame({"dim": g.index.to_numpy(np.int64)})
+    out["mean_val"] = (np.sign(mean)
+                       * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6)
+    mx = g["mx"].to_numpy()
+    out["max_val"] = np.sign(mx) * np.floor(np.abs(mx) * 1e6 + 0.5) / 1e6
+    return out.reset_index(drop=True)
+
+
+def orders_top_price_rank(sf_dir: str):
+    """Top-k with RANK ties (keep every row tied into the top 3): per
+    order priority, all orders whose total price ranks ≤ 3 — unlike the
+    row_number top-k, ties at the boundary survive.  Batch-local rank
+    can only be ≤ the global rank, so each batch's rank-≤3 rows (ties
+    included) are a superset-safe partial; the driver re-ranks the
+    ≤ batches × groups × ~3 survivors exactly."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "price_rank": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_totalprice": b.column("o_totalprice")}).to_pandas()
+        r = (df.groupby("o_orderpriority")["o_totalprice"]
+             .rank(method="min", ascending=False))
+        return pa.Table.from_pandas(df[r <= 3], preserve_index=False)
+
+    surv = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    r = (surv.groupby("o_orderpriority")["o_totalprice"]
+         .rank(method="min", ascending=False))
+    out = surv[r <= 3].copy()
+    out["price_rank"] = r[r <= 3].astype("int64").to_numpy()
+    return (out.sort_values(["o_orderpriority", "price_rank",
+                             "o_orderkey"])
+            [["o_orderpriority", "o_orderkey", "o_totalprice",
+              "price_rank"]]
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4982,6 +5065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_priority_grid": region_priority_grid,
         "events_dedup_consecutive": events_dedup_consecutive,
         "nation_balance_band_join": nation_balance_band_join,
+        "embedding_component_stats": embedding_component_stats,
+        "orders_top_price_rank": orders_top_price_rank,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5908,6 +5993,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "embedding_component_stats": """
+            WITH x AS (
+              SELECT unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS dim
+              FROM embeddings)
+            SELECT dim::BIGINT AS dim,
+                   round(SUM(CAST(v AS DOUBLE))
+                         / count(*), 6) AS mean_val,
+                   round(CAST(max(v) AS DOUBLE), 6) AS max_val
+            FROM x GROUP BY dim ORDER BY dim
+        """,
+        "orders_top_price_rank": """
+            WITH r AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC)
+                       AS price_rank
+              FROM orders)
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   price_rank::BIGINT AS price_rank
+            FROM r WHERE price_rank <= 3
+            ORDER BY o_orderpriority, price_rank, o_orderkey
         """,
         "events_dedup_consecutive": """
             WITH o AS (

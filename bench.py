@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "region_priority_grid",
     "events_dedup_consecutive",
     "nation_balance_band_join",
+    "embedding_component_stats",
+    "orders_top_price_rank",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
