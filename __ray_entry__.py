@@ -4553,7 +4553,7 @@ def purchase_id_gaps(sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    from elevant_ray.stages.util import np_columns
+    from elevant_ray.stages.util import key_range_buckets, np_columns
 
     empty = pd.DataFrame({"gap_start": pd.Series([], dtype="int64"),
                           "gap_end": pd.Series([], dtype="int64")})
@@ -4564,21 +4564,10 @@ def purchase_id_gaps(sf_dir: str):
         return pa.table({"k": b.filter(m).column("event_id")})
 
     ks = ev.map_batches(keys_only, batch_format="pyarrow")
-
-    def minmax(b: pa.Table) -> pa.Table:
-        k = b.column("k").to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": [int(k.min())], "hi": [int(k.max())]})
-
-    bounds = np_columns(ks.map_batches(minmax, batch_format="pyarrow"),
-                        ["lo", "hi"])
-    if len(bounds["lo"]) == 0:
+    rng = key_range_buckets(ks, "k", 256)
+    if rng is None:
         return empty
-    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
-    buckets = 256
-    width = max(1, (hi - lo + 1 + buckets - 1) // buckets)
+    lo, width = rng
 
     def summarize(b: pa.Table) -> pa.Table:
         k = b.column("k").to_numpy(zero_copy_only=False)
@@ -4994,6 +4983,61 @@ def orders_top_price_rank(sf_dir: str):
             .reset_index(drop=True))
 
 
+def discount_nullaware_stats(sf_dir: str):
+    """Null-aware aggregation semantics: with zero discounts treated as
+    NULL (NULLIF), per return flag — total rows, non-null count,
+    null-skipping average, and null-aware distinct count (NULLs never
+    join the distinct set).  The whole thing is one scan of two-phase
+    partials in exact integer cents; the ≤11-value discount domain
+    makes the distinct set a per-batch bitmask-sized partial."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    empty = pd.DataFrame({"l_returnflag": pd.Series([], dtype="object"),
+                          "n_rows": pd.Series([], dtype="int64"),
+                          "n_discounted": pd.Series([], dtype="int64"),
+                          "avg_discount": pd.Series([], dtype="float64"),
+                          "n_distinct": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_discount"])
+    if ds.count() == 0:
+        return empty
+
+    def fold(b: pa.Table) -> pa.Table:
+        d = b.column("l_discount").to_numpy(zero_copy_only=False)
+        c = np.floor(d * 100 + 0.5).astype(np.int64)
+        nz = c != 0
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "one": pa.array(np.ones(len(c), np.int64)),
+            "nz": pa.array(nz.astype(np.int64)),
+            "c_sum": pa.array(np.where(nz, c, 0))})
+
+    agg = partial_group_agg(ds.map_batches(fold, batch_format="pyarrow"),
+                            ["l_returnflag"], sum_cols=["one", "nz",
+                                                        "c_sum"],
+                            combine="driver")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d = b.column("l_discount").to_numpy(zero_copy_only=False)
+        c = np.floor(d * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "c": pa.array(c)}).filter(pa.array(c != 0))
+        return t.group_by(["l_returnflag", "c"]).aggregate([])
+
+    dist = (ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+            .drop_duplicates().groupby("l_returnflag").size())
+    out = agg[["l_returnflag"]].copy()
+    out["n_rows"] = agg["one"].astype("int64")
+    out["n_discounted"] = agg["nz"].astype("int64")
+    mean = agg["c_sum"].to_numpy() / 100.0 / agg["nz"].to_numpy()
+    out["avg_discount"] = np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6
+    out["n_distinct"] = (dist.reindex(out["l_returnflag"])
+                         .fillna(0).astype("int64").to_numpy())
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5067,6 +5111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_band_join": nation_balance_band_join,
         "embedding_component_stats": embedding_component_stats,
         "orders_top_price_rank": orders_top_price_rank,
+        "discount_nullaware_stats": discount_nullaware_stats,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -5993,6 +6038,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "discount_nullaware_stats": """
+            WITH d AS (SELECT l_returnflag,
+                              NULLIF(l_discount, 0.0) AS disc
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n_rows,
+                   count(disc)::BIGINT AS n_discounted,
+                   round(avg(disc), 6) AS avg_discount,
+                   count(DISTINCT disc)::BIGINT AS n_distinct
+            FROM d GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "embedding_component_stats": """
             WITH x AS (

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "nation_balance_band_join",
     "embedding_component_stats",
     "orders_top_price_rank",
+    "discount_nullaware_stats",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",

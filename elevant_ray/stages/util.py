@@ -408,6 +408,31 @@ def pearson_from_moments(n, sx, sy, sxy, sx2, sy2):
         return np.where(denom > 0, cov / denom, np.nan)
 
 
+def key_range_buckets(ds, col: str, buckets: int = 256):
+    """Fix equal-width key-range buckets for order-preserving
+    partitioning: one streaming pass of per-batch (min, max) partials →
+    driver reduce.  Returns ``(lo, width)`` — bucket id of key k is
+    ``(k - lo) // width`` — or ``None`` for empty input.  Shared by the
+    prefix-scan and islands-and-gaps operators (any algorithm that
+    needs contiguous, ordered key ranges co-located)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def minmax(b: pa.Table) -> pa.Table:
+        k = b.column(col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [int(k.min())], "hi": [int(k.max())]})
+
+    bounds = np_columns(ds.map_batches(minmax, batch_format="pyarrow"),
+                        ["lo", "hi"])
+    if len(bounds["lo"]) == 0:
+        return None
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    return lo, max(1, (hi - lo + 1 + buckets - 1) // buckets)
+
+
 def global_ordered_cumsum(ds, key: str, val: str, buckets: int = 256):
     """Exact global running sum of ``val`` in ``key`` order, without a
     global sort: the distributed prefix-scan primitive behind
@@ -434,19 +459,10 @@ def global_ordered_cumsum(ds, key: str, val: str, buckets: int = 256):
     import pandas as pd
     import pyarrow as pa
 
-    def minmax(b: pa.Table) -> pa.Table:
-        k = b.column(key).to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": [int(k.min())], "hi": [int(k.max())]})
-
-    bounds = np_columns(ds.map_batches(minmax, batch_format="pyarrow"),
-                        ["lo", "hi"])
-    if len(bounds["lo"]) == 0:
+    rng = key_range_buckets(ds, key, buckets)
+    if rng is None:
         return None
-    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
-    width = max(1, (hi - lo + 1 + buckets - 1) // buckets)
+    lo, width = rng
 
     def bucket_sums(b: pa.Table) -> pa.Table:
         k = b.column(key).to_numpy(zero_copy_only=False)
