@@ -5038,6 +5038,58 @@ def discount_nullaware_stats(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def docs_length_pctile(sf_dir: str):
+    """percent_rank over a corpus-sized table without a sort: each
+    document's length percentile within its source.  The window
+    collapses to a per-(source, n_chars) cumulative histogram — domain-
+    bounded, not row-bounded — built by one two-phase count and scanned
+    on the driver; every batch then probes the broadcast
+    (source, n_chars) → rank map.  min-rank tie semantics match SQL
+    percent_rank exactly; the ratio (rank-1)/(n-1) divides the same
+    integers on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "source": pd.Series([], dtype="object"),
+                          "pct_rank": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    if ds.count() == 0:
+        return empty
+    hist = partial_group_agg(ds, ["source", "n_chars"],
+                             count_alias="cnt", combine="driver")
+    hist = hist.sort_values(["source", "n_chars"])
+    src_codes, src_uniques = pd.factorize(hist["source"], sort=True)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    # per-source exclusive cumulative count = (rank - 1) of each value
+    cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    starts = np.searchsorted(src_codes, np.arange(len(src_uniques)))
+    cum = cum - cum[starts][src_codes]
+    n_per = np.bincount(src_codes, weights=cnt).astype(np.int64)
+    # composite int64 key: source code in the high bits, n_chars low
+    key = (src_codes.astype(np.int64) << 40) \
+        + hist["n_chars"].to_numpy(np.int64)
+    rmap = IntKeyMap(key, cum)
+    scode = {s: i for i, s in enumerate(src_uniques)}
+
+    def probe(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        sc = np.array([scode[s] for s in src.tolist()], np.int64)
+        r = rmap.take_checked((sc << 40) + nch)
+        denom = np.maximum(n_per[sc] - 1, 1)
+        pr = np.where(n_per[sc] > 1, r / denom, 0.0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "pct_rank": pa.array(
+                             np.floor(pr * 1e6 + 0.5) / 1e6)})
+
+    return _det_sort(ds.map_batches(probe, batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5112,6 +5164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_component_stats": embedding_component_stats,
         "orders_top_price_rank": orders_top_price_rank,
         "discount_nullaware_stats": discount_nullaware_stats,
+        "docs_length_pctile": docs_length_pctile,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6038,6 +6091,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_length_pctile": """
+            SELECT doc_id, source,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY n_chars), 6)
+                     AS pct_rank
+            FROM documents ORDER BY doc_id
         """,
         "discount_nullaware_stats": """
             WITH d AS (SELECT l_returnflag,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "embedding_component_stats",
     "orders_top_price_rank",
     "discount_nullaware_stats",
+    "docs_length_pctile",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
