@@ -4217,15 +4217,14 @@ def q16_supplier_variety(sf_dir: str):
     """Supplier-variety count (TPC-H Q16 shape): per (brand, size), the
     number of DISTINCT suppliers shipping that part class, excluding
     one brand and a supplier blacklist (NOT IN).  Part attributes fold
-    into the lineitem scan as broadcast IntKeyMaps; each batch
-    collapses to its distinct (brand, size, suppkey) triples before the
-    one global distinct groupby, so the exchange moves ≤ |triples|
-    rows; the final per-(brand,size) count is a two-phase partial
-    aggregate."""
+    into the lineitem scan as broadcast IntKeyMaps; each batch encodes
+    its distinct (brand, size, suppkey) triples into ONE int64
+    composite key (brand code ≪56 | size ≪40 | suppkey), so the global
+    distinct is a single-int dedup (driver np.unique under the cutoff,
+    int-key groupby beyond) instead of a 3-column string exchange; the
+    final per-(brand,size) count decodes the survivors."""
     import numpy as np
     import pandas as pd
-
-    from ray.data.aggregate import Count
 
     from elevant_ray.stages.util import (IntKeyMap, np_columns,
                                          partial_group_agg)
@@ -4238,7 +4237,10 @@ def q16_supplier_variety(sf_dir: str):
     if line.count() == 0 or part.count() == 0:
         return empty
     p = np_columns(part, ["p_partkey", "p_brand", "p_size"])
-    bmap = IntKeyMap(p["p_partkey"], p["p_brand"])
+    brands, bcodes = np.unique(p["p_brand"], return_inverse=True)
+    excl = np.searchsorted(brands, "Brand#1") \
+        if "Brand#1" in brands.tolist() else -1
+    cmap = IntKeyMap(p["p_partkey"], bcodes.astype(np.int64))
     szmap = IntKeyMap(p["p_partkey"], p["p_size"].astype(np.int64))
     s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]),
                    ["s_suppkey", "s_acctbal"])
@@ -4248,25 +4250,38 @@ def q16_supplier_variety(sf_dir: str):
     def triples(b: pa.Table) -> pa.Table:
         pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
         sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        brand = bmap.take_checked(pk)
+        code = cmap.take_checked(pk)
         size = szmap.take_checked(pk)
-        keep = brand != "Brand#1"
+        keep = code != excl
         if badmap is not None:
             keep &= ~badmap.contains(sk)
-        t = pa.table({"p_brand": pa.array(brand[keep], pa.string()),
-                      "p_size": pa.array(size[keep], pa.int64()),
-                      "l_suppkey": pa.array(sk[keep], pa.int64())})
-        return t.group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([])
+        comp = (code[keep] << 56) + (size[keep] << 40) + sk[keep]
+        return pa.table({"comp": pa.array(np.unique(comp), pa.int64())})
 
-    distinct = (line.map_batches(triples, batch_format="pyarrow")
-                .groupby(["p_brand", "p_size", "l_suppkey"])
-                .aggregate(Count(alias_name="_n"))
-                .select_columns(["p_brand", "p_size", "l_suppkey"]))
-    agg = partial_group_agg(distinct, ["p_brand", "p_size"],
-                            count_alias="supplier_cnt", combine="driver")
-    if agg is None or len(agg) == 0:
+    distinct = _distinct_int(
+        line.map_batches(triples, batch_format="pyarrow"), "comp")
+    if isinstance(distinct, pd.DataFrame):
+        comp = distinct["comp"].to_numpy(np.int64)
+        out = (pd.DataFrame({
+            "p_brand": brands[(comp >> 56)],
+            "p_size": (comp >> 40) & ((1 << 16) - 1)})
+            .groupby(["p_brand", "p_size"], as_index=False).size()
+            .rename(columns={"size": "supplier_cnt"}))
+    else:
+        def decode(b: pa.Table) -> pa.Table:
+            comp = b.column("comp").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "p_brand": pa.array(brands[(comp >> 56)], pa.string()),
+                "p_size": pa.array((comp >> 40) & ((1 << 16) - 1),
+                                   pa.int64())})
+
+        out = partial_group_agg(
+            distinct.map_batches(decode, batch_format="pyarrow"),
+            ["p_brand", "p_size"], count_alias="supplier_cnt",
+            combine="driver")
+    if out is None or len(out) == 0:
         return empty
-    out = agg[["p_brand", "p_size", "supplier_cnt"]].copy()
+    out = out[["p_brand", "p_size", "supplier_cnt"]].copy()
     out["p_size"] = out["p_size"].astype("int64")
     out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
     return (out.sort_values(["supplier_cnt", "p_brand", "p_size"],
@@ -4279,15 +4294,14 @@ def q21_sole_late_shipper(sf_dir: str):
     with lines from ≥ 2 suppliers, find the supplier whose latest line
     is the order's unique latest ship date (every other supplier
     shipped strictly earlier), and count such orders per supplier.
-    Stage 1 collapses lineitem to per-(order, supplier) max ship dates
-    (per-batch Arrow partials shrink the exchange); stage 2 resolves
-    the per-order argmax-uniqueness inside one hash-bucketed co-group
-    (util.bucketed_group_apply — vectorized pandas transforms, no
-    per-key Python); stage 3 is a tiny per-supplier count with a
-    broadcast name lookup."""
+    ONE shuffle end to end: per-batch Arrow partials collapse lineitem
+    to per-(order, supplier) max ship dates, the orderkey hash-bucket
+    co-group (util.bucketed_group_apply) then sees every surviving row
+    of an order together — so the final (order, supplier) max AND the
+    argmax-uniqueness resolve inside the same bucket with vectorized
+    pandas transforms, no separate 2-key groupby exchange.  Stage 3 is
+    a tiny per-supplier count with a broadcast name lookup."""
     import pandas as pd
-
-    from ray.data.aggregate import Max
 
     from elevant_ray.stages.util import (IntKeyMap, bucketed_group_apply,
                                          np_columns, partial_group_agg)
@@ -4308,11 +4322,13 @@ def q21_sole_late_shipper(sf_dir: str):
                 .aggregate([("ship_us", "max")])
                 .rename_columns(["l_orderkey", "l_suppkey", "ship_us"]))
 
-    per_os = (line.map_batches(partial, batch_format="pyarrow")
-              .groupby(["l_orderkey", "l_suppkey"])
-              .aggregate(Max("ship_us", alias_name="ship_us")))
+    per_os = line.map_batches(partial, batch_format="pyarrow")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # finish the (order, supplier) max that the per-batch partials
+        # started — all rows of an order are co-located in this bucket
+        df = (df.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+              ["ship_us"].max())
         g = df.groupby("l_orderkey")["ship_us"]
         mx = g.transform("max").to_numpy()
         nsupp = g.transform("size").to_numpy()
