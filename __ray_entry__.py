@@ -5106,6 +5106,68 @@ def docs_length_pctile(sf_dir: str):
                      "doc_id")
 
 
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated scalar subquery folded into a join-back: orders
+    whose price exceeds their own customer's average order price,
+    counted per priority.  The per-customer aggregate (one
+    high-cardinality groupby, pre-shrunk by per-batch partials)
+    broadcasts back onto the fact scan as an IntKeyMap; the comparison
+    is exact-integer cross-multiplication (price·n > Σprices in cents)
+    so the correlated boundary never floats — the Q17/Q22 discipline
+    applied to the 'above own average' shape."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                          "n_above": pd.Series([], dtype="int64")})
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderpriority"])
+    if orders.count() == 0:
+        return empty
+
+    def cents_cols(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "c_sum": pa.array(np.floor(v * 100 + 0.5)
+                                           .astype(np.int64))})
+
+    # the per-key aggregate is dimension-bounded (one row per customer)
+    # → driver combine of per-batch partials, no Ray exchange; the
+    # 100 TB path swaps in a cogroup join of the grouped side
+    per_cust = partial_group_agg(
+        orders.map_batches(cents_cols, batch_format="pyarrow"),
+        ["o_custkey"], sum_cols=["c_sum"], count_alias="n",
+        combine="driver")
+    smap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
+                     per_cust["c_sum"].to_numpy(np.int64))
+    nmap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
+                     per_cust["n"].to_numpy(np.int64))
+
+    def above(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        tot = smap.take_checked(ck)
+        n = nmap.take_checked(ck)
+        keep = cents * n > tot
+        return pa.table({"o_orderpriority":
+                         b.column("o_orderpriority").filter(
+                             pa.array(keep))})
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(
+        orders.map_batches(above, batch_format="pyarrow"),
+        ["o_orderpriority"], count_alias="n_above", combine="driver")
+    if agg is None or len(agg) == 0:
+        return empty
+    out = agg[["o_orderpriority"]].copy()
+    out["n_above"] = agg["n_above"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5181,6 +5243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_price_rank": orders_top_price_rank,
         "discount_nullaware_stats": discount_nullaware_stats,
         "docs_length_pctile": docs_length_pctile,
+        "orders_above_customer_avg": orders_above_customer_avg,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6107,6 +6170,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_above_customer_avg": """
+            WITH c AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+                     count(*) AS n
+              FROM orders GROUP BY o_custkey)
+            SELECT o_orderpriority, count(*)::BIGINT AS n_above
+            FROM orders JOIN c USING (o_custkey)
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > s
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "docs_length_pctile": """
             SELECT doc_id, source,

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "orders_top_price_rank",
     "discount_nullaware_stats",
     "docs_length_pctile",
+    "orders_above_customer_avg",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
