@@ -5168,6 +5168,52 @@ def orders_above_customer_avg(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def orders_price_date_skyline(sf_dir: str):
+    """Pareto skyline (preference/dominance query): orders not strictly
+    dominated by any other — no order both pricier AND earlier.  Each
+    batch keeps only its local skyline (sort by date, prefix-max price
+    over strictly-earlier dates — vectorized); dominance is transitive,
+    so every globally dominated row is dominated by some local
+    survivor, making the survivor union a superset-safe partial that
+    the driver finishes with the same kernel.  Random data leaves
+    O(log n) survivors per batch, so almost nothing moves."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                          "o_orderdate": pd.Series(
+                              [], dtype="datetime64[us]"),
+                          "o_totalprice": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+    if ds.count() == 0:
+        return empty
+
+    def local_skyline(date_us, price):
+        order = np.lexsort((-price, date_us))
+        d_s, p_s = date_us[order], price[order]
+        cm = np.maximum.accumulate(p_s)
+        last_earlier = np.searchsorted(d_s, d_s, side="left") - 1
+        dom = np.where(last_earlier >= 0,
+                       cm[np.maximum(last_earlier, 0)] > p_s, False)
+        return order[~dom]
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        p = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = local_skyline(d, p)
+        return b.take(pa.array(np.sort(keep)))
+
+    surv = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    d = surv["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+    p = surv["o_totalprice"].to_numpy()
+    out = surv.iloc[np.sort(local_skyline(d, p))]
+    return _ts_us(out.sort_values("o_orderkey").reset_index(drop=True),
+                  "o_orderdate")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5244,6 +5290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_nullaware_stats": discount_nullaware_stats,
         "docs_length_pctile": docs_length_pctile,
         "orders_above_customer_avg": orders_above_customer_avg,
+        "orders_price_date_skyline": orders_price_date_skyline,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6170,6 +6217,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_price_date_skyline": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o2
+              WHERE o2.o_totalprice > o.o_totalprice
+                AND o2.o_orderdate < o.o_orderdate)
+            ORDER BY o_orderkey
         """,
         "orders_above_customer_avg": """
             WITH c AS (

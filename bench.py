@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "discount_nullaware_stats",
     "docs_length_pctile",
     "orders_above_customer_avg",
+    "orders_price_date_skyline",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
