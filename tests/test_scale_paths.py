@@ -21,7 +21,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "bigram_counts", "part_min_cost_supplier",
                   "q7_trade_volume", "q10_returned_revenue",
                   "nation_balance_full_join", "events_purchaser_events",
-                  "part_pagerank", "q12_late_lines"]
+                  "part_pagerank", "q12_late_lines",
+                  "q16_supplier_variety"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
