@@ -4007,15 +4007,19 @@ def q4_order_priority(sf_dir: str):
     side never shuffles: each batch probes the map, applies the
     lateness predicate, and collapses to its distinct qualifying
     orderkeys, so only ≤ |window orders| keys reach the combine.  The
-    broadcast side is window-bounded, not corpus-bounded; past the
-    cutoff the scale path is the hash-partitioned cogroup semi-join
-    (util.cogroup_join) with the same per-batch distinct pre-shrink."""
+    window is corpus-proportional, so past the broadcast cutoff the
+    same semi-join runs as a hash-partitioned cogroup (packed
+    orderdate≪8|priority-code value column), the distinct shrinks to a
+    composite-int dedup (_distinct_int), and the ≤|priorities| counts
+    decode the survivors."""
     import datetime
 
     import numpy as np
     import pandas as pd
 
-    from elevant_ray.stages.util import IntKeyMap, np_columns
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join,
+                                         np_columns, partial_group_agg,
+                                         scale_cutoff)
 
     empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
                           "n_orders": pd.Series([], dtype="int64")})
@@ -4033,36 +4037,100 @@ def q4_order_priority(sf_dir: str):
             "odate_us": pc.cast(b.column("o_orderdate"), pa.int64()),
             "o_orderpriority": b.column("o_orderpriority")})
 
-    win = np_columns(orders.map_batches(window, batch_format="pyarrow"),
-                     ["o_orderkey", "odate_us", "o_orderpriority"])
-    if len(win["o_orderkey"]) == 0:
+    wds = orders.map_batches(window, batch_format="pyarrow").materialize()
+    if wds.count() == 0:
         return empty
-    omap = IntKeyMap(win["o_orderkey"],
-                     win["odate_us"].astype(np.int64))
     ninety = np.int64(90 * 86400 * 1_000_000)
-
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
-    def late_keys(b: pa.Table) -> pa.Table:
-        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
-        odate, found = omap.take(ok)
-        ship = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        m = found & (ship >= odate + ninety)
-        return pa.table({"o_orderkey": pa.array(np.unique(ok[m]),
-                                                pa.int64())})
+    if wds.size_bytes() <= scale_cutoff(64 << 20):
+        win = np_columns(wds, ["o_orderkey", "odate_us",
+                               "o_orderpriority"])
+        omap = IntKeyMap(win["o_orderkey"],
+                         win["odate_us"].astype(np.int64))
 
-    late = np.unique(np_columns(
-        line.map_batches(late_keys, batch_format="pyarrow"),
-        ["o_orderkey"])["o_orderkey"])
-    hit = np.isin(win["o_orderkey"], late)
-    if not hit.any():
+        def late_keys(b: pa.Table) -> pa.Table:
+            ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            odate, found = omap.take(ok)
+            ship = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = found & (ship >= odate + ninety)
+            return pa.table({"o_orderkey": pa.array(np.unique(ok[m]),
+                                                    pa.int64())})
+
+        late = np.unique(np_columns(
+            line.map_batches(late_keys, batch_format="pyarrow"),
+            ["o_orderkey"])["o_orderkey"])
+        hit = np.isin(win["o_orderkey"], late)
+        if not hit.any():
+            return empty
+        out = (pd.DataFrame(
+            {"o_orderpriority": win["o_orderpriority"][hit]})
+            .groupby("o_orderpriority", as_index=False).size()
+            .rename(columns={"size": "n_orders"}))
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+    # scale path: the window stays distributed — cogroup the lineitem
+    # side against it on orderkey, dedup qualifying orders as composite
+    # ints, decode to the tiny per-priority count
+    pr = partial_group_agg(wds, ["o_orderpriority"], count_alias="_n",
+                           combine="driver")
+    vocab = np.array(sorted(pr["o_orderpriority"]), dtype=object)
+
+    def w_pre(b: pa.Table) -> pa.Table:
+        code = np.searchsorted(
+            vocab, b.column("o_orderpriority").to_numpy(
+                zero_copy_only=False))
+        packed = (b.column("odate_us").to_numpy(zero_copy_only=False)
+                  << 8) + code
+        return pa.table({"l_orderkey": b.column("o_orderkey"),
+                         "packed": pa.array(packed, pa.int64())})
+
+    def l_pre(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "ship_us": pc.cast(b.column("l_shipdate"),
+                                            pa.int64())})
+
+    joined = cogroup_join(
+        line.map_batches(l_pre, batch_format="pyarrow"),
+        wds.map_batches(w_pre, batch_format="pyarrow"),
+        on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("ship_us", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("packed", pa.int64())]))
+
+    def qualify(b: pa.Table) -> pa.Table:
+        ship = b.column("ship_us").to_numpy(zero_copy_only=False)
+        packed = b.column("packed").to_numpy(zero_copy_only=False)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        m = ship >= (packed >> 8) + ninety
+        comp = (ok[m] << 8) + (packed[m] & 255)
+        return pa.table({"comp": pa.array(np.unique(comp), pa.int64())})
+
+    distinct = _distinct_int(
+        joined.map_batches(qualify, batch_format="pyarrow"), "comp")
+    if isinstance(distinct, pd.DataFrame):
+        codes = distinct["comp"].to_numpy(np.int64) & 255
+        cnt = np.bincount(codes, minlength=len(vocab))
+    else:
+        def decode(b: pa.Table) -> pa.Table:
+            return pa.table({"code": pa.array(
+                b.column("comp").to_numpy(zero_copy_only=False) & 255,
+                pa.int64())})
+
+        cagg = partial_group_agg(
+            distinct.map_batches(decode, batch_format="pyarrow"),
+            ["code"], count_alias="n", combine="driver")
+        cnt = np.zeros(len(vocab), np.int64)
+        cnt[cagg["code"].to_numpy(np.int64)] = cagg["n"].to_numpy(
+            np.int64)
+    keep = cnt > 0
+    if not keep.any():
         return empty
-    out = (pd.DataFrame({"o_orderpriority": win["o_orderpriority"][hit]})
-           .groupby("o_orderpriority", as_index=False).size()
-           .rename(columns={"size": "n_orders"}))
-    out["n_orders"] = out["n_orders"].astype("int64")
-    return out.sort_values("o_orderpriority").reset_index(drop=True)
+    return pd.DataFrame({"o_orderpriority": vocab[keep],
+                         "n_orders": cnt[keep].astype("int64")})
 
 
 def q12_late_lines(sf_dir: str):
@@ -4579,7 +4647,9 @@ def purchase_id_gaps(sf_dir: str):
         m = pc.equal(b.column("event_type"), pa.scalar("purchase"))
         return pa.table({"k": b.filter(m).column("event_id")})
 
-    ks = ev.map_batches(keys_only, batch_format="pyarrow")
+    # three consumers (range pass, summaries, internal gaps) — pin the
+    # filtered keys once instead of re-scanning events each time
+    ks = ev.map_batches(keys_only, batch_format="pyarrow").materialize()
     rng = key_range_buckets(ks, "k", 256)
     if rng is None:
         return empty
@@ -4675,17 +4745,19 @@ def events_trimmed_mean(sf_dir: str):
         m = (c >= lov) & (c <= hiv)
         return pa.table({
             "event_type": b.column("event_type").filter(pa.array(m)),
-            "value": b.column("value").filter(pa.array(m))})
+            "c": pa.array(c[m])})
 
     agg = partial_group_agg(cds.map_batches(clip, batch_format="pyarrow"),
-                            ["event_type"], sum_cols=["value"],
+                            ["event_type"], sum_cols=["c"],
                             count_alias="n_kept", combine="driver")
     out = agg[["event_type"]].copy()
     out["lo"] = np.array([lo[x] for x in out["event_type"]],
                          np.float64) / 100.0
     out["hi"] = np.array([hi[x] for x in out["event_type"]],
                          np.float64) / 100.0
-    mean = agg["value"].to_numpy() / agg["n_kept"].to_numpy()
+    # exact integer cents sum → one double division: no dependence on
+    # distributed float-summation order at the 1e-6 rounding boundary
+    mean = agg["c"].to_numpy() / 100.0 / agg["n_kept"].to_numpy()
     out["trimmed_mean"] = (np.sign(mean)
                            * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6)
     out["n_kept"] = agg["n_kept"].astype("int64")
@@ -4757,7 +4829,9 @@ def nation_revenue_share(sf_dir: str):
     cents = agg["rev_c"].to_numpy(np.int64)
     total = cents.sum()
     out = agg[["n_name"]].copy()
-    out["revenue"] = _cents_to_dollars(cents)
+    # plain 1e-2 cents, NOT the 1e-4 revenue units _cents_to_dollars
+    # expects — one exact double division converts
+    out["revenue"] = cents / 100.0
     share = cents / np.float64(total)
     out["share"] = np.floor(share * 1e6 + 0.5) / 1e6
     return out.sort_values("n_name").reset_index(drop=True)
@@ -4791,14 +4865,12 @@ def region_priority_grid(sf_dir: str):
                      np.array([n2r[k] for k in c["c_nationkey"].tolist()],
                               dtype=object)) if len(c["c_custkey"]) else None
 
-    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    grid = pd.MultiIndex.from_product(
-        [sorted(region["r_name"]), prios],
-        names=["r_name", "o_orderpriority"])
+    prios = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"}
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     if cmap is None or orders.count() == 0:
-        counts = pd.Series(0, index=grid, dtype="int64")
+        agg = None
     else:
         def fold(b: pa.Table) -> pa.Table:
             reg = cmap.take_checked(
@@ -4811,6 +4883,16 @@ def region_priority_grid(sf_dir: str):
             orders.map_batches(fold, batch_format="pyarrow"),
             ["r_name", "o_orderpriority"], count_alias="n_orders",
             combine="driver")
+        # the grid spans observed priorities too, mirroring the
+        # oracle's DISTINCT ∪ literals — unknown values are kept, not
+        # silently dropped
+        prios |= set(agg["o_orderpriority"])
+    grid = pd.MultiIndex.from_product(
+        [sorted(region["r_name"]), sorted(prios)],
+        names=["r_name", "o_orderpriority"])
+    if agg is None:
+        counts = pd.Series(0, index=grid, dtype="int64")
+    else:
         counts = (agg.set_index(["r_name", "o_orderpriority"])["n_orders"]
                   .reindex(grid, fill_value=0).astype("int64"))
     out = counts.rename("n_orders").reset_index()
@@ -5048,7 +5130,8 @@ def discount_nullaware_stats(sf_dir: str):
     out["n_rows"] = agg["one"].astype("int64")
     out["n_discounted"] = agg["nz"].astype("int64")
     mean = agg["c_sum"].to_numpy() / 100.0 / agg["nz"].to_numpy()
-    out["avg_discount"] = np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6
+    out["avg_discount"] = (np.sign(mean)
+                           * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6)
     out["n_distinct"] = (dist.reindex(out["l_returnflag"])
                          .fillna(0).astype("int64").to_numpy())
     return out.sort_values("l_returnflag").reset_index(drop=True)
@@ -5114,11 +5197,14 @@ def orders_above_customer_avg(sf_dir: str):
     broadcasts back onto the fact scan as an IntKeyMap; the comparison
     is exact-integer cross-multiplication (price·n > Σprices in cents)
     so the correlated boundary never floats — the Q17/Q22 discipline
-    applied to the 'above own average' shape."""
+    applied to the 'above own average' shape.  Past the broadcast
+    cutoff the aggregate stays distributed and cogroups back onto the
+    fact by custkey."""
     import numpy as np
     import pandas as pd
 
-    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join,
+                                         partial_group_agg, scale_cutoff)
 
     empty = pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
                           "n_above": pd.Series([], dtype="int64")})
@@ -5133,34 +5219,78 @@ def orders_above_customer_avg(sf_dir: str):
                          "c_sum": pa.array(np.floor(v * 100 + 0.5)
                                            .astype(np.int64))})
 
-    # the per-key aggregate is dimension-bounded (one row per customer)
-    # → driver combine of per-batch partials, no Ray exchange; the
-    # 100 TB path swaps in a cogroup join of the grouped side
-    per_cust = partial_group_agg(
-        orders.map_batches(cents_cols, batch_format="pyarrow"),
-        ["o_custkey"], sum_cols=["c_sum"], count_alias="n",
-        combine="driver")
-    smap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
-                     per_cust["c_sum"].to_numpy(np.int64))
-    nmap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
-                     per_cust["n"].to_numpy(np.int64))
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        # per-key aggregate combined on the driver (one row per
+        # customer) and broadcast back — no exchange at all
+        per_cust = partial_group_agg(
+            orders.map_batches(cents_cols, batch_format="pyarrow"),
+            ["o_custkey"], sum_cols=["c_sum"], count_alias="n",
+            combine="driver")
+        smap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
+                         per_cust["c_sum"].to_numpy(np.int64))
+        nmap = IntKeyMap(per_cust["o_custkey"].to_numpy(np.int64),
+                         per_cust["n"].to_numpy(np.int64))
 
-    def above(b: pa.Table) -> pa.Table:
-        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
-        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
-        cents = np.floor(v * 100 + 0.5).astype(np.int64)
-        tot = smap.take_checked(ck)
-        n = nmap.take_checked(ck)
-        keep = cents * n > tot
-        return pa.table({"o_orderpriority":
-                         b.column("o_orderpriority").filter(
-                             pa.array(keep))})
+        def above(b: pa.Table) -> pa.Table:
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100 + 0.5).astype(np.int64)
+            tot = smap.take_checked(ck)
+            n = nmap.take_checked(ck)
+            keep = cents * n > tot
+            return pa.table({"o_orderpriority":
+                             b.column("o_orderpriority").filter(
+                                 pa.array(keep))})
 
-    from elevant_ray.stages.util import partial_group_agg
+        pre = orders.map_batches(above, batch_format="pyarrow")
+    else:
+        # scale path: keep the per-customer aggregate distributed and
+        # cogroup the fact back onto it by custkey
+        from ray.data.aggregate import Sum
 
-    agg = partial_group_agg(
-        orders.map_batches(above, batch_format="pyarrow"),
-        ["o_orderpriority"], count_alias="n_above", combine="driver")
+        def partial(b: pa.Table) -> pa.Table:
+            t = cents_cols(b).append_column(
+                "n", pa.array(np.ones(b.num_rows, np.int64)))
+            return (t.group_by("o_custkey")
+                    .aggregate([("c_sum", "sum"), ("n", "sum")])
+                    .rename_columns(["o_custkey", "c_sum", "n"]))
+
+        per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                    .groupby("o_custkey")
+                    .aggregate(Sum("c_sum", alias_name="c_sum"),
+                               Sum("n", alias_name="n")))
+
+        def o_pre(b: pa.Table) -> pa.Table:
+            v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(np.floor(v * 100 + 0.5)
+                                  .astype(np.int64)),
+                "o_orderpriority": b.column("o_orderpriority")})
+
+        joined = cogroup_join(
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            per_cust,
+            on="o_custkey",
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("cents", pa.int64()),
+                                   ("o_orderpriority", pa.string())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("c_sum", pa.int64()),
+                                    ("n", pa.int64())]))
+
+        def above2(b: pa.Table) -> pa.Table:
+            keep = (b.column("cents").to_numpy(zero_copy_only=False)
+                    * b.column("n").to_numpy(zero_copy_only=False)
+                    > b.column("c_sum").to_numpy(zero_copy_only=False))
+            return pa.table({"o_orderpriority":
+                             b.column("o_orderpriority").filter(
+                                 pa.array(keep))})
+
+        pre = joined.map_batches(above2, batch_format="pyarrow")
+
+    agg = partial_group_agg(pre, ["o_orderpriority"],
+                            count_alias="n_above", combine="driver")
     if agg is None or len(agg) == 0:
         return empty
     out = agg[["o_orderpriority"]].copy()
@@ -6298,7 +6428,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             GROUP BY n_name ORDER BY n_name
         """,
-        "nation_revenue_share": f"""
+        "nation_revenue_share": """
             WITH n AS (
               SELECT n_name,
                      SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
@@ -6307,7 +6437,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name)
             SELECT n_name,
-                   {_c2d_sql('c')} AS revenue,
+                   c / 100.0 AS revenue,
                    round(c / SUM(c) OVER (), 6) AS share
             FROM n ORDER BY n_name
         """,
@@ -6336,7 +6466,8 @@ def oracle_sql() -> dict[str, str]:
                               quantile_disc(value, 0.95) AS hi
                        FROM events GROUP BY event_type)
             SELECT e.event_type, lo, hi,
-                   round(avg(value), 6) AS trimmed_mean,
+                   round(SUM(CAST(round(value * 100) AS BIGINT))
+                         / 100.0 / count(*), 6) AS trimmed_mean,
                    count(*)::BIGINT AS n_kept
             FROM events e JOIN q USING (event_type)
             WHERE value >= lo AND value <= hi
