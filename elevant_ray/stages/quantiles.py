@@ -65,11 +65,16 @@ def grouped_quantiles(ds, value_col: str, qs: Sequence[float],
     hist = partial_group_agg(ds, keys, count_alias="cnt", combine="driver")
     count_col = "cnt"
 
+    # iterate the columns directly — itertuples() renames any column
+    # that is not a valid Python identifier (keywords, spaces, leading
+    # underscores), which would break the name lookups below
+    gcols = [hist[c].to_numpy() for c in group_cols]
+    vvals = hist[value_col].to_numpy()
+    cnts = hist[count_col].to_numpy()
     per_group: Dict[Tuple, Dict] = {}
-    for row in hist.itertuples(index=False):
-        d = row._asdict()
-        g = tuple(d[c] for c in group_cols)
-        per_group.setdefault(g, {})[d[value_col]] = d[count_col]
+    for i in range(len(hist)):
+        g = tuple(col[i] for col in gcols)
+        per_group.setdefault(g, {})[vvals[i]] = cnts[i]
 
     cols: Dict[str, list] = {c: [] for c in group_cols}
     cols["q"] = []

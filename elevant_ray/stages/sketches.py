@@ -40,6 +40,10 @@ def _hash64(vals: np.ndarray) -> np.ndarray:
 
 def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
     """uint8[2^p] HLL registers for a value array (vectorized)."""
+    if not 12 <= p <= 52:
+        # the frexp/log2 rho trick below is exact only while the low
+        # 64-p bits fit float53 — reject silently-biased configurations
+        raise ValueError(f"hll_registers requires 12 <= p <= 52, got {p}")
     m = 1 << p
     reg = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
@@ -83,6 +87,11 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str,
     def partials(batch: pa.Table) -> pa.Table:
         keys = batch.column(group_col).to_numpy(zero_copy_only=False)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({
+                group_col: pa.array(
+                    [], batch.schema.field(group_col).type),
+                "_reg": pa.array([], pa.binary())})
         out_k, out_r = [], []
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
@@ -96,6 +105,8 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str,
     parts = ds.map_batches(partials, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: [], alias: []})
         regs = np.stack([np.frombuffer(b, dtype=np.uint8)
                          for b in g["_reg"]])
         est = hll_estimate(regs.max(axis=0))
@@ -139,7 +150,10 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 64):
         vals = b.column(col).to_numpy(zero_copy_only=False)
         u, c = np.unique(vals, return_counts=True)
         u, c = _mg_compress(u, c.astype(np.int64), capacity)
-        return pa.table({col: pa.array(u), "w": pa.array(c, pa.int64())})
+        # pin the value type: an empty batch's np.unique yields float64
+        # which would conflict with non-empty blocks' schema
+        return pa.table({col: pa.array(u, b.schema.field(col).type),
+                         "w": pa.array(c, pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
@@ -149,6 +163,12 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 64):
     items, weights = _mg_compress(merged[col].to_numpy(),
                                   merged["w"].to_numpy(), capacity)
     cand = np.sort(items)
+    if len(cand) == 0:
+        # all merged weights tied at the compression threshold — no
+        # candidate clears it, so the exact-recount pass has nothing
+        # to verify (every item has frequency ≤ N/capacity)
+        return pa.table({col: pa.array([], pa.int64()),
+                         "count": pa.array([], pa.int64())})
 
     def exact(b: pa.Table) -> pa.Table:
         vals = b.column(col).to_numpy(zero_copy_only=False)
@@ -204,7 +224,9 @@ def approx_quantiles(ds, col: str, qs, group_cols=None,
         else:
             summarize((), df[col])
         if not out_v:
-            return pa.table({**{c: pa.array([], pa.string())
+            # derive empty group-key types from the batch so an empty
+            # block never disagrees with non-empty blocks' schema
+            return pa.table({**{c: pa.Array.from_pandas(df[c].head(0))
                                 for c in group_cols},
                              "v": pa.array([], pa.float64()),
                              "w": pa.array([], pa.float64())})

@@ -101,7 +101,14 @@ class IntKeyMap:
         import ray
 
         pos, found = self._probe(probe)
-        codes = ray.get(self._vals)[pos]
+        vals_arr = ray.get(self._vals)
+        if len(vals_arr) == 0:
+            # empty build side: honor the mask-before-use contract
+            # instead of indexing a 0-length array
+            if self._vocab is not None:
+                return np.full(len(pos), "", dtype=object), found
+            return np.zeros(len(pos), dtype=vals_arr.dtype), found
+        codes = vals_arr[pos]
         if self._vocab is not None:
             return np.asarray(self._vocab, dtype=object)[codes], found
         return codes, found
@@ -147,7 +154,10 @@ def hash_bucket_array(col, buckets: int):
     import numpy as np
     import pyarrow as pa
 
-    if pa.types.is_integer(col.type):
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        # null-free gate: a nullable int column materializes as float64
+        # with NaN, where keys above 2^53 round — the same key would
+        # bucket differently in null-containing vs null-free batches
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.array(((v * np.uint64(2654435761)) % np.uint64(buckets))
                         .astype(np.int32))
@@ -197,6 +207,8 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
 
     Output columns: keys + sum_cols (same names) + `count_alias` +
     max/min cols (same names).  Means: sum + count here, divide after.
+    Precondition: grouping keys must be non-null (``count_alias``
+    counts the first key column, so a null-key group would report 0).
     ``combine="driver"`` returns a pandas DataFrame combined on the
     driver (use ONLY for hard-bounded group counts); ``"dataset"``
     keeps the combine distributed and returns a Dataset.
@@ -248,7 +260,12 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
         spec.update({c: "min" for c in min_cols})
         if count_alias:
             spec[count_alias] = "sum"
-        return (allp.groupby(keys, as_index=False).agg(spec)
+        # dropna=False: a null-key group must survive the combine the
+        # same way the distributed path keeps it (note the count
+        # partial counts non-null keys[0], so fully-null-key groups
+        # still need non-null keys — documented precondition)
+        return (allp.groupby(keys, as_index=False, dropna=False)
+                .agg(spec)
                 .sort_values(keys).reset_index(drop=True))
     final_aggs = [Sum(c, alias_name=c) for c in sum_cols]
     final_aggs += [Max(c, alias_name=c) for c in max_cols]
@@ -295,6 +312,11 @@ def cogroup_join(left, right, on, num_partitions: int = 8,
     rcols = [c for c in rschema.names if c not in keys]
 
     def bucket_col(batch: pa.Table) -> "pa.Array":
+        if len(keys) == 1:
+            # single-key fast path: vectorized hash, no per-row Python
+            # on the join's hottest stage (both sides share this fn, so
+            # co-location is unaffected)
+            return hash_bucket_array(batch.column(keys[0]), buckets)
         cols = [batch.column(k).to_pylist() for k in keys]
         return pa.array(
             [zlib.crc32("\x00".join(str(v) for v in row).encode("utf-8"))

@@ -145,3 +145,43 @@ def test_bloom_or_merge_equals_union_build():
     m = 1 << 14
     assert ((bloom_bits(a, m) | bloom_bits(b, m))
             == bloom_bits(np.concatenate([a, b]), m)).all()
+
+
+def test_heavy_hitters_all_tied_returns_empty(ray_session):
+    """Review regression: when every merged weight ties at the
+    Misra-Gries compression threshold the candidate set is empty —
+    must return an empty result, not IndexError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elevant_ray.stages.sketches import heavy_hitters
+
+    # 130 distinct values, one occurrence each, spread over blocks so
+    # per-batch compression never fires (capacity 64 > per-block uniques)
+    vals = list(range(130))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})) \
+        .repartition(4)
+    out = heavy_hitters(ds, "x", k=5, capacity=128)
+    assert out.num_rows == 0
+
+
+def test_intkeymap_take_empty_map():
+    """Review regression: take() on an empty build side returns an
+    all-miss mask instead of indexing a 0-length values array."""
+    import numpy as np
+
+    from elevant_ray.stages.util import IntKeyMap
+
+    m = IntKeyMap(np.array([], np.int64), np.array([], np.int64))
+    vals, found = m.take(np.array([1, 2, 3], np.int64))
+    assert not found.any() and len(vals) == 3
+
+
+def test_hll_registers_rejects_small_p():
+    import numpy as np
+    import pytest
+
+    from elevant_ray.stages.sketches import hll_registers
+
+    with pytest.raises(ValueError):
+        hll_registers(np.array([1, 2, 3], np.int64), p=10)
