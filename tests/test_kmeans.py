@@ -56,3 +56,29 @@ def test_kmeans_deterministic(ray_session):
     a = a.to_pandas() if hasattr(a, "to_pandas") else a
     b = b.to_pandas() if hasattr(b, "to_pandas") else b
     assert a.equals(b)
+
+
+def test_kmeans_drops_empty_clusters(ray_session):
+    """Crafted input where most seed centroids lose every member after
+    the first mean recompute: the stage must drop them (SQL inner-join
+    semantics) and keep cluster ids stable, matching the same algorithm
+    run inline."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elevant_ray.stages.knn import lloyd_kmeans
+
+    # ids 0..3 seed k=4, but seed 1 duplicates seed 0's location: every
+    # point at the origin (including seed 1's own) ties to centroids 0
+    # and 1 and argmin breaks to the lower cid — cluster 1 receives no
+    # members in iteration 1 and must be dropped, while ids 2 and 3
+    # keep their original cluster numbers
+    vecs = [[0.0, 0.0], [0.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    vecs += [[0.0, 0.0]] * 20
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array(vecs,
+                                        pa.list_(pa.float32()))})
+    out = (lloyd_kmeans(rd.from_arrow(t).repartition(3), k=4, iters=3)
+           .to_pandas().sort_values("vec_id"))
+    assert set(out["cluster"]) == {0, 2, 3}
+    assert (out[out["vec_id"] >= 4]["cluster"] == 0).all()
