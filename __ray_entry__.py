@@ -5344,6 +5344,64 @@ def orders_price_date_skyline(sf_dir: str):
                   "o_orderdate")
 
 
+def doc_unigram_logprob(sf_dir: str):
+    """Language-model quality scoring (the KenLM-style filter of a
+    training-data pipeline, reduced to unigrams): each document's
+    log-probability under the corpus's own unigram distribution.  The
+    vocabulary histogram is one two-phase count; it broadcasts as a
+    sorted token array + aligned log-prob vector, and every batch
+    scores all its tokens with ONE searchsorted + reduceat — no
+    per-token Python in the scoring pass (the regex tokenizer itself
+    stays per-doc, as in every text query here)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.text_stats import unigram_counts as uc
+    from elevant_ray.stages.util import cached_get, np_columns
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "logprob": pd.Series([], dtype="float64")})
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    vc = np_columns(uc(docs.select_columns(["text"])),
+                    ["token", "count"])
+    if len(vc["token"]) == 0:
+        return empty
+    order = np.argsort(vc["token"], kind="stable")
+    vocab = vc["token"][order]
+    cnt = vc["count"][order].astype(np.float64)
+    logp = np.log(cnt / cnt.sum())
+    ref = ray.put({"vocab": np.asarray(vocab, dtype=object),
+                   "logp": logp})
+
+    def score(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        st = cached_get(ref)
+        toks = [unigrams(t) for t in b.column("text").to_pylist()]
+        lens = np.array([len(t) for t in toks], np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64())})
+        flat = np.array([t for ts in toks for t in ts], dtype=object)
+        lp = st["logp"][np.searchsorted(st["vocab"], flat)]
+        offsets = np.concatenate([[0], np.cumsum(lens[keep])[:-1]])
+        sums = np.add.reduceat(lp, offsets)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+            "logprob": pa.array(
+                np.sign(sums) * np.floor(np.abs(sums) * 1e4 + 0.5)
+                / 1e4)})
+
+    return _det_sort(docs.map_batches(score, batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5421,6 +5479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_pctile": docs_length_pctile,
         "orders_above_customer_avg": orders_above_customer_avg,
         "orders_price_date_skyline": orders_price_date_skyline,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6347,6 +6406,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_unigram_logprob": """
+            WITH d AS (SELECT doc_id,
+                              unnest(regexp_extract_all(
+                                lower(text), '[a-z0-9_]+')) AS token
+                       FROM documents),
+            vc AS (SELECT token, count(*) AS c FROM d GROUP BY token),
+            tot AS (SELECT sum(c)::DOUBLE AS t FROM vc)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(SUM(ln(c / t)), 4) AS logprob
+            FROM d JOIN vc USING (token) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "orders_price_date_skyline": """
             SELECT o_orderkey, o_orderdate, o_totalprice

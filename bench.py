@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "docs_length_pctile",
     "orders_above_customer_avg",
     "orders_price_date_skyline",
+    "doc_unigram_logprob",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
