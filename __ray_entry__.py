@@ -5402,6 +5402,27 @@ def doc_unigram_logprob(sf_dir: str):
                      "doc_id")
 
 
+def docs_redact_numbers(sf_dir: str):
+    """PII-style redaction (the scrub step of a training-data
+    pipeline): every digit run replaced with a sentinel, plus the
+    per-document replacement count.  Two vectorized RE2 kernels per
+    batch (pc.replace_substring_regex / count_substring_regex), zero
+    Python per row; DuckDB's regexp_replace(..., 'g') is RE2 too, so
+    the redacted text matches byte-for-byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "redacted": pc.replace_substring_regex(
+                b.column("text"), "[0-9]+", "<NUM>"),
+            "n_redacted": pc.cast(pc.count_substring_regex(
+                b.column("text"), "[0-9]+"), pa.int64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5480,6 +5501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": orders_above_customer_avg,
         "orders_price_date_skyline": orders_price_date_skyline,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "docs_redact_numbers": docs_redact_numbers,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6406,6 +6428,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_redact_numbers": """
+            SELECT doc_id,
+                   regexp_replace(text, '[0-9]+', '<NUM>', 'g')
+                     AS redacted,
+                   len(regexp_extract_all(text, '[0-9]+'))::BIGINT
+                     AS n_redacted
+            FROM documents ORDER BY doc_id
         """,
         "doc_unigram_logprob": """
             WITH d AS (SELECT doc_id,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "orders_above_customer_avg",
     "orders_price_date_skyline",
     "doc_unigram_logprob",
+    "docs_redact_numbers",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
