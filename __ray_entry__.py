@@ -5423,6 +5423,85 @@ def docs_redact_numbers(sf_dir: str):
                      "doc_id")
 
 
+def curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation, composed from the engine's
+    own stages and checked by ONE SQL oracle: exact dedup (min doc_id
+    per normalized-text md5) → quality gate (≥20 tokens, ≥1 English
+    stopword) → benchmark decontamination (drop docs containing any
+    broadcast snippet) → token-budget shard packing of the survivors
+    via the distributed prefix scan.  Every stage streams over the same
+    rows — dedup keeps whole rows, so the quality and contamination
+    masks are per-batch filters, never membership joins — and the only
+    exchanges are dedup's packed-min aggregate and the prefix scan's
+    one co-locating shuffle."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.dedup import dedup_exact_text
+    from elevant_ray.stages.util import cached_get, global_ordered_cumsum
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cum_chars": pd.Series([], dtype="int64"),
+                          "shard": pd.Series([], dtype="int64")})
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    if docs.count() == 0:
+        return empty
+
+    def snips(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array((did % 97 == 0) & (nch >= 60)))
+        return pa.table({"snip": pc.utf8_slice_codeunits(
+            b.column("text"), 20, 60)})
+
+    snippets = sorted(set(
+        s for batch in docs.map_batches(snips, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for s in batch.column("snip").to_pylist()))
+    sref = ray.put(snippets)
+
+    kept = dedup_exact_text(docs)
+
+    def gate(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import (EN_STOP, token_count,
+                                                  unigrams)
+
+        texts = b.column("text").to_pylist()
+        en = frozenset(EN_STOP)
+        ok = np.array(
+            [token_count(t) >= 20
+             and sum(u in en for u in unigrams(t)) >= 1
+             for t in texts])
+        if ok.any():
+            sn = cached_get(sref)
+            text_col = b.column("text")
+            clean = np.ones(b.num_rows, dtype=bool)
+            for s in sn:
+                clean &= ~pc.match_substring(text_col, s).to_numpy(
+                    zero_copy_only=False)
+            ok &= clean
+        b = b.filter(pa.array(ok))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": b.column("n_chars")})
+
+    surv = kept.map_batches(gate, batch_format="pyarrow")
+    cum = global_ordered_cumsum(surv, "doc_id", "n_chars")
+    if cum is None:
+        return empty
+    cap = np.int64(100_000)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = b.column("cum").to_numpy(zero_copy_only=False)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cum_chars": pa.array(c, pa.int64()),
+                         "shard": pa.array((c - n) // cap, pa.int64())})
+
+    return _det_sort(cum.map_batches(assign, batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5502,6 +5581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_date_skyline": orders_price_date_skyline,
         "doc_unigram_logprob": doc_unigram_logprob,
         "docs_redact_numbers": docs_redact_numbers,
+        "curation_pipeline": curation_pipeline,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6428,6 +6508,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "curation_pipeline": f"""
+            WITH fp AS (
+              SELECT doc_id, text, n_chars,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g'))) AS f
+              FROM documents),
+            keep AS (
+              SELECT doc_id, text, n_chars FROM fp
+              QUALIFY row_number() OVER (PARTITION BY f
+                                         ORDER BY doc_id) = 1),
+            q AS (
+              SELECT doc_id, text, n_chars FROM keep
+              WHERE length(regexp_extract_all(text, '\\S+')) >= 20
+                AND length(list_filter(
+                      regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                      x -> list_contains({_EN}, x))) >= 1),
+            snips AS (
+              SELECT DISTINCT substr(text, 21, 40) AS snip
+              FROM documents
+              WHERE doc_id % 97 = 0 AND length(text) >= 60),
+            surv AS (
+              SELECT doc_id, n_chars FROM q
+              WHERE NOT EXISTS (SELECT 1 FROM snips s
+                                WHERE contains(q.text, s.snip)))
+            SELECT doc_id,
+                   SUM(n_chars) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+                     AS cum_chars,
+                   ((SUM(n_chars) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                     - n_chars) // 100000)::BIGINT AS shard
+            FROM surv ORDER BY doc_id
         """,
         "docs_redact_numbers": """
             SELECT doc_id,

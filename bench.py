@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "orders_price_date_skyline",
     "doc_unigram_logprob",
     "docs_redact_numbers",
+    "curation_pipeline",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
