@@ -5502,6 +5502,59 @@ def curation_pipeline(sf_dir: str):
                      "doc_id")
 
 
+def events_anomaly_mad(sf_dir: str):
+    """Robust outlier detection (3×MAD rule): per event type, how many
+    events deviate from the type median by more than three median
+    absolute deviations.  The 2-decimal value domain is bounded, so ONE
+    two-phase (type, value)→weight histogram feeds everything — both
+    interpolated medians AND the outlier count close on the driver from
+    the histogram weights; the corpus is scanned exactly once and
+    nothing re-shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "med": pd.Series([], dtype="float64"),
+                          "mad": pd.Series([], dtype="float64"),
+                          "n_outliers": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    if ds.count() == 0:
+        return empty
+    hist = partial_group_agg(ds, ["event_type", "value"],
+                             count_alias="w", combine="driver")
+
+    def wq50(vals: np.ndarray, w: np.ndarray) -> float:
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        n = int(w.sum())
+        h = (n - 1) * 0.5
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        cw = np.cumsum(w)
+        a = vals[np.searchsorted(cw, lo + 1)]
+        b = vals[np.searchsorted(cw, hi + 1)]
+        return float(a + (h - lo) * (b - a))
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        w = g["w"].to_numpy(np.int64)
+        med = wq50(v, w)
+        mad = wq50(np.abs(v - med), w)
+        n_out = int(w[np.abs(v - med) > 3 * mad].sum())
+        rows.append((et,
+                     np.sign(med) * np.floor(abs(med) * 1e6 + 0.5) / 1e6,
+                     np.floor(mad * 1e6 + 0.5) / 1e6,
+                     n_out, int(w.sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "med", "mad",
+                                      "n_outliers", "n"])
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5582,6 +5635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": doc_unigram_logprob,
         "docs_redact_numbers": docs_redact_numbers,
         "curation_pipeline": curation_pipeline,
+        "events_anomaly_mad": events_anomaly_mad,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6508,6 +6562,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_anomaly_mad": """
+            WITH s AS (SELECT event_type, median(value) AS med,
+                              mad(value) AS madv
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, round(med, 6) AS med,
+                   round(madv, 6) AS mad,
+                   count(*) FILTER (abs(value - med) > 3 * madv)::BIGINT
+                     AS n_outliers,
+                   count(*)::BIGINT AS n
+            FROM events e JOIN s USING (event_type)
+            GROUP BY e.event_type, med, madv ORDER BY e.event_type
         """,
         "curation_pipeline": f"""
             WITH fp AS (

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "doc_unigram_logprob",
     "docs_redact_numbers",
     "curation_pipeline",
+    "events_anomaly_mad",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",
