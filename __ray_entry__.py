@@ -5555,6 +5555,101 @@ def events_anomaly_mad(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def parts_cosupply_top_pairs(sf_dir: str):
+    """Co-occurrence mining (market-basket shape): the 100 supplier
+    pairs sharing the most distinct parts.  Distinct (part, supplier)
+    edges dedupe as composite ints; pair generation is the vectorized
+    per-group triu kernel (util.within_group_pairs — Python cost scales
+    with distinct group sizes, not pairs); pair counts aggregate by
+    composite pair code and the top-k closes with a deterministic
+    (count desc, s1, s2) rank.  Under the cutoff the edge list streams
+    to the driver for one vectorized pair pass (measured 3-4× faster
+    locally than shuffling the 10×-bigger pair set); beyond it each
+    part-keyed bucket dedupes its own edges and generates pairs in
+    parallel, with only (pair, count) partials moving.  Assumes
+    suppkey < 2^21 and partkey < 2^42 (composite-key layout)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (bucketed_group_apply,
+                                         partial_group_agg,
+                                         within_group_pairs)
+
+    empty = pd.DataFrame({"s1": pd.Series([], dtype="int64"),
+                          "s2": pd.Series([], dtype="int64"),
+                          "common_parts": pd.Series([], dtype="int64")})
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    if line.count() == 0:
+        return empty
+
+    mask = np.int64((1 << 21) - 1)
+
+    def edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def pair_counts(comp: np.ndarray) -> pd.DataFrame:
+        # callers pass whole-part slices (driver: everything; bucketed:
+        # a part-keyed bucket), so a local dedupe is a global dedupe
+        comp = np.unique(comp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        i, j = within_group_pairs(starts, sizes)
+        # comp sorted ⇒ within a part suppliers ascend ⇒ s1 < s2
+        pair = ((comp[i] & mask) << 21) + (comp[j] & mask)
+        up, c = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": up, "c": c.astype(np.int64)})
+
+    from elevant_ray.stages.util import np_columns, scale_cutoff
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        # pair work is Θ(pairs) wherever it runs; under the cutoff the
+        # measured winner is one driver pass over the edge list (the
+        # bucketed variant pays a bucket shuffle AND a 10×-bigger pair
+        # exchange for the same arithmetic)
+        agg = pair_counts(np_columns(eds, ["comp"])["comp"]
+                          .astype(np.int64))
+    else:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return pair_counts(df["comp"].to_numpy(np.int64))
+
+        partials = bucketed_group_apply(eds, "part", per_bucket)
+        # pair cardinality is suppliers², not hard-bounded → keep the
+        # count combine distributed, then per-batch top-100 partials
+        # of the FINAL counts (each pair is one row post-groupby, so
+        # the batch-local top-k is superset-safe) close on the driver
+        counts = partial_group_agg(partials, ["pair"], sum_cols=["c"],
+                                   combine="dataset")
+
+        def topk(b: pa.Table) -> pa.Table:
+            df = pa.table({"pair": b.column("pair"),
+                           "c": b.column("c")}).to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["c", "pair"],
+                               ascending=[False, True]).head(100),
+                preserve_index=False)
+
+        agg = counts.map_batches(topk,
+                                 batch_format="pyarrow").to_pandas()
+    if agg is None or len(agg) == 0:
+        return empty
+    top = agg.sort_values(["c", "pair"],
+                          ascending=[False, True]).head(100)
+    pairs = top["pair"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "s1": (pairs >> 21).astype("int64"),
+        "s2": (pairs & mask).astype("int64"),
+        "common_parts": top["c"].astype("int64").to_numpy()}) \
+        .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5636,6 +5731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redact_numbers": docs_redact_numbers,
         "curation_pipeline": curation_pipeline,
         "events_anomaly_mad": events_anomaly_mad,
+        "parts_cosupply_top_pairs": parts_cosupply_top_pairs,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6562,6 +6658,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(kurtosis(value), 6) AS kurt,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "parts_cosupply_top_pairs": """
+            WITH ls AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem)
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                   count(*)::BIGINT AS common_parts
+            FROM ls a JOIN ls b ON a.l_partkey = b.l_partkey
+                              AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+            ORDER BY common_parts DESC, s1, s2 LIMIT 100
         """,
         "events_anomaly_mad": """
             WITH s AS (SELECT event_type, median(value) AS med,

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "docs_redact_numbers",
     "curation_pipeline",
     "events_anomaly_mad",
+    "parts_cosupply_top_pairs",
     "events_retention",
     "event_type_transitions",
     "user_first_last_event",

@@ -517,3 +517,28 @@ def global_ordered_cumsum(ds, key: str, val: str, buckets: int = 256):
 
     return (ds.map_batches(add_bkt, batch_format="pyarrow")
             .groupby("rbkt").map_groups(scan, batch_format="pandas"))
+
+
+def within_group_pairs(starts, sizes):
+    """Global row indices (i, j), i<j, of every unordered within-group
+    pair of a group-contiguous array — the pair-generation kernel of
+    co-occurrence / market-basket mining.  Vectorized per DISTINCT
+    group size (one np.triu_indices template per size, broadcast over
+    all groups of that size), so the Python cost is O(|distinct
+    sizes|), not O(pairs)."""
+    import numpy as np
+
+    starts = np.asarray(starts, np.int64)
+    sizes = np.asarray(sizes, np.int64)
+    out_i, out_j = [], []
+    for sz in np.unique(sizes):
+        if sz < 2:
+            continue
+        ti, tj = np.triu_indices(int(sz), k=1)
+        st = starts[sizes == sz]
+        out_i.append((st[:, None] + ti[None, :]).ravel())
+        out_j.append((st[:, None] + tj[None, :]).ravel())
+    if not out_i:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(out_i), np.concatenate(out_j)

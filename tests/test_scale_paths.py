@@ -23,7 +23,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "nation_balance_full_join", "events_purchaser_events",
                   "part_pagerank", "q12_late_lines",
                   "q16_supplier_variety", "q4_order_priority",
-                  "orders_above_customer_avg"]
+                  "orders_above_customer_avg",
+                  "parts_cosupply_top_pairs"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
