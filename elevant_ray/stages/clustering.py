@@ -67,17 +67,26 @@ def _local_contract(batch: pa.Table) -> pa.Table:
 
 def _checksum_batch(batch: pa.Table) -> pa.Table:
     """Order-insensitive uint64 checksum partial of a 2-string-column
-    table (vectorized: pandas siphash per row, wrapping sum)."""
+    table (vectorized: pandas siphash per row, wrapping sum).  Partials
+    are the per-block uint64 sum reinterpreted as signed int64; the
+    driver folds the partial total back mod 2^64, so the checksum
+    depends only on CONTENT — never on how rows were blocked (a
+    per-block constant or unfolded wraps would both leak block count
+    into the value and break fixpoint detection)."""
     a, b = batch.column_names[0], batch.column_names[1]
     df = batch.to_pandas()
     hashes = pd.util.hash_pandas_object(
         df[a] + "\x00" + df[b], index=False).to_numpy(np.uint64)
-    acc = int(np.add.reduce(hashes, dtype=np.uint64)) if len(hashes) else 0
-    return pa.table({"cs": pa.array([acc - (1 << 63)], pa.int64())})
+    acc = np.add.reduce(hashes, dtype=np.uint64) if len(hashes) \
+        else np.uint64(0)
+    return pa.table({"cs": pa.array([int(acc.astype(np.int64))],
+                                    pa.int64())})
 
 
 def _edge_checksum(edges) -> int:
-    return edges.map_batches(_checksum_batch, batch_format="pyarrow").sum("cs")
+    total = edges.map_batches(_checksum_batch,
+                              batch_format="pyarrow").sum("cs")
+    return int(total) % (1 << 64)
 
 
 def connected_components(edges, num_partitions: int = 16,
@@ -117,33 +126,91 @@ def connected_components(edges, num_partitions: int = 16,
         return rd.from_arrow(
             lab.rename_columns(["node", "label"])).materialize()
 
-    # BTS-style per-block contraction; drop self-loops, keep both
-    # orientations so one join per round reaches every neighbor.
-    # Alternating sort-contract (cf. Kiveris et al., "Connected
-    # Components in MapReduce and Beyond", SoCC'14 — the alternating
-    # algorithm): each pass sorts the star-edge table by one endpoint
-    # (co-locating every node's edges) and runs an in-block union-find.
-    # A pass is ONE range-partitioned sort + ONE map — no hash joins, no
-    # aggregator actor pools — and the edge table stays one row per
-    # node.  Converges in O(log) passes; the earlier textbook hash-min
-    # loop (2 joins + 2 aggregates per round, one round PER HOP of
-    # component diameter) took 13+ expensive rounds on chain-shaped
-    # near-dup components.
+    # BTS-style per-block contraction seeds the loop (within-block paths
+    # cost zero rounds), then alternating LARGE-STAR / SMALL-STAR
+    # (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    # SoCC'14).  Each pass co-locates every node's incident rows via the
+    # hash-bucket co-group (util.bucketed_group_apply) — a key's rows
+    # are GUARANTEED to land in one bucket, unlike sort +
+    # fixed-size-rebatch, which can split a key run across a batch
+    # boundary — and applies the per-node star rule vectorized.  Naive
+    # "union-find within whatever shares a bucket" is NOT convergent
+    # (two rows (b,a)/(c,b) may never share a bucket and re-emitted
+    # stale self-rows make the state 2-cycle); the star rules carry the
+    # paper's convergence proof (only fixpoints are min-rooted stars).
+    # Non-convergence raises rather than returning silently split
+    # components.
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    # canonical (left > right) parent pointers; local roots are minima,
+    # so dropping self-loops is the only normalization needed
+    def _drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b.column("left"), b.column("right")))
+
     star = edges.map_batches(_local_contract, batch_format="pyarrow",
-                             batch_size=65536).materialize()
+                             batch_size=65536) \
+        .map_batches(_drop_self, batch_format="pyarrow").materialize()
     cs_prev = _edge_checksum(star)
-    for i in range(max_iters):
-        key = "left" if i % 2 == 0 else "right"
-        star = star.sort(key).map_batches(
-            _local_contract, batch_format="pyarrow",
-            batch_size=65536).materialize()
+
+    def _both_orientations(b: pa.Table) -> pa.Table:
+        flipped = pa.table({"left": b.column("right"),
+                            "right": b.column("left")})
+        return pa.concat_tables([b.select(["left", "right"]), flipped])
+
+    def _large_star_df(df: pd.DataFrame) -> pd.DataFrame:
+        # per node u (all orientations present): m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u.  Output keeps left > right.
+        df = df.drop_duplicates()
+        gmin = df.groupby("left", sort=False)["right"].min()
+        m = pd.Series(np.minimum(gmin.to_numpy(), gmin.index.to_numpy()),
+                      index=gmin.index)
+        sel = df[df["right"].to_numpy() > df["left"].to_numpy()]
+        return pd.DataFrame({
+            "left": sel["right"].to_numpy(),
+            "right": sel["left"].map(m).to_numpy()})
+
+    def _small_star_df(df: pd.DataFrame) -> pd.DataFrame:
+        # rows oriented left > right, grouped by left=u:
+        # m = min(Γ⁻(u) ∪ {u}) = min(right); emit (u, m) and (v, m)
+        # for v ∈ Γ⁻(u), v ≠ m.
+        df = df.drop_duplicates()
+        m = df.groupby("left", sort=False)["right"].min()
+        mu = df["left"].map(m).to_numpy()
+        rv = df["right"].to_numpy()
+        keep = rv != mu
+        return pd.DataFrame({
+            "left": np.concatenate([rv[keep], m.index.to_numpy()]),
+            "right": np.concatenate([mu[keep], m.to_numpy()])})
+
+    buckets = num_partitions * 4
+    for _ in range(max_iters):
+        both = star.map_batches(_both_orientations, batch_format="pyarrow")
+        larged = as_arrow(bucketed_group_apply(
+            both, "left", _large_star_df, buckets=buckets))
+        star = as_arrow(bucketed_group_apply(
+            larged, "left", _small_star_df, buckets=buckets)).materialize()
         cs_new = _edge_checksum(star)
         if cs_new == cs_prev:
-            # fixpoint: every node's edge points at its component min
+            # fixpoint: min-rooted stars (the only fixpoints of the
+            # large/small-star alternation)
             break
         cs_prev = cs_new
+    else:
+        raise RuntimeError(
+            "connected_components: no fixpoint after "
+            f"{max_iters} alternating passes — raise max_iters")
 
-    labels = star.rename_columns({"left": "node", "right": "label"}) \
+    # star rows are (member, root) with roots absent from `left`; union
+    # in (root, root) self-rows so every node gets a label
+    def _with_root_rows(b: pa.Table) -> pa.Table:
+        roots = pa.table({"left": b.column("right"),
+                          "right": b.column("right")})
+        return pa.concat_tables([b.select(["left", "right"]), roots])
+
+    labels = star.map_batches(_with_root_rows, batch_format="pyarrow") \
+        .rename_columns({"left": "node", "right": "label"}) \
         .groupby("node").aggregate(Min("label", alias_name="label"))
     return labels.materialize()
 
@@ -151,9 +218,10 @@ def connected_components(edges, num_partitions: int = 16,
 def clusters_to_pairs(labels, max_cluster: int = 1000):
     """labels(node, label) → all within-cluster pairs (left < right) —
     the predicted-pair set for pairwise F1.  Clusters larger than
-    `max_cluster` are truncated (logged via `truncated` flag) to bound
-    the quadratic expansion; the north-rule metric operates on *labeled*
-    candidate pairs, so full expansion is only needed for small clusters."""
+    `max_cluster` are SILENTLY truncated to their `max_cluster`
+    smallest node ids to bound the quadratic expansion; the north-rule
+    metric operates on *labeled* candidate pairs, so full expansion is
+    only needed for small clusters."""
 
     from elevant_ray.stages.util import bucketed_group_apply
 

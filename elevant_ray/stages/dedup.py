@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from elevant_ray.functions.minhash import (
-    band_keys, minhash_signature, shingle_hashes, simhash64,
+    band_keys, shingle_hashes, simhash64,
 )
 from elevant_ray.functions.tokens import md5_fingerprint
 
@@ -60,6 +60,24 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
         order = batch.column(order_col)
         if pa.types.is_timestamp(order.type):
             order = pc.cast(order, pa.int64())
+        if pa.types.is_floating(order.type):
+            # monotone float64 → sortable signed int64: flip all bits
+            # of negatives, the sign bit of non-negatives (standard IEEE
+            # total-order trick), then recenter unsigned → signed
+            import numpy as np
+
+            u = order.to_numpy(zero_copy_only=False) \
+                .astype(np.float64).view(np.uint64)
+            flip = np.where(u >> np.uint64(63),
+                            np.uint64(0xFFFFFFFFFFFFFFFF),
+                            np.uint64(1 << 63))
+            order = pa.array(((u ^ flip) ^ np.uint64(1 << 63))
+                             .view(np.int64), pa.int64())
+        if order.null_count:
+            raise ValueError(
+                f"dedup_first_by: order column {order_col!r} contains "
+                "nulls — drop or fill them upstream (null has no "
+                "position in the keep-first order)")
         order_vals = order.to_pylist()
         rows = batch.to_pylist()
         packed = [
@@ -132,12 +150,6 @@ def add_minhash_columns(batch: pa.Table, text_col: str = "text",
             keys += [f"s:{int(h):016x}" for h in sh]
         keys_col.append(keys)
     return batch.append_column("band_key", pa.array(keys_col, pa.list_(pa.string())))
-
-
-def add_simhash_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-    return batch.append_column(
-        "simhash", pa.array([h - (1 << 63) for h in hs], pa.int64()))  # signed view
 
 
 def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
@@ -224,10 +236,23 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
         return batch.filter(pa.array(mask, pa.bool_()))
 
     # ---- cold path: vectorized hash self-join on band_key --------------
+    # via util.cogroup_join, NOT Dataset.join: split() emits fully-empty
+    # blocks whenever a batch's keys are all hot, and Dataset.join is
+    # scheduling-order-flaky on inputs with empty blocks (the exact
+    # failure cogroup_join documents)
+    from elevant_ray.stages.util import cogroup_join
+
     cold = exploded.map_batches(lambda b: split(b, False),
                                 batch_format="pyarrow")
     rhs = cold.rename_columns({id_col: "_rid"})
-    joined = cold.join(rhs, "inner", num_partitions, on=("band_key",))
+    esch = exploded.schema()
+    id_type = dict(zip(esch.names, esch.types))[id_col]
+    joined = cogroup_join(
+        cold, rhs, on="band_key", num_partitions=num_partitions,
+        left_schema=pa.schema([("band_key", pa.string()),
+                               (id_col, id_type)]),
+        right_schema=pa.schema([("band_key", pa.string()),
+                                ("_rid", id_type)]))
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -312,9 +337,22 @@ def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
                          id_col: pa.array(ids, batch.column(id_col).type),
                          "_h": pa.array(hashes, pa.int64())})
 
-    exploded = ds.map_batches(keys, batch_format="pyarrow")
+    # materialize once (both join sides read it) and self-join via the
+    # empty-block-safe cogroup, not Dataset.join (scheduling-order flaky
+    # when any upstream block is empty)
+    from elevant_ray.stages.util import cogroup_join
+
+    exploded = ds.map_batches(keys, batch_format="pyarrow").materialize()
+    esch = exploded.schema()
+    id_type = dict(zip(esch.names, esch.types))[id_col]
     rhs = exploded.rename_columns({id_col: "_rid", "_h": "_rh"})
-    joined = exploded.join(rhs, "inner", num_partitions, on=("band_key",))
+    joined = cogroup_join(
+        exploded, rhs, on="band_key", num_partitions=num_partitions,
+        left_schema=pa.schema([("band_key", pa.string()),
+                               (id_col, id_type), ("_h", pa.int64())]),
+        right_schema=pa.schema([("band_key", pa.string()),
+                                ("_rid", id_type),
+                                ("_rh", pa.int64())]))
 
     def verify(batch: pa.Table) -> pa.Table:
         l = batch.column(id_col).cast(pa.string())

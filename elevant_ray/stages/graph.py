@@ -298,11 +298,16 @@ def pagerank(edges, num_iters: int = 3, damping: float = 0.85,
     node_schema = pa.schema([("node", pa.int64()), ("one", pa.int64())])
     deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
 
+    def rename_deg(b: pa.Table) -> pa.Table:
+        # groupby-aggregate emits SCHEMA-LESS 0-column empty blocks for
+        # empty shuffle partitions; rename_columns raises on those
+        if b.num_columns == 0:
+            return deg_schema.empty_table()
+        return b.rename_columns(["node", "deg"])
+
     # state: node, deg (0 for sinks), r
     state = cogroup_join(
-        nodes_ds, deg.map_batches(
-            lambda b: b.rename_columns(["node", "deg"]),
-            batch_format="pyarrow"),
+        nodes_ds, deg.map_batches(rename_deg, batch_format="pyarrow"),
         on="node", how="left_outer", num_partitions=num_partitions,
         left_schema=node_schema, right_schema=deg_schema)
 
@@ -333,12 +338,16 @@ def pagerank(edges, num_iters: int = 3, damping: float = 0.85,
             j.map_batches(contrib, batch_format="pyarrow"),
             ["node"], sum_cols=["c"], combine="dataset",
             num_partitions=num_partitions)
+        def rename_c(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.schema([("node", pa.int64()),
+                                  ("c", pa.float64())]).empty_table()
+            return b.rename_columns(["node", "c"])
+
         nxt = cogroup_join(
             state.map_batches(lambda b: b.select(["node", "deg"]),
                               batch_format="pyarrow"),
-            sums.map_batches(
-                lambda b: b.rename_columns(["node", "c"]),
-                batch_format="pyarrow"),
+            sums.map_batches(rename_c, batch_format="pyarrow"),
             on="node", how="left_outer", num_partitions=num_partitions,
             left_schema=pa.schema([("node", pa.int64()),
                                    ("deg", pa.int64())]),

@@ -20,10 +20,23 @@ import pyarrow as pa
 
 
 def _as_matrix(col: Sequence[Sequence[float]]) -> np.ndarray:
+    if len(col) == 0:
+        # an empty batch materializes as a 1-D empty array, where the
+        # axis-1 norm raises — callers also early-return on num_rows 0
+        return np.zeros((0, 1))
     m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _topk_rows(col: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Row indices of the kk best (sim desc, id asc) — the FINAL
+    ordering, so batch partials are deterministic under similarity
+    ties (argpartition would keep an arbitrary tied subset)."""
+    if len(ids) <= kk:
+        return np.arange(len(ids))
+    return np.lexsort((ids, -col))[:kk]
 
 
 def _empty_topk():
@@ -66,6 +79,10 @@ def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
     qref = ray.put((qids, qmat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         ids_q, mat_q = ray.get(qref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _as_matrix(batch.column(vec_col).to_pylist())
@@ -74,7 +91,7 @@ def knn_brute_force(embeddings, query_ids: List[int], k: int = 5,
         kk = min(k + 1, len(ids))                 # +1 to survive self-drop
         for qi, qid in enumerate(ids_q):
             col = sims[:, qi]
-            top = np.argpartition(-col, kk - 1)[:kk] if len(ids) > kk else np.arange(len(ids))
+            top = _topk_rows(col, ids, kk)
             for t in top:
                 if ids[t] == qid:
                     continue
@@ -126,6 +143,10 @@ def cosine_neardup_pairs(embeddings, threshold: float = 0.9,
     ref = ray.put((all_ids, all_mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"left": pa.array([], pa.int64()),
+                             "right": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         ids_all, mat_all = ray.get(ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _as_matrix(batch.column(vec_col).to_pylist())
@@ -187,6 +208,10 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
 
     def partial(batch: pa.Table) -> pa.Table:
         from elevant_ray.stages.util import cached_get
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         centroids = cached_get(cent_ref)
         probe_map = cached_get(probed_ref)
         ids_q, mat_q = ray.get(qref)
@@ -206,7 +231,7 @@ def ivf_topk(embeddings, query_ids: List[int], k: int = 5,
             for qi, qid in enumerate(quids):
                 col = sims[:, qi]
                 kk = min(k + 1, len(sub_ids))
-                top = np.argpartition(-col, kk - 1)[:kk] if len(sub_ids) > kk else np.arange(len(sub_ids))
+                top = _topk_rows(col, sub_ids, kk)
                 for t in top:
                     if sub_ids[t] == qid:
                         continue

@@ -88,3 +88,38 @@ def test_distributed_cc_path_matches_driver_shortcircuit(ray_session):
                                         driver_cutoff=0))
     assert fast == dist
     assert fast["d"] == "a" and fast["z"] == "x" and fast["p"] == "m"
+
+
+def test_distributed_cc_long_chain_and_random_graph(ray_session):
+    # Chains are the adversarial case for star-contraction CC (each
+    # round only halves path length); a naive "union-find whatever
+    # shares a bucket" loop 2-cycles forever on them.  Force the
+    # distributed large/small-star path on a 240-node path graph plus a
+    # seeded random graph, tiny batches so components span many blocks,
+    # and compare against the driver union-find short-circuit.
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elevant_ray.stages.clustering import connected_components
+
+    chain = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(239)]
+    rng = random.Random(7)
+    randg = [(f"r{rng.randrange(300):04d}", f"r{rng.randrange(300):04d}")
+             for _ in range(260)]
+    edges = [e for e in chain + randg if e[0] != e[1]]
+    rng.shuffle(edges)
+    ds = rd.from_arrow(pa.table({
+        "left": pa.array([e[0] for e in edges], pa.string()),
+        "right": pa.array([e[1] for e in edges], pa.string()),
+    })).repartition(16)
+
+    def lab_map(res):
+        return {r["node"]: r["label"] for r in res.take_all()}
+
+    fast = lab_map(connected_components(ds, num_partitions=4))
+    dist = lab_map(connected_components(ds, num_partitions=4,
+                                        driver_cutoff=0))
+    assert fast == dist
+    assert dist["n0239"] == "n0000"
