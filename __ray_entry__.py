@@ -3033,6 +3033,233 @@ def q14_promo_revenue(sf_dir: str):
         "n_items": agg["n_items"].astype("int64").iloc[:1].to_numpy()})
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """Forecast-revenue change (TPC-H Q6 shape): one filtered lineitem
+    scan, zero joins — discounted revenue that would be recovered by
+    dropping 5-7% discounts on small-quantity 1996 shipments.  Revenue
+    is summed in exact 1e-4-dollar integers (price cents × discount
+    cents) so the grand total is bit-identical to the SQL oracle; the
+    discount-band predicate is evaluated in the cents domain too (a
+    0.05 ≤ x ≤ 0.07 double compare would straddle representation
+    error on both sides)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_extendedprice", "l_discount", "l_quantity",
+                  "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        p_c = np.rint(b.column("l_extendedprice")
+                      .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d_c = np.rint(b.column("l_discount")
+                      .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = (d_c >= 5) & (d_c <= 7) & (qty < 24)
+        rev = p_c[keep] * d_c[keep]
+        return pa.table({"g": pa.array(np.zeros(len(rev), np.int64)),
+                         "rev_c": pa.array(rev, pa.int64())})
+
+    agg = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                            ["g"], sum_cols=["rev_c"],
+                            count_alias="n_items", combine="driver")
+    if agg.empty:
+        # SQL grand-total semantics: SUM over zero rows is NULL
+        return pd.DataFrame({"revenue": [float("nan")],
+                             "n_items": pd.array([0], dtype="int64")})
+    return pd.DataFrame({
+        "revenue": [float(_cents_to_dollars(int(agg["rev_c"].iloc[0])))],
+        "n_items": agg["n_items"].astype("int64").iloc[:1].to_numpy()})
+
+
+def q8_market_share(sf_dir: str):
+    """National market share (TPC-H Q8 shape): NATION_2 suppliers' share
+    of ECONOMY-part revenue sold to ASIA customers, per order year
+    1996-1997.  The part and supplier dims fold into the lineitem scan
+    as broadcast int-key bitmaps; the orders side (year + customer
+    region membership) broadcasts under the cutoff and goes through the
+    hash-partitioned co-group join beyond it (the 100 TB path).  Both
+    share operands are exact integer sums; the one double division uses
+    identical operands on the oracle side, so round-6 agrees
+    bit-for-bit (same discipline as q14)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nation = {r["n_nationkey"]: (r["n_name"], region[r["n_regionkey"]])
+              for r in _read(sf_dir, "nation").take_all()}
+
+    p = np_columns(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                   ["p_partkey", "p_type"])
+    is_econ = np.array([t == "ECONOMY" for t in p["p_type"].tolist()],
+                       dtype=np.int64)
+    pmap = IntKeyMap(p["p_partkey"], is_econ)
+
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                   ["s_suppkey", "s_nationkey"])
+    is_target = np.array([nation[k][0] == "NATION_2"
+                          for k in s["s_nationkey"].tolist()], dtype=np.int64)
+    smap = IntKeyMap(s["s_suppkey"], is_target)
+
+    c = np_columns(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                   ["c_custkey", "c_nationkey"])
+    in_asia = np.array([nation[k][1] == "ASIA"
+                        for k in c["c_nationkey"].tolist()], dtype=np.int64)
+    cmap = IntKeyMap(c["c_custkey"], in_asia)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"])
+
+    def line_pre(b: pa.Table) -> pa.Table:
+        econ = pmap.take_checked(
+            b.column("l_partkey").to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(econ.astype(bool)))
+        rev_c = _rev_cents(b)
+        tgt = smap.take_checked(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "num_c": pa.array(rev_c * tgt, pa.int64()),
+                         "rev_c": pa.array(rev_c, pa.int64())})
+
+    def o_year_asia(b: pa.Table):
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1998, 1, 1))
+        b = b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi)))
+        asia = cmap.take_checked(
+            b.column("o_custkey").to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(asia.astype(bool)))
+        yr = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        return b.column("o_orderkey"), yr
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        keys, yrs = [], []
+        for b in orders.iter_batches(batch_format="pyarrow"):
+            k, y = o_year_asia(b)
+            keys.append(k.to_numpy(zero_copy_only=False))
+            yrs.append(y.to_numpy(zero_copy_only=False))
+        omap = IntKeyMap(np.concatenate(keys) if keys else
+                         np.array([], np.int64),
+                         np.concatenate(yrs) if yrs else
+                         np.array([], np.int64))
+
+        def fold(b: pa.Table) -> pa.Table:
+            b = line_pre(b)
+            ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            yr, found = omap.take(ok)
+            b = b.append_column(
+                "o_year", pa.array(np.asarray(yr, np.int64), pa.int64()))
+            return b.filter(pa.array(found))
+
+        joined = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def o_pre(b: pa.Table) -> pa.Table:
+            k, y = o_year_asia(b)
+            return pa.table({"l_orderkey": k, "o_year": y})
+
+        joined = cogroup_join(
+            line.map_batches(line_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("num_c", pa.int64()),
+                                   ("rev_c", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("o_year", pa.int64())]))
+
+    agg = partial_group_agg(
+        joined.map_batches(
+            lambda b: b.select(["o_year", "num_c", "rev_c"]),
+            batch_format="pyarrow"),
+        ["o_year"], sum_cols=["num_c", "rev_c"], combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    agg = agg.sort_values("o_year").reset_index(drop=True)
+    share = agg["num_c"].to_numpy(np.float64) / agg["rev_c"].to_numpy(
+        np.float64)
+    return pd.DataFrame({
+        "o_year": agg["o_year"].astype("int64"),
+        "mkt_share": np.floor(share * 1e6 + 0.5) / 1e6})
+
+
+def q15_top_supplier(sf_dir: str):
+    """Top supplier(s) (TPC-H Q15 shape): suppliers whose Q1-1996
+    shipment revenue equals the global maximum, ties kept.  The
+    per-supplier aggregate shrinks inside the scan (supplier count ≪
+    lineitem count) and the global max + equality selection close over
+    exact integer revenue, so ties are exact, not
+    float-sum-order-dependent."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1996, 4, 1))
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "rev_c": pa.array(_rev_cents(b), pa.int64())})
+
+    agg = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                            ["l_suppkey"], sum_cols=["rev_c"],
+                            combine="dataset")
+
+    def local_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array(
+            [pc.max(b.column("rev_c")).as_py()], pa.int64())})
+
+    mx = agg.map_batches(local_max, batch_format="pyarrow").max("m")
+    if mx is None:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_revenue": pd.Series([], dtype="float64")})
+
+    winners = pd.DataFrame(agg.map_batches(
+        lambda b: b.filter(pc.equal(b.column("rev_c"),
+                                    pa.scalar(int(mx), pa.int64()))),
+        batch_format="pyarrow").take_all())
+    keys = pa.array(winners["l_suppkey"].to_numpy(), pa.int64())
+    sup = pd.DataFrame(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                        value_set=keys)),
+            batch_format="pyarrow").take_all())
+    out = sup.merge(winners, left_on="s_suppkey", right_on="l_suppkey")
+    out["total_revenue"] = _cents_to_dollars(out["rev_c"].to_numpy())
+    return (out.sort_values("s_suppkey")
+            [["s_suppkey", "s_name", "total_revenue"]]
+            .reset_index(drop=True))
+
+
 def q18_large_volume(sf_dir: str):
     """Large-volume orders (TPC-H Q18 shape): orders whose total line
     quantity exceeds 250, with customer names.  The per-order HAVING
@@ -5702,6 +5929,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_trade_volume": q7_trade_volume,
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_revenue": q14_promo_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q15_top_supplier": q15_top_supplier,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q4_order_priority": q4_order_priority,
@@ -6478,6 +6708,49 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {_c2d_sql('s')} AS revenue, n_items
+            FROM (SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * CAST(round(l_discount*100) AS BIGINT)) AS s,
+                         count(*)::BIGINT AS n_items
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-01-01'
+                    AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+                    AND l_quantity < 24)
+        """,
+        "q8_market_share": f"""
+            SELECT o_year,
+                   round((1.0 * num_c) / rev_c, 6) AS mkt_share
+            FROM (SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                         sum(CASE WHEN n1.n_name = 'NATION_2'
+                             THEN {_REV_C_SQL} ELSE 0 END) AS num_c,
+                         sum({_REV_C_SQL}) AS rev_c
+                  FROM lineitem
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                  JOIN region ON r_regionkey = n2.n_regionkey
+                  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate < TIMESTAMP '1998-01-01'
+                  GROUP BY 1)
+            ORDER BY o_year
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (SELECT l_suppkey, sum({_REV_C_SQL}) AS s
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l_shipdate < TIMESTAMP '1996-04-01'
+                         GROUP BY 1)
+            SELECT s_suppkey, s_name, {_c2d_sql('s')} AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s = (SELECT max(s) FROM rev)
+            ORDER BY s_suppkey
         """,
         "q18_large_volume": """
             SELECT o_orderkey, o_custkey, c_name, o_orderdate, o_totalprice,
