@@ -5877,6 +5877,209 @@ def parts_cosupply_top_pairs(sf_dir: str):
         .reset_index(drop=True)
 
 
+def cosupply_triangles(sf_dir: str):
+    """Distributed triangle counting on the supplier co-supply graph
+    (edge ⇔ two suppliers share ≥1 part).  Degree-ordering: each node
+    only generates wedges over its GREATER neighbors, so a hub of
+    degree d costs O(d²/4) wedges once, not per orientation.  Under
+    the cutoff one driver pass counts wedge-closures with a sorted
+    searchsorted membership test; beyond it wedges are generated per
+    lower-endpoint bucket (a node's edges are co-located by
+    construction) and closed with a hash co-group join against the
+    edge set — the canonical wedge-check MapReduce plan.  Assumes
+    suppkey < 2^21 (composite pair codes)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff,
+                                         within_group_pairs)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    if line.count() == 0:
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
+
+    mask = np.int64((1 << 21) - 1)
+
+    def ps_edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
+
+    def supplier_pairs(comp: np.ndarray) -> np.ndarray:
+        # comp = sorted distinct (part<<21|supp) codes → unique
+        # (s1<<21|s2) supplier-pair codes, s1 < s2
+        comp = np.unique(comp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        i, j = within_group_pairs(starts, sizes)
+        return np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+
+    def wedge_codes(pairs: np.ndarray):
+        # pairs sorted unique (x<<21|y), x<y ⇒ grouped by x with y
+        # ascending; wedges (y_i<<21|y_j), y_i < y_j, per common x,
+        # with multiplicity = number of common lower endpoints
+        x = pairs >> 21
+        starts = np.flatnonzero(np.concatenate([[True], x[1:] != x[:-1]]))
+        sizes = np.diff(np.append(starts, len(x)))
+        i, j = within_group_pairs(starts, sizes)
+        return ((pairs[i] & mask) << 21) + (pairs[j] & mask)
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        pairs = supplier_pairs(np_columns(eds, ["comp"])["comp"]
+                               .astype(np.int64))
+        wedges = wedge_codes(pairs)
+        if len(wedges) == 0:
+            tri = 0
+        else:
+            idx = np.minimum(np.searchsorted(pairs, wedges),
+                             len(pairs) - 1)
+            tri = int(np.count_nonzero(pairs[idx] == wedges))
+        return pd.DataFrame({"n_triangles": pd.array([tri], dtype="int64")})
+
+    # scale path: per-part pair partials → distributed distinct pair
+    # set → per-x wedge partials → co-group closure join
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pair": supplier_pairs(df["comp"].to_numpy(np.int64))})
+
+    pair_ds = as_arrow(_distinct_int(
+        as_arrow(bucketed_group_apply(eds, "part", bucket_pairs)),
+        "pair", cutoff=0))
+
+    def add_x(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        p = b.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table({"pair": b.column("pair"),
+                         "x": pa.array(p >> 21, pa.int64())})
+
+    keyed = as_arrow(pair_ds).map_batches(add_x, batch_format="pyarrow") \
+        .materialize()
+
+    def bucket_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        w = wedge_codes(np.sort(df["pair"].to_numpy(np.int64)))
+        uw, c = np.unique(w, return_counts=True)
+        return pd.DataFrame({"pair": uw, "w": c.astype(np.int64)})
+
+    wedge_ds = as_arrow(bucketed_group_apply(keyed, "x", bucket_wedges))
+    closed = cogroup_join(
+        wedge_ds,
+        keyed.map_batches(
+            lambda b: b.select(["pair"]).append_column(
+                "_e", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        on="pair",
+        left_schema=pa.schema([("pair", pa.int64()), ("w", pa.int64())]),
+        right_schema=pa.schema([("pair", pa.int64()), ("_e", pa.int64())]))
+    agg = partial_group_agg(
+        closed.map_batches(
+            lambda b: pa.table({"g": pa.array(np.zeros(b.num_rows, np.int64)),
+                                "w": b.column("w")}),
+            batch_format="pyarrow"),
+        ["g"], sum_cols=["w"], combine="driver")
+    tri = 0 if agg.empty else int(agg["w"].iloc[0])
+    return pd.DataFrame({"n_triangles": pd.array([tri], dtype="int64")})
+
+
+def purchase_followup_counts(sf_dir: str):
+    """Keyed interval join between two event streams: for each
+    'purchase' event, how many events (any type) the same user emitted
+    in the hour after it (strictly after, so the purchase itself and
+    same-microsecond ties are excluded on both the engine and oracle
+    side).  One user-keyed shuffle; inside a bucket the composite-key
+    band trick (cf. orders_nearby_counts) answers every per-user window
+    with two global searchsorteds — no per-user Python."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    WIN_US = 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_follow": pd.Series([], dtype="int64")})
+        codes = pd.factorize(g["user_id"])[0].astype(np.int64)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rel = us - us.min() + WIN_US + 1
+        band = int(rel.max()) + WIN_US + 2
+        comp = codes * band + rel
+        purch = (g["event_type"] == "purchase").to_numpy()
+        lo = np.searchsorted(comp, comp[purch], side="right")
+        hi = np.searchsorted(comp, comp[purch] + WIN_US, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[purch],
+            "n_follow": (hi - lo).astype("int64")})
+
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds, "user_id", per_bucket)), "event_id")
+
+
+def users_new_cumulative(sf_dir: str):
+    """Cumulative distinct users by day: each user counts once, on the
+    day of their FIRST event — per-batch (user, min-ts) partials keep
+    the shuffle at user cardinality, the per-day counts are
+    calendar-bounded, and the running total closes on the driver.
+    Timestamps aggregate as int64 µs (a Ray timestamp groupby key
+    downcasts µs→s)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts_us": pc.cast(b.column("ts"), pa.int64())})
+
+    first = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["user_id"], min_cols=["ts_us"],
+                              combine="dataset")
+
+    DAY_US = 86_400_000_000
+
+    def to_day(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({"day_us": pa.array([], pa.int64())})
+        us = b.column("ts_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"day_us": pa.array((us // DAY_US) * DAY_US, pa.int64())})
+
+    per_day = partial_group_agg(first.map_batches(to_day,
+                                                  batch_format="pyarrow"),
+                                ["day_us"], count_alias="new_users",
+                                combine="driver")
+    if per_day.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "new_users": pd.Series([], dtype="int64"),
+            "cum_users": pd.Series([], dtype="int64")})
+    per_day = per_day.sort_values("day_us").reset_index(drop=True)
+    new = per_day["new_users"].astype("int64").to_numpy()
+    return pd.DataFrame({
+        "day": per_day["day_us"].astype("int64").astype("datetime64[us]"),
+        "new_users": new,
+        "cum_users": np.cumsum(new)})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -5962,6 +6165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": curation_pipeline,
         "events_anomaly_mad": events_anomaly_mad,
         "parts_cosupply_top_pairs": parts_cosupply_top_pairs,
+        "cosupply_triangles": cosupply_triangles,
+        "purchase_followup_counts": purchase_followup_counts,
+        "users_new_cumulative": users_new_cumulative,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -6941,6 +7147,36 @@ def oracle_sql() -> dict[str, str]:
                               AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
             ORDER BY common_parts DESC, s1, s2 LIMIT 100
+        """,
+        "cosupply_triangles": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.s AS x, b.s AS y
+                       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.y
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        """,
+        "purchase_followup_counts": """
+            SELECT p.event_id, count(e.event_id)::BIGINT AS n_follow
+            FROM events p
+            LEFT JOIN events e ON e.user_id = p.user_id
+                              AND e.ts > p.ts
+                              AND e.ts <= p.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        "users_new_cumulative": """
+            WITH f AS (SELECT user_id, min(ts) AS mn
+                       FROM events GROUP BY 1),
+                 d AS (SELECT date_trunc('day', mn) AS day,
+                              count(*)::BIGINT AS new_users
+                       FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d ORDER BY day
         """,
         "events_anomaly_mad": """
             WITH s AS (SELECT event_type, median(value) AS med,

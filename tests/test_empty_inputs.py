@@ -48,7 +48,7 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
         result = result.to_pandas()
     if name in ("nation_region_rollup", "nation_segment_cube",
                 "q14_promo_revenue", "q19_disjunctive_revenue",
-                "q6_forecast_revenue"):
+                "q6_forecast_revenue", "cosupply_triangles"):
         # SQL ROLLUP/CUBE and ungrouped scalar aggregates keep the ()
         # grouping set: aggregating an empty table still yields the
         # grand-total row (DuckDB agrees)

@@ -24,7 +24,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "part_pagerank", "q12_late_lines",
                   "q16_supplier_variety", "q4_order_priority",
                   "orders_above_customer_avg",
-                  "parts_cosupply_top_pairs", "q8_market_share"]
+                  "parts_cosupply_top_pairs", "q8_market_share",
+                  "cosupply_triangles"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
