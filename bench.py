@@ -138,6 +138,12 @@ BENCH_QUERIES = [
     "knn_ivf",
     "neardup_embedding",
     "multimodal_features",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q15_top_supplier",
+    "cosupply_triangles",
+    "purchase_followup_counts",
+    "users_new_cumulative",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
