@@ -3260,6 +3260,216 @@ def q15_top_supplier(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q9_product_profit(sf_dir: str):
+    """Product-type profit rollup (TPC-H Q9 shape, adapted: the testdata
+    has no partsupp, so per-unit cost is the part's retail price):
+    profit per (supplier nation, order year) over parts whose name
+    contains 'bolt'.  Profit per line = revenue − retail_cost·quantity
+    in exact 1e-4-dollar integers, so group sums match the oracle
+    bit-for-bit.  Part and supplier dims fold into the lineitem scan as
+    broadcast IntKeyMaps (retail cents with a −1 not-a-bolt sentinel;
+    supplier → nationkey); the orders year lookup broadcasts under the
+    cutoff and co-group-joins beyond it (the 100 TB path), mirroring
+    q8_market_share.  Group count is nations × years, so the final
+    combine is a driver fold over per-batch partials — no exchange.
+    Reference analog: the profit rollup is ELEVANT's nested results-dict
+    aggregation shape (evaluator.py:206-352) over a 3-dim key."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+
+    p = np_columns(_read(sf_dir, "part",
+                         ["p_partkey", "p_name", "p_retailprice"]),
+                   ["p_partkey", "p_name", "p_retailprice"])
+    retail_c = np.rint(p["p_retailprice"].astype(np.float64) * 100
+                       ).astype(np.int64)
+    is_bolt = np.array(["bolt" in n for n in p["p_name"].tolist()])
+    pmap = IntKeyMap(p["p_partkey"], np.where(is_bolt, retail_c, -1))
+
+    s = np_columns(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                   ["s_suppkey", "s_nationkey"])
+    smap = IntKeyMap(s["s_suppkey"], s["s_nationkey"].astype(np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"])
+
+    def line_pre(b: pa.Table) -> pa.Table:
+        rc = pmap.take_checked(
+            b.column("l_partkey").to_numpy(zero_copy_only=False))
+        keep = rc >= 0
+        b = b.filter(pa.array(keep))
+        rc = rc[keep]
+        qty = np.rint(b.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        profit_c = _rev_cents(b) - rc * 100 * qty
+        nk = smap.take_checked(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "nationkey": pa.array(nk, pa.int64()),
+                         "profit_c": pa.array(profit_c, pa.int64())})
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        o = np_columns(orders, ["o_orderkey", "o_orderdate"])
+        years = o["o_orderdate"].astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        omap = IntKeyMap(o["o_orderkey"], years)
+
+        def fold(b: pa.Table) -> pa.Table:
+            b = line_pre(b)
+            yr, found = omap.take(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            b = b.append_column(
+                "o_year", pa.array(np.asarray(yr, np.int64), pa.int64()))
+            return b.filter(pa.array(found))
+
+        joined = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def o_pre(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                  pa.int64())})
+
+        joined = cogroup_join(
+            line.map_batches(line_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("nationkey", pa.int64()),
+                                   ("profit_c", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("o_year", pa.int64())]))
+
+    agg = partial_group_agg(
+        joined.map_batches(
+            lambda b: b.select(["nationkey", "o_year", "profit_c"]),
+            batch_format="pyarrow"),
+        ["nationkey", "o_year"], sum_cols=["profit_c"], combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"nation": pd.Series([], dtype="object"),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "sum_profit": pd.Series([], dtype="float64")})
+    agg["nation"] = agg["nationkey"].map(nation)
+    agg = agg.sort_values(["nation", "o_year"],
+                          ascending=[True, False]).reset_index(drop=True)
+    return pd.DataFrame({
+        "nation": agg["nation"],
+        "o_year": agg["o_year"].astype("int64"),
+        "sum_profit": _cents_to_dollars(agg["profit_c"].to_numpy())})
+
+
+def q11_important_parts(sf_dir: str):
+    """Important-stock identification (TPC-H Q11 shape, adapted to the
+    shipped-revenue fact): parts whose total lineitem revenue exceeds
+    1/2000 of the global total.  One scan: the per-part partial
+    aggregate (bounded by the part dimension) also yields the global
+    scalar as the sum of its values, so the HAVING-against-a-scalar-
+    subquery needs no second pass.  The strict comparison runs in exact
+    integers — value_c > total_c // 2000 is equivalent to
+    value_c·2000 > total_c for positive integers (avoids the ×2000
+    overflow at 100 TB totals)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "value_c": pa.array(_rev_cents(b), pa.int64())})
+
+    agg = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                            ["l_partkey"], sum_cols=["value_c"],
+                            combine="driver")
+    empty = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                          "value": pd.Series([], dtype="float64")})
+    if agg.empty:
+        return empty
+    total = int(agg["value_c"].sum())
+    keep = agg[agg["value_c"].to_numpy(np.int64) > total // 2000]
+    if keep.empty:
+        return empty
+    keep = keep.sort_values(["value_c", "l_partkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_partkey": keep["l_partkey"].astype("int64"),
+        "value": _cents_to_dollars(keep["value_c"].to_numpy())})
+
+
+def q20_promotion_suppliers(sf_dir: str):
+    """Potential part promotion (TPC-H Q20 shape, adapted: availability
+    becomes shipped quantity): suppliers who shipped, during 1996, more
+    than half of some 'blue' part's total 1996 quantity.  The part
+    filter folds into the scan as a broadcast bitmap; one exchange
+    builds per-(part, supplier) quantity sums; the per-part totals are
+    a re-aggregation of those partials (driver-side — bounded by the
+    part dimension); the >half test is exact integer (q·2 > t), and the
+    surviving supplier keys semi-join the supplier dim as an isin
+    filter.  This is the reference's candidate-generation-then-
+    threshold shape (maximum_matching_ner.py:39-123's alias-frequency ≥
+    unigram-count filter) as dataflow."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, np_columns, partial_group_agg
+
+    p = np_columns(_read(sf_dir, "part", ["p_partkey", "p_name"]),
+                   ["p_partkey", "p_name"])
+    is_blue = np.array([n.startswith("blue") for n in p["p_name"].tolist()],
+                       dtype=np.int64)
+    pmap = IntKeyMap(p["p_partkey"], is_blue)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        blue = pmap.take_checked(
+            b.column("l_partkey").to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(blue.astype(bool)))
+        qty = np.rint(b.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "qty": pa.array(qty, pa.int64())})
+
+    ps = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                           ["l_partkey", "l_suppkey"], sum_cols=["qty"],
+                           combine="driver")
+    empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                          "s_name": pd.Series([], dtype="object")})
+    if ps.empty:
+        return empty
+    totals = ps.groupby("l_partkey")["qty"].transform("sum")
+    winners = np.unique(
+        ps.loc[ps["qty"].to_numpy(np.int64) * 2
+               > totals.to_numpy(np.int64), "l_suppkey"].to_numpy(np.int64))
+    if winners.size == 0:
+        return empty
+    keys = pa.array(winners, pa.int64())
+    sup = pd.DataFrame(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                        value_set=keys)),
+            batch_format="pyarrow").take_all())
+    return (sup.sort_values("s_suppkey")[["s_suppkey", "s_name"]]
+            .reset_index(drop=True))
+
+
 def q18_large_volume(sf_dir: str):
     """Large-volume orders (TPC-H Q18 shape): orders whose total line
     quantity exceeds 250, with customer names.  The per-order HAVING
@@ -6135,6 +6345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q4_order_priority": q4_order_priority,
@@ -6956,6 +7169,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, {_c2d_sql('s')} AS total_revenue
             FROM rev JOIN supplier ON s_suppkey = l_suppkey
             WHERE s = (SELECT max(s) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   {_c2d_sql(('sum(' + _REV_C_SQL +
+                              ' - CAST(round(p_retailprice*100) AS BIGINT)'
+                              ' * 100 * CAST(round(l_quantity) AS BIGINT))'))}
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "q11_important_parts": f"""
+            WITH val AS (SELECT l_partkey, sum({_REV_C_SQL}) AS value_c
+                         FROM lineitem GROUP BY 1)
+            SELECT l_partkey AS p_partkey, {_c2d_sql('value_c')} AS value
+            FROM val
+            WHERE value_c * 2000 > (SELECT sum(value_c) FROM val)
+            ORDER BY value_c DESC, p_partkey
+        """,
+        "q20_promotion_suppliers": """
+            WITH ps AS (SELECT l_partkey, l_suppkey,
+                               sum(CAST(round(l_quantity) AS BIGINT)) AS q
+                        FROM lineitem JOIN part ON p_partkey = l_partkey
+                        WHERE p_name LIKE 'blue%'
+                          AND l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                        GROUP BY 1, 2),
+                 pt AS (SELECT l_partkey, sum(q) AS t FROM ps GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM ps JOIN pt USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE q * 2 > t
             ORDER BY s_suppkey
         """,
         "q18_large_volume": """

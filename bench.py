@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q15_top_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_promotion_suppliers",
     "cosupply_triangles",
     "purchase_followup_counts",
     "users_new_cumulative",
