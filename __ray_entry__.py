@@ -1007,6 +1007,103 @@ def doc_quality(sf_dir: str):
     return _det_sort(out, "doc_id")
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Per-document lexical-repetition quality signals (the Gopher-rule
+    family a pretraining curation pass computes): type-token ratio and
+    the fraction of duplicated trigrams, for docs with ≥3 tokens.
+    Embarrassingly parallel — one pass, no exchange.  Per batch, tokens
+    factorize once to int codes; per doc, distinct unigrams/trigrams are
+    np.unique over the code slice (trigrams as shift-packed composite
+    ints when codes fit, a void-view unique beyond — no silent cap on
+    per-batch vocabulary).  Ratios divide the same exact integers the
+    oracle divides, so round-6 agrees bit-for-bit.  Reference analog:
+    the per-doc text statistics family (utils.py:12-33,
+    benchmark_statistics.py:19-150)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "ttr": pa.array([], pa.float64()),
+                          "dup3": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [t.split(" ") for t in b.column("text").to_pylist()]
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        keep = lens >= 3
+        if not keep.any():
+            return empty
+        kept = [t for t, k in zip(toks, keep) if k]
+        codes, _ = pd.factorize(np.concatenate(
+            [np.asarray(t, object) for t in kept]))
+        codes = codes.astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens[keep])))
+        bits = int(codes.max()).bit_length() if codes.size else 1
+        packable = 3 * bits <= 63
+        n_arr = lens[keep].astype(np.float64)
+        d1 = np.empty(len(kept), np.int64)
+        d3 = np.empty(len(kept), np.int64)
+        for j in range(len(kept)):
+            c = codes[offs[j]:offs[j + 1]]
+            d1[j] = np.unique(c).size
+            if packable:
+                tri = (c[:-2] << (2 * bits)) | (c[1:-1] << bits) | c[2:]
+                d3[j] = np.unique(tri).size
+            else:
+                stack = np.ascontiguousarray(
+                    np.stack([c[:-2], c[1:-1], c[2:]], axis=1))
+                d3[j] = np.unique(
+                    stack.view([("", np.int64)] * 3).ravel()).size
+        ttr = d1 / n_arr
+        dup3 = 1.0 - d3 / (n_arr - 2.0)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(lens[keep], pa.int64()),
+            "ttr": pa.array(np.floor(ttr * 1e6 + 0.5) / 1e6, pa.float64()),
+            "dup3": pa.array(np.floor(dup3 * 1e6 + 0.5) / 1e6 + 0.0,
+                             pa.float64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
+def nation_metrics_unpivot(sf_dir: str):
+    """UNPIVOT (wide → long) reshape: the per-nation customer aggregate
+    (count, balance cents) melted into (nationkey, metric, value) rows.
+    The wide aggregate is dimension-bounded, so the melt runs on the
+    driver over the combined partials — the scan itself stays one pass
+    with no exchange.  Exact integer values on both sides."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "bal_cents": pc.cast(pc.round(pc.multiply(
+                b.column("c_acctbal"), pa.scalar(100.0))), pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["nationkey"], sum_cols=["bal_cents"],
+                            count_alias="n_cust", combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                             "metric": pd.Series([], dtype="object"),
+                             "value": pd.Series([], dtype="int64")})
+    long = agg.melt(id_vars=["nationkey"],
+                    value_vars=["bal_cents", "n_cust"],
+                    var_name="metric", value_name="value")
+    long["nationkey"] = long["nationkey"].astype("int64")
+    long["value"] = long["value"].astype("int64")
+    return (long.sort_values(["nationkey", "metric"])
+            .reset_index(drop=True))
+
+
 def lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -6332,6 +6429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_sales_opportunity": q22_sales_opportunity,
         "part_min_cost_supplier": part_min_cost_supplier,
         "nation_segment_cube": nation_segment_cube,
+        "nation_metrics_unpivot": nation_metrics_unpivot,
         "party_nations_union": party_nations_union,
         "brand_names_concat": brand_names_concat,
         "orders_weekly_gapfill": orders_weekly_gapfill,
@@ -6421,6 +6519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_counts_incremental": unigram_counts_incremental,
         "bigram_counts": bigram_counts,
         "doc_quality": doc_quality,
+        "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top3": doc_tfidf_top3,
         "token_zipf": token_zipf,
         "lang_id": lang_id,
@@ -7816,6 +7915,30 @@ def oracle_sql() -> dict[str, str]:
                                       x -> list_contains({_EN}, x)))::BIGINT
                        AS stopword_count
             FROM documents ORDER BY doc_id
+        """,
+        "doc_repetition_stats": """
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   round(1.0 * d1 / n, 6) AS ttr,
+                   round(1.0 - 1.0 * d3 / (n - 2), 6) + 0 AS dup3
+            FROM (SELECT doc_id, len(toks) AS n, list_unique(toks) AS d1,
+                         list_unique(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2])) AS d3
+                  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents))
+            WHERE n >= 3
+            ORDER BY doc_id
+        """,
+        "nation_metrics_unpivot": """
+            WITH agg AS (SELECT c_nationkey::BIGINT AS nationkey,
+                                count(*)::BIGINT AS n_cust,
+                                CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                                     AS BIGINT) AS bal_cents
+                         FROM customer GROUP BY 1)
+            SELECT nationkey, metric, value
+            FROM agg UNPIVOT (value FOR metric IN (bal_cents, n_cust))
+            ORDER BY nationkey, metric
         """,
         "lang_id": f"""
             SELECT doc_id,

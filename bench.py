@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q11_important_parts",
     "q20_promotion_suppliers",
+    "doc_repetition_stats",
+    "nation_metrics_unpivot",
     "cosupply_triangles",
     "purchase_followup_counts",
     "users_new_cumulative",
