@@ -6297,6 +6297,257 @@ def cosupply_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": pd.array([tri], dtype="int64")})
 
 
+def supplier_bfs_hops(sf_dir: str):
+    """BFS hop distance (≤ 20 hops) from the lowest supplier key over
+    the supplier co-supply graph (edge ⇔ two suppliers share ≥1 part).
+    The distance map lives on the driver — nodes are a DIMENSION
+    (suppliers), so it is O(dim) like every broadcast side here — while
+    the edge set scales with the fact table: under the cutoff one
+    driver pass runs array BFS over the sorted symmetric adjacency;
+    beyond it each level is one distributed pass over the distinct-pair
+    dataset filtering edges incident to the broadcast frontier (hops =
+    graph diameter passes, the textbook frontier-expansion plan; same
+    gating as graph.pagerank).  Oracle: recursive CTE with the same
+    20-hop cap.  Reference analog: the frontier-expansion loop of the
+    type transitive closure (create_all_types_mapping.py:15-49)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         np_columns, scale_cutoff,
+                                         within_group_pairs)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                          "hops": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+
+    mask = np.int64((1 << 21) - 1)
+
+    def ps_edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
+    seed = int(eds.map_batches(
+        lambda b: pa.table({"s": pc.bit_wise_and(b.column("comp"),
+                                                 pa.scalar(int(mask)))}),
+        batch_format="pyarrow").min("s"))
+
+    def supplier_pairs(comp: np.ndarray) -> np.ndarray:
+        comp = np.unique(comp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        i, j = within_group_pairs(starts, sizes)
+        return np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+
+    def finish(dist: dict) -> pd.DataFrame:
+        out = pd.DataFrame({"s_suppkey": sorted(dist),
+                            "hops": [dist[k] for k in sorted(dist)]})
+        return out.astype({"s_suppkey": "int64", "hops": "int64"})
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        pairs = supplier_pairs(
+            np_columns(eds, ["comp"])["comp"].astype(np.int64))
+        u = np.concatenate([pairs >> 21, pairs & mask])
+        v = np.concatenate([pairs & mask, pairs >> 21])
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        dist = {seed: 0}
+        frontier = np.array([seed], np.int64)
+        for level in range(1, 21):
+            lo = np.searchsorted(u, frontier, side="left")
+            hi = np.searchsorted(u, frontier, side="right")
+            if not len(frontier):
+                break
+            nbrs = np.unique(np.concatenate(
+                [v[a:b] for a, b in zip(lo, hi)])) if len(frontier) else \
+                np.array([], np.int64)
+            fresh = np.array([n for n in nbrs.tolist() if n not in dist],
+                             np.int64)
+            if not len(fresh):
+                break
+            for n in fresh.tolist():
+                dist[n] = level
+            frontier = fresh
+        return finish(dist)
+
+    # scale path: distributed distinct pair set; each BFS level is one
+    # pass filtering edges incident to the broadcast frontier
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pair": supplier_pairs(df["comp"].to_numpy(np.int64))})
+
+    pair_ds = as_arrow(_distinct_int(
+        as_arrow(bucketed_group_apply(eds, "part", bucket_pairs)),
+        "pair", cutoff=0)).materialize()
+
+    dist = {seed: 0}
+    frontier = {seed}
+    for level in range(1, 21):
+        fkeys = pa.array(sorted(frontier), pa.int64())
+
+        def touch(b: pa.Table, fkeys=fkeys) -> pa.Table:
+            if b.num_rows == 0 or b.num_columns == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            p = b.column("pair").to_numpy(zero_copy_only=False)
+            x, y = p >> 21, p & mask
+            hit_x = pc.is_in(pa.array(x), value_set=fkeys).to_numpy(
+                zero_copy_only=False)
+            hit_y = pc.is_in(pa.array(y), value_set=fkeys).to_numpy(
+                zero_copy_only=False)
+            return pa.table({"n": pa.array(np.unique(np.concatenate(
+                [y[hit_x], x[hit_y]])), pa.int64())})
+
+        touched = pair_ds.map_batches(touch, batch_format="pyarrow")
+        nbrs = {r["n"] for r in touched.take_all()}
+        fresh = nbrs - dist.keys()
+        if not fresh:
+            break
+        for n in fresh:
+            dist[n] = level
+        frontier = fresh
+    return finish(dist)
+
+
+def events_rolling_dau_7d(sf_dir: str):
+    """Rolling 7-day distinct active users per observed event day — the
+    windowed COUNT(DISTINCT) no engine computes directly at scale.
+    Plan: distinct (user, day) pairs (one exchange); per user, the
+    covered-day set [day, day+6] union-merges into intervals emitting
+    ±1 boundary deltas (bucketed per-user kernel, vectorized); the
+    day-domain prefix sum over delta partials runs on the driver (days
+    are calendar-bounded).  Exact — no sketch, no approximation — and
+    no per-day re-scan of the fact table."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(days, pa.int64())})
+
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[us]"),
+        "dau_7d": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+    # per-batch dedup only — duplicate (user, day) rows across batches
+    # are harmless to the interval union, so no distinct exchange needed
+    dd = ds.map_batches(pre, batch_format="pyarrow").map_batches(
+        lambda b: b.group_by(["user_id", "day"]).aggregate([]),
+        batch_format="pyarrow")
+
+    def per_user_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a user co-locate in this bucket; duplicate days
+        # merge into the same interval (gap 0 ≤ 6), so no dedup needed
+        df = df.sort_values(["user_id", "day"], kind="stable")
+        d = df["day"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[True], (d[1:] - d[:-1]) > 6])
+        s = new_user | gap
+        iid = np.cumsum(s) - 1
+        starts = d[s]
+        last = np.zeros(iid[-1] + 1, np.int64)
+        np.maximum.at(last, iid, d)
+        ends = last + 7
+        obs = np.unique(d)  # marker rows: observed days in this bucket
+        return pd.DataFrame({
+            "day": np.concatenate([starts, ends, obs]),
+            "delta": np.concatenate([np.ones(len(starts), np.int64),
+                                     -np.ones(len(ends), np.int64),
+                                     np.zeros(len(obs), np.int64)]),
+            "obs": np.concatenate([np.zeros(len(starts) + len(ends),
+                                            np.int64),
+                                   np.ones(len(obs), np.int64)])})
+
+    agg = partial_group_agg(
+        bucketed_group_apply(dd, "user_id", per_user_deltas),
+        ["day"], sum_cols=["delta", "obs"], combine="driver")
+    if agg.empty:
+        return empty
+    lo = int(agg["day"].min())
+    hi = int(agg["day"].max())
+    cover = np.zeros(hi - lo + 1, np.int64)
+    np.add.at(cover, agg["day"].to_numpy(np.int64) - lo,
+              agg["delta"].to_numpy(np.int64))
+    running = np.cumsum(cover)
+    obs_days = np.sort(
+        agg.loc[agg["obs"] > 0, "day"].to_numpy(np.int64))
+    return pd.DataFrame({
+        "day": obs_days.astype("datetime64[D]").astype("datetime64[us]"),
+        "dau_7d": running[obs_days - lo]})
+
+
+def events_cohort_matrix(sf_dir: str):
+    """Weekly cohort-retention matrix: users grouped by their first
+    active week; n_users active per (cohort_week, week_offset) cell.
+    Distinct (user, week) pairs shrink in one exchange; the per-user
+    first-week join happens inside the same user-keyed buckets (no
+    second shuffle); the cell counts are calendar²-bounded, so the
+    final combine is a driver fold.  Week starts are Monday
+    (integer-day arithmetic == DuckDB date_trunc 'week')."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        week = days - (days + 3) % 7  # 1970-01-01 is a Thursday
+        return pa.table({"user_id": b.column("user_id"),
+                         "week": pa.array(week, pa.int64())})
+
+    empty = pd.DataFrame({
+        "cohort_week": pd.Series([], dtype="datetime64[us]"),
+        "week_offset": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+    # per-batch dedup only; the authoritative distinct runs inside the
+    # user-keyed bucket (a user's rows all co-locate), saving a shuffle
+    pairs = ds.map_batches(pre, batch_format="pyarrow").map_batches(
+        lambda b: b.group_by(["user_id", "week"]).aggregate([]),
+        batch_format="pyarrow")
+
+    def per_user_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "week"])
+        cw = df.groupby("user_id")["week"].transform("min").to_numpy(
+            np.int64)
+        w = df["week"].to_numpy(np.int64)
+        return pd.DataFrame({"cohort_days": cw,
+                             "week_offset": (w - cw) // 7})
+
+    cells = partial_group_agg(
+        bucketed_group_apply(pairs, "user_id", per_user_cells),
+        ["cohort_days", "week_offset"], count_alias="n_users",
+        combine="driver")
+    if cells.empty:
+        return empty
+    cells = cells.sort_values(["cohort_days", "week_offset"]).reset_index(
+        drop=True)
+    return pd.DataFrame({
+        "cohort_week": cells["cohort_days"].to_numpy(np.int64).astype(
+            "datetime64[D]").astype("datetime64[us]"),
+        "week_offset": cells["week_offset"].astype("int64"),
+        "n_users": cells["n_users"].astype("int64")})
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -6477,8 +6728,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_mad": events_anomaly_mad,
         "parts_cosupply_top_pairs": parts_cosupply_top_pairs,
         "cosupply_triangles": cosupply_triangles,
+        "supplier_bfs_hops": supplier_bfs_hops,
         "purchase_followup_counts": purchase_followup_counts,
         "users_new_cumulative": users_new_cumulative,
+        "events_rolling_dau_7d": events_rolling_dau_7d,
+        "events_cohort_matrix": events_cohort_matrix,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -7508,6 +7762,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.x = e1.y
             JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        """,
+        "supplier_bfs_hops": """
+            WITH RECURSIVE
+              ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                     FROM lineitem),
+              e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                    FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s),
+              bfs(node, dist) AS (
+                SELECT min(l_suppkey), 0 FROM lineitem
+                UNION
+                SELECT e.v, bfs.dist + 1
+                FROM bfs JOIN e ON e.u = bfs.node
+                WHERE bfs.dist < 20)
+            SELECT node AS s_suppkey, CAST(min(dist) AS BIGINT) AS hops
+            FROM bfs GROUP BY node ORDER BY node
+        """,
+        "events_rolling_dau_7d": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d
+                          FROM events)
+            SELECT d AS day,
+                   (SELECT count(DISTINCT user_id) FROM events
+                    WHERE ts >= d - INTERVAL 6 DAY
+                      AND ts < d + INTERVAL 1 DAY)::BIGINT AS dau_7d
+            FROM days ORDER BY day
+        """,
+        "events_cohort_matrix": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS w FROM events),
+                 fc AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+            SELECT cw AS cohort_week,
+                   date_diff('day', cw, w) // 7 AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM uw JOIN fc USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "purchase_followup_counts": """
             SELECT p.event_id, count(e.event_id)::BIGINT AS n_follow

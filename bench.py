@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "doc_repetition_stats",
     "nation_metrics_unpivot",
     "cosupply_triangles",
+    "supplier_bfs_hops",
+    "events_rolling_dau_7d",
+    "events_cohort_matrix",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",

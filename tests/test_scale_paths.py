@@ -25,7 +25,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "q16_supplier_variety", "q4_order_priority",
                   "orders_above_customer_avg",
                   "parts_cosupply_top_pairs", "q8_market_share",
-                  "cosupply_triangles"]
+                  "cosupply_triangles", "supplier_bfs_hops",
+                  "q9_product_profit"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
