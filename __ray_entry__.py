@@ -6548,6 +6548,203 @@ def events_cohort_matrix(sf_dir: str):
         "n_users": cells["n_users"].astype("int64")})
 
 
+def data_quality_audit(sf_dir: str):
+    """Constraint audit over the warehouse (the Deequ / dbt-test shape a
+    production pipeline runs before publishing a snapshot): FK integrity
+    against dimension tables, domain-range checks, null checks, and a
+    primary-key uniqueness check — each as a violation count.  One scan
+    per fact table computes ALL of that table's checks at once (the
+    dimension key sets fold in as broadcast membership probes); the PK
+    check reuses the gated distinct primitive.  Output: one row per
+    check.  Reference analog: the schema-default/validation behavior the
+    reference leaves implicit (SURVEY.md §1.1 'no schema validation
+    layer') made an explicit operator."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns
+
+    ckeys = pa.array(np_columns(
+        _read(sf_dir, "customer", ["c_custkey"]), ["c_custkey"])
+        ["c_custkey"].astype(np.int64), pa.int64())
+    pkeys = pa.array(np_columns(
+        _read(sf_dir, "part", ["p_partkey"]), ["p_partkey"])
+        ["p_partkey"].astype(np.int64), pa.int64())
+    skeys = pa.array(np_columns(
+        _read(sf_dir, "supplier", ["s_suppkey"]), ["s_suppkey"])
+        ["s_suppkey"].astype(np.int64), pa.int64())
+
+    def scan_sum(ds, fn, names):
+        tot = dict.fromkeys(names, 0)
+        parts = ds.map_batches(fn, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            for n in names:
+                tot[n] += int(pc.sum(b.column(n)).as_py() or 0)
+        return tot
+
+    def o_checks(b: pa.Table) -> pa.Table:
+        bad_fk = pc.sum(pc.cast(pc.invert(pc.is_in(
+            b.column("o_custkey"), value_set=ckeys)), pa.int64())).as_py()
+        bad_price = pc.sum(pc.cast(pc.less_equal(
+            b.column("o_totalprice"), pa.scalar(0.0)),
+            pa.int64())).as_py()
+        return pa.table({"orders_fk_customer": pa.array(
+            [bad_fk or 0], pa.int64()),
+            "orders_nonpositive_price": pa.array([bad_price or 0],
+                                                 pa.int64())})
+
+    def l_checks(b: pa.Table) -> pa.Table:
+        bad_p = pc.sum(pc.cast(pc.invert(pc.is_in(
+            b.column("l_partkey"), value_set=pkeys)), pa.int64())).as_py()
+        bad_s = pc.sum(pc.cast(pc.invert(pc.is_in(
+            b.column("l_suppkey"), value_set=skeys)), pa.int64())).as_py()
+        d = b.column("l_discount")
+        bad_d = pc.sum(pc.cast(pc.or_(
+            pc.less(d, pa.scalar(0.0)), pc.greater(d, pa.scalar(1.0))),
+            pa.int64())).as_py()
+        return pa.table({
+            "lineitem_fk_part": pa.array([bad_p or 0], pa.int64()),
+            "lineitem_fk_supplier": pa.array([bad_s or 0], pa.int64()),
+            "lineitem_discount_range": pa.array([bad_d or 0], pa.int64())})
+
+    def e_checks(b: pa.Table) -> pa.Table:
+        nulls = b.column("user_id").null_count
+        bad_v = pc.sum(pc.cast(pc.less(b.column("value"),
+                                       pa.scalar(0.0)), pa.int64())).as_py()
+        return pa.table({
+            "events_null_user": pa.array([nulls], pa.int64()),
+            "events_negative_value": pa.array([bad_v or 0], pa.int64())})
+
+    counts = {}
+    counts.update(scan_sum(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), o_checks,
+        ["orders_fk_customer", "orders_nonpositive_price"]))
+    counts.update(scan_sum(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_discount"]),
+        l_checks,
+        ["lineitem_fk_part", "lineitem_fk_supplier",
+         "lineitem_discount_range"]))
+    counts.update(scan_sum(
+        _read(sf_dir, "events", ["user_id", "value"]), e_checks,
+        ["events_null_user", "events_negative_value"]))
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+    dd = docs.map_batches(
+        lambda b: b.group_by(["doc_id"]).aggregate([]),
+        batch_format="pyarrow")
+    distinct = _distinct_int(dd, "doc_id")
+    n_distinct = (len(distinct) if isinstance(distinct, pd.DataFrame)
+                  else distinct.count())
+    counts["documents_dup_id"] = n_docs - n_distinct
+
+    out = pd.DataFrame({"check_name": sorted(counts),
+                        "n_violations": [counts[k] for k in sorted(counts)]})
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out
+
+
+def events_snapshot_diff(sf_dir: str):
+    """Snapshot diff / CDC classification: per-user value totals for the
+    first half of the month (snapshot A, ts < Jan 16) vs the second
+    (snapshot B), each user labeled added / removed / changed /
+    unchanged.  One scan — the two snapshots are conditional partial
+    sums over the same pass (the FULL OUTER JOIN the definition implies
+    never materializes); totals are exact cents.  Classification is a
+    vectorized per-row map over the per-user aggregate."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "status": pd.Series([], dtype="object"),
+                          "a_cents": pd.Series([], dtype="int64"),
+                          "b_cents": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    cut = np.datetime64("2024-01-16T00:00:00", "us")
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        in_a = ts < cut
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "a_cents": pa.array(np.where(in_a, cents, 0), pa.int64()),
+            "b_cents": pa.array(np.where(in_a, 0, cents), pa.int64()),
+            "a_n": pa.array(in_a.astype(np.int64), pa.int64()),
+            "b_n": pa.array((~in_a).astype(np.int64), pa.int64())})
+
+    per_user = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"],
+        sum_cols=["a_cents", "b_cents", "a_n", "b_n"])
+
+    def classify(b: pa.Table) -> pa.Table:
+        a_n = b.column("a_n").to_numpy(zero_copy_only=False)
+        b_n = b.column("b_n").to_numpy(zero_copy_only=False)
+        a_c = b.column("a_cents").to_numpy(zero_copy_only=False)
+        b_c = b.column("b_cents").to_numpy(zero_copy_only=False)
+        status = np.where(
+            a_n == 0, "added",
+            np.where(b_n == 0, "removed",
+                     np.where(a_c != b_c, "changed", "unchanged")))
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "a_cents": pc.cast(b.column("a_cents"), pa.int64()),
+            "b_cents": pc.cast(b.column("b_cents"), pa.int64())})
+
+    return _det_sort(per_user.map_batches(classify, batch_format="pyarrow"),
+                     ["user_id"])
+
+
+def docs_lang_source_chi2(sf_dir: str):
+    """Contingency-table independence analysis (lang × source): observed
+    count, expected count under independence, and the chi-square
+    contribution per cell.  The grid is dimension²-bounded, so one
+    partial-aggregate scan feeds a driver fold; marginals come from the
+    same partials.  Expected/contribution are per-cell arithmetic over
+    identical integer operands on both sides (no cross-cell float
+    summation), so round-6 matches the oracle bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    cells = partial_group_agg(
+        ds.map_batches(lambda b: b.select(["lang", "source"]),
+                       batch_format="pyarrow"),
+        ["lang", "source"], count_alias="observed", combine="driver")
+    if cells.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "source": pd.Series([], dtype="object"),
+                             "observed": pd.Series([], dtype="int64"),
+                             "expected": pd.Series([], dtype="float64"),
+                             "contrib": pd.Series([], dtype="float64")})
+    n = int(cells["observed"].sum())
+    row_tot = cells.groupby("lang")["observed"].transform("sum").to_numpy(
+        np.int64)
+    col_tot = cells.groupby("source")["observed"].transform("sum").to_numpy(
+        np.int64)
+    o = cells["observed"].to_numpy(np.int64)
+    # double-first product: rt·ct overflows int64 at 100 TB marginals
+    expected = row_tot.astype(np.float64) * col_tot / n
+    contrib = (o - expected) ** 2 / expected
+    out = pd.DataFrame({
+        "lang": cells["lang"], "source": cells["source"],
+        "observed": o,
+        "expected": np.floor(expected * 1e6 + 0.5) / 1e6,
+        "contrib": np.floor(contrib * 1e6 + 0.5) / 1e6})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -6733,6 +6930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_new_cumulative": users_new_cumulative,
         "events_rolling_dau_7d": events_rolling_dau_7d,
         "events_cohort_matrix": events_cohort_matrix,
+        "events_snapshot_diff": events_snapshot_diff,
+        "data_quality_audit": data_quality_audit,
+        "docs_lang_source_chi2": docs_lang_source_chi2,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -7796,6 +7996,68 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM uw JOIN fc USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "data_quality_audit": """
+            SELECT * FROM (
+              SELECT 'documents_dup_id' AS check_name,
+                     (SELECT (count(*) - count(DISTINCT doc_id))::BIGINT
+                      FROM documents) AS n_violations
+              UNION ALL SELECT 'events_negative_value',
+                     (SELECT count(*)::BIGINT FROM events WHERE value < 0)
+              UNION ALL SELECT 'events_null_user',
+                     (SELECT count(*)::BIGINT FROM events
+                      WHERE user_id IS NULL)
+              UNION ALL SELECT 'lineitem_discount_range',
+                     (SELECT count(*)::BIGINT FROM lineitem
+                      WHERE l_discount < 0 OR l_discount > 1)
+              UNION ALL SELECT 'lineitem_fk_part',
+                     (SELECT count(*)::BIGINT FROM lineitem
+                      WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+              UNION ALL SELECT 'lineitem_fk_supplier',
+                     (SELECT count(*)::BIGINT FROM lineitem
+                      WHERE l_suppkey NOT IN
+                            (SELECT s_suppkey FROM supplier))
+              UNION ALL SELECT 'orders_fk_customer',
+                     (SELECT count(*)::BIGINT FROM orders
+                      WHERE o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+              UNION ALL SELECT 'orders_nonpositive_price',
+                     (SELECT count(*)::BIGINT FROM orders
+                      WHERE o_totalprice <= 0)
+            ) ORDER BY check_name
+        """,
+        "events_snapshot_diff": """
+            WITH a AS (SELECT user_id,
+                              sum(CAST(round(value*100) AS BIGINT)) AS c
+                       FROM events WHERE ts < TIMESTAMP '2024-01-16'
+                       GROUP BY 1),
+                 b AS (SELECT user_id,
+                              sum(CAST(round(value*100) AS BIGINT)) AS c
+                       FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+                       GROUP BY 1)
+            SELECT COALESCE(a.user_id, b.user_id)::BIGINT AS user_id,
+                   CASE WHEN a.user_id IS NULL THEN 'added'
+                        WHEN b.user_id IS NULL THEN 'removed'
+                        WHEN a.c <> b.c THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   COALESCE(a.c, 0)::BIGINT AS a_cents,
+                   COALESCE(b.c, 0)::BIGINT AS b_cents
+            FROM a FULL JOIN b ON a.user_id = b.user_id
+            ORDER BY user_id
+        """,
+        "docs_lang_source_chi2": """
+            WITH cells AS (SELECT lang, source, count(*)::BIGINT AS o
+                           FROM documents GROUP BY 1, 2),
+                 m AS (SELECT lang, source, o,
+                              sum(o) OVER (PARTITION BY lang) AS rt,
+                              sum(o) OVER (PARTITION BY source) AS ct,
+                              sum(o) OVER () AS n
+                       FROM cells)
+            SELECT lang, source, o AS observed,
+                   round((1.0*rt)*ct/n, 6) AS expected,
+                   round((o - (1.0*rt)*ct/n) * (o - (1.0*rt)*ct/n)
+                         / ((1.0*rt)*ct/n), 6) AS contrib
+            FROM m ORDER BY lang, source
         """,
         "purchase_followup_counts": """
             SELECT p.event_id, count(e.event_id)::BIGINT AS n_follow

@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "supplier_bfs_hops",
     "events_rolling_dau_7d",
     "events_cohort_matrix",
+    "events_snapshot_diff",
+    "data_quality_audit",
+    "docs_lang_source_chi2",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
