@@ -6745,6 +6745,148 @@ def docs_lang_source_chi2(sf_dir: str):
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def token_postings(sf_dir: str):
+    """Inverted-index build with posting-list capping: token → full
+    document frequency + the first 10 doc_ids (sorted) — the
+    alias→candidate-docs dictionary shape of the reference's
+    EntityDatabase (entity_database.py:264-274) as dataflow, with the
+    truncation a real index applies to the Zipf head so no posting
+    string is ever unbounded.  Per-batch partials pre-cap too (a
+    batch's 10 smallest ids are a superset of the global 10 smallest
+    present in that batch), so the token-keyed exchange moves ≤10 ids
+    + one count per (batch, token), not the raw postings.  Postings
+    serialize comma-joined (order-stable compare, same convention as
+    part_brand_sets)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"token": pd.Series([], dtype="object"),
+                          "df_docs": pd.Series([], dtype="int64"),
+                          "postings": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks, out_ids = [], []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            uniq = set(t.split(" "))
+            toks.extend(uniq)
+            out_ids.extend([ids[i]] * len(uniq))
+        df = pd.DataFrame({"token": toks, "doc_id": out_ids})
+        # batch-level cap: distinct count partial + 10 smallest ids
+        df = df.sort_values(["token", "doc_id"])
+        cnt = df.groupby("token")["doc_id"].transform("size")
+        rn = df.groupby("token").cumcount()
+        head = df[rn < 10]
+        part = pd.concat([head.assign(df_docs=0),
+                          df[rn == 0].assign(doc_id=-1, df_docs=cnt[rn == 0])])
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def per_token(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (df[df["doc_id"] < 0].groupby("token")["df_docs"].sum()
+                  .astype(np.int64))
+        ids = df[df["doc_id"] >= 0].sort_values(["token", "doc_id"])
+        rn = ids.groupby("token").cumcount()
+        ids = ids[rn < 10]
+        posting = ids.groupby("token")["doc_id"].agg(
+            lambda s: ",".join(map(str, s)))
+        out = pd.DataFrame({"token": counts.index,
+                            "df_docs": counts.to_numpy(np.int64),
+                            "postings": posting.reindex(
+                                counts.index).to_numpy(object)})
+        return out
+
+    return _det_sort(as_arrow(bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "token", per_token)), ["token"])
+
+
+def events_value_winsorized(sf_dir: str):
+    """Winsorization (quantile capping): every event's value clipped to
+    its type's exact [p05, p95] percentile_disc band — the row-level
+    transform-by-quantile companion to events_trimmed_mean.  Thresholds
+    come from the exact two-phase cents-domain histogram quantile
+    (stages/quantiles.py, no sort); the clip itself is a broadcast map.
+    Cents arithmetic end-to-end, so the oracle matches bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "event_type": pd.Series([], dtype="object"),
+                          "value_w": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "c": pa.array(np.floor(v * 100 + 0.5)
+                                       .astype(np.int64))})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    q = grouped_quantiles(cds, "c", (0.05, 0.95),
+                          group_cols=["event_type"]).to_pandas()
+    lo = {r["event_type"]: int(r["c"]) for _, r in q.iterrows()
+          if r["q"] == 0.05}
+    hi = {r["event_type"]: int(r["c"]) for _, r in q.iterrows()
+          if r["q"] == 0.95}
+
+    def clip(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        lov = np.array([lo[x] for x in t.tolist()], np.int64)
+        hiv = np.array([hi[x] for x in t.tolist()], np.int64)
+        w = np.minimum(np.maximum(c, lov), hiv)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value_w": pa.array(w / 100.0, pa.float64())})
+
+    return _det_sort(cds.map_batches(clip, batch_format="pyarrow"),
+                     ["event_id"])
+
+
+def embedding_pca_top(sf_dir: str):
+    """Distributed PCA, first principal component: mergeable
+    second-moment partials (n, Σx, XᵀX per batch — one BLAS matmul
+    each, d²-bounded) fold on the driver into the population covariance;
+    the d×d eigensolve runs on the driver (np.linalg.eigh, fixed sign
+    convention) — the distributed work is building the matrix.
+    The d² accumulator is the only state — rows stream through once.
+    Output: per-dimension mean and component loading (sign convention:
+    largest-|loading| coordinate positive).  Rows-only for the driver
+    (float reduction order is not SQL-reproducible); the numpy
+    differential gate lives in tests/test_pca.py."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.knn import covariance_moments, top_eigenpair
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, s, ss = covariance_moments(ds, "embedding")
+    if n == 0:
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "mean": pd.Series([], dtype="float64"),
+                             "pc1": pd.Series([], dtype="float64"),
+                             "eigenvalue": pd.Series([], dtype="float64")})
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    val, vec = top_eigenpair(cov)
+    return pd.DataFrame({
+        "dim": np.arange(1, len(mean) + 1, dtype=np.int64),
+        "mean": np.round(mean, 6),
+        "pc1": np.round(vec, 6),
+        "eigenvalue": np.full(len(mean), round(float(val), 6))})
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -6933,6 +7075,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_snapshot_diff": events_snapshot_diff,
         "data_quality_audit": data_quality_audit,
         "docs_lang_source_chi2": docs_lang_source_chi2,
+        "events_value_winsorized": events_value_winsorized,
+        "token_postings": token_postings,
+        "embedding_pca_top": embedding_pca_top,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -8044,6 +8189,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.c, 0)::BIGINT AS b_cents
             FROM a FULL JOIN b ON a.user_id = b.user_id
             ORDER BY user_id
+        """,
+        "token_postings": """
+            WITH td AS (SELECT DISTINCT doc_id,
+                               unnest(string_split(text, ' ')) AS token
+                        FROM documents),
+                 r AS (SELECT token, doc_id,
+                              row_number() OVER (PARTITION BY token
+                                                 ORDER BY doc_id) AS rn,
+                              count(*) OVER (PARTITION BY token) AS df
+                       FROM td)
+            SELECT token, CAST(max(df) AS BIGINT) AS df_docs,
+                   string_agg(CASE WHEN rn <= 10 THEN doc_id END, ','
+                              ORDER BY doc_id) AS postings
+            FROM r GROUP BY token ORDER BY token
+        """,
+        "events_value_winsorized": """
+            WITH q AS (SELECT event_type,
+                              percentile_disc(0.05) WITHIN GROUP
+                                (ORDER BY CAST(round(value*100) AS BIGINT))
+                                AS lo,
+                              percentile_disc(0.95) WITHIN GROUP
+                                (ORDER BY CAST(round(value*100) AS BIGINT))
+                                AS hi
+                       FROM events GROUP BY 1)
+            SELECT event_id, e.event_type,
+                   LEAST(GREATEST(CAST(round(value*100) AS BIGINT), lo),
+                         hi) / 100.0 AS value_w
+            FROM events e JOIN q USING (event_type)
+            ORDER BY event_id
         """,
         "docs_lang_source_chi2": """
             WITH cells AS (SELECT lang, source, count(*)::BIGINT AS o

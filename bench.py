@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "events_snapshot_diff",
     "data_quality_audit",
     "docs_lang_source_chi2",
+    "token_postings",
+    "events_value_winsorized",
+    "embedding_pca_top",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",

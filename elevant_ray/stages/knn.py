@@ -350,3 +350,62 @@ def lloyd_kmeans(embeddings, k: int = 8, iters: int = 4,
             "cluster": pa.array(cc[d2.argmin(axis=1)], pa.int64())})
 
     return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def covariance_moments(ds, col: str):
+    """Mergeable second-moment partials for distributed covariance /
+    PCA: one streaming pass emitting per-batch (n, Σx, XᵀX) — each
+    batch one BLAS syrk-shaped matmul, d²-bounded state — folded on the
+    driver.  Returns ``(n, sum_vec, sum_outer)`` as Python int /
+    float64 ndarrays; ``n == 0`` for empty input."""
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_list(pa.float64())),
+                             "ss": pa.array([], pa.large_list(pa.float64()))})
+        c = b.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        dim = len(c[0])
+        X = (c.flatten().to_numpy(zero_copy_only=False)
+             .astype(np.float64).reshape(len(b), dim))
+        return pa.table({
+            "n": pa.array([len(b)], pa.int64()),
+            "d": pa.array([dim], pa.int64()),
+            "s": pa.array([X.sum(axis=0)], pa.large_list(pa.float64())),
+            "ss": pa.array([(X.T @ X).ravel()],
+                           pa.large_list(pa.float64()))})
+
+    n, s, ss, dim = 0, None, None, None
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for i in range(b.num_rows):
+            bn = b.column("n")[i].as_py()
+            bd = b.column("d")[i].as_py()
+            bs = np.asarray(b.column("s")[i].as_py(), np.float64)
+            bss = np.asarray(b.column("ss")[i].as_py(), np.float64)
+            if s is None:
+                dim, s, ss = bd, np.zeros(bd), np.zeros(bd * bd)
+            n += bn
+            s += bs
+            ss += bss
+    if n == 0:
+        return 0, None, None
+    return n, s, ss.reshape(dim, dim)
+
+
+def top_eigenpair(m: np.ndarray):
+    """Dominant eigenpair of the (small, driver-side) symmetric
+    covariance matrix via ``np.linalg.eigh`` — deterministic for a
+    given matrix; the distributed work is producing the matrix
+    (covariance_moments), not solving it.  Sign convention: the
+    largest-|loading| coordinate is positive (first such index on
+    ties), so the loading vector is reproducible.  Returns
+    ``(eigenvalue, eigenvector)``."""
+    w, v = np.linalg.eigh(m)
+    vec = v[:, -1]
+    i = int(np.argmax(np.abs(vec)))
+    if vec[i] < 0:
+        vec = -vec
+    return float(w[-1]), vec
