@@ -6240,15 +6240,37 @@ def cosupply_triangles(sf_dir: str):
         return ((pairs[i] & mask) << 21) + (pairs[j] & mask)
 
     if eds.size_bytes() <= scale_cutoff(256 << 20):
-        pairs = supplier_pairs(np_columns(eds, ["comp"])["comp"]
-                               .astype(np.int64))
-        wedges = wedge_codes(pairs)
-        if len(wedges) == 0:
-            tri = 0
+        comp = np.unique(np_columns(eds, ["comp"])["comp"].astype(np.int64))
+        supp = comp & mask
+        nodes = np.unique(supp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        if len(nodes) <= 4096 and len(starts) <= 200_000:
+            # dense-graph shortcut: near-complete co-supply graphs make
+            # the wedge list Θ(n³) (150 s at 1000 nodes) and even the
+            # flat pair list costs seconds of memory bandwidth — mark
+            # the adjacency directly per part (no pair materialization)
+            # and count triangles as Σ(A²∘A)/6 via one BLAS matmul,
+            # exact in float64 (counts ≤ n < 2^53)
+            scode = np.searchsorted(nodes, supp)
+            A = np.zeros((len(nodes), len(nodes)), np.float64)
+            for st, sz in zip(starts.tolist(), sizes.tolist()):
+                if sz >= 2:
+                    s = scode[st:st + sz]
+                    A[np.ix_(s, s)] = 1.0
+            np.fill_diagonal(A, 0.0)
+            tri = int(round(((A @ A) * A).sum() / 6.0))
         else:
-            idx = np.minimum(np.searchsorted(pairs, wedges),
-                             len(pairs) - 1)
-            tri = int(np.count_nonzero(pairs[idx] == wedges))
+            pairs = supplier_pairs(comp)
+            wedges = wedge_codes(pairs)
+            if len(wedges) == 0:
+                tri = 0
+            else:
+                idx = np.minimum(np.searchsorted(pairs, wedges),
+                                 len(pairs) - 1)
+                tri = int(np.count_nonzero(pairs[idx] == wedges))
         return pd.DataFrame({"n_triangles": pd.array([tri], dtype="int64")})
 
     # scale path: per-part pair partials → distributed distinct pair
@@ -6887,6 +6909,162 @@ def embedding_pca_top(sf_dir: str):
         "eigenvalue": np.full(len(mean), round(float(val), 6))})
 
 
+def lang_top_tokens(sf_dir: str):
+    """Top-3 tokens per language by occurrence count — the two-level
+    plan (high-cardinality count aggregate, then per-group ranked head)
+    every corpus-vocabulary report runs.  The (lang, token) counts
+    combine distributed; per-batch top-3-per-lang partials are
+    superset-safe (a batch rank can only understate the global rank —
+    same argument as orders_top_price_rank), so only ≤ 3·langs rows per
+    block reach the driver for the exact final rank.  Deterministic tie
+    break: count desc, token asc."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                          "token": pd.Series([], dtype="object"),
+                          "cnt": pd.Series([], dtype="int64"),
+                          "rnk": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def explode(b: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        lcol = b.column("lang").to_pylist()
+        for i, t in enumerate(b.column("text").to_pylist()):
+            parts = t.split(" ")
+            toks.extend(parts)
+            langs.extend([lcol[i]] * len(parts))
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    counts = partial_group_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["lang", "token"], count_alias="cnt")
+
+    def top3_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        df = b.to_pandas()
+        df = df.sort_values(["lang", "cnt", "token"],
+                            ascending=[True, False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df[df.groupby("lang").cumcount() < 3], preserve_index=False)
+
+    head = pd.concat(
+        [b.to_pandas() for b in counts
+         .map_batches(top3_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        ignore_index=True)
+    if head.empty:
+        return empty
+    head = head.sort_values(["lang", "cnt", "token"],
+                            ascending=[True, False, True], kind="stable")
+    head["rnk"] = head.groupby("lang").cumcount() + 1
+    out = head[head["rnk"] <= 3].reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    out["rnk"] = out["rnk"].astype("int64")
+    return out[["lang", "token", "cnt", "rnk"]]
+
+
+def activity_feed_daily(sf_dir: str):
+    """Heterogeneous activity feed: events and orders harmonized to one
+    (ts, kind, amount) schema with ``Dataset.union`` (lazy concat, no
+    shuffle), then a daily per-kind count/sum rollup.  The reference
+    loops benchmarks one at a time (link_benchmark.py:48-50); the
+    engine's union makes multi-source processing one dataflow.  Amounts
+    are exact cents."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    od = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def ev_pre(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        kinds = ["event_" + t for t in b.column("event_type").to_pylist()]
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "amt": pa.array(cents, pa.int64())})
+
+    def od_pre(b: pa.Table) -> pa.Table:
+        days = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "kind": pa.array(["order"] * len(days),
+                                          pa.string()),
+                         "amt": pa.array(cents, pa.int64())})
+
+    feed = ev.map_batches(ev_pre, batch_format="pyarrow").union(
+        od.map_batches(od_pre, batch_format="pyarrow"))
+    agg = partial_group_agg(feed, ["day", "kind"], sum_cols=["amt"],
+                            count_alias="n", combine="driver")
+    if agg.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "kind": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "amt_cents": pd.Series([], dtype="int64")})
+    agg = agg.sort_values(["day", "kind"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "day": agg["day"].to_numpy(np.int64).astype(
+            "datetime64[D]").astype("datetime64[us]"),
+        "kind": agg["kind"],
+        "n": agg["n"].astype("int64"),
+        "amt_cents": agg["amt"].astype("int64")})
+
+
+def user_type_breadth_histogram(sf_dir: str):
+    """Distribution of per-user engagement breadth: how many users have
+    exactly k distinct event types — a COUNT(DISTINCT) nested inside a
+    distribution-of-counts (the Q13 shape over a distinct aggregate).
+    One user-keyed exchange; each bucket dedups its co-located
+    (user, type) pairs and emits its own (k, n_users) histogram
+    partial, so the driver fold sees ≤ types·buckets rows."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    empty = pd.DataFrame({"n_types": pd.Series([], dtype="int64"),
+                          "n_users": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    dd = ds.map_batches(
+        lambda b: b.group_by(["user_id", "event_type"]).aggregate([]),
+        batch_format="pyarrow")
+
+    def per_bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        k = df.groupby("user_id")["event_type"].size()
+        vc = k.value_counts().sort_index()
+        return pd.DataFrame({"n_types": vc.index.to_numpy(np.int64),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    agg = partial_group_agg(
+        bucketed_group_apply(dd, "user_id", per_bucket_hist),
+        ["n_types"], sum_cols=["n_users"], combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("n_types").reset_index(drop=True)
+    return pd.DataFrame({"n_types": agg["n_types"].astype("int64"),
+                         "n_users": agg["n_users"].astype("int64")})
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -7078,6 +7256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": events_value_winsorized,
         "token_postings": token_postings,
         "embedding_pca_top": embedding_pca_top,
+        "lang_top_tokens": lang_top_tokens,
+        "activity_feed_daily": activity_feed_daily,
+        "user_type_breadth_histogram": user_type_breadth_histogram,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -8203,6 +8384,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN rn <= 10 THEN doc_id END, ','
                               ORDER BY doc_id) AS postings
             FROM r GROUP BY token ORDER BY token
+        """,
+        "lang_top_tokens": """
+            WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+                 cc AS (SELECT lang, token, count(*)::BIGINT AS cnt
+                        FROM c GROUP BY 1, 2),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, token) AS rn
+                       FROM cc)
+            SELECT lang, token, cnt, rn::BIGINT AS rnk
+            FROM r WHERE rn <= 3 ORDER BY lang, rnk
+        """,
+        "activity_feed_daily": """
+            WITH feed AS (
+              SELECT ts AS t, 'event_' || event_type AS kind,
+                     CAST(round(value*100) AS BIGINT) AS amt FROM events
+              UNION ALL
+              SELECT o_orderdate, 'order',
+                     CAST(round(o_totalprice*100) AS BIGINT) FROM orders)
+            SELECT date_trunc('day', t) AS day, kind,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(amt) AS BIGINT) AS amt_cents
+            FROM feed GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_type_breadth_histogram": """
+            WITH b AS (SELECT user_id,
+                              count(DISTINCT event_type) AS k
+                       FROM events GROUP BY 1)
+            SELECT k::BIGINT AS n_types, count(*)::BIGINT AS n_users
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "events_value_winsorized": """
             WITH q AS (SELECT event_type,

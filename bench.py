@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "token_postings",
     "events_value_winsorized",
     "embedding_pca_top",
+    "lang_top_tokens",
+    "activity_feed_daily",
+    "user_type_breadth_histogram",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
