@@ -7065,6 +7065,240 @@ def user_type_breadth_histogram(sf_dir: str):
                          "n_users": agg["n_users"].astype("int64")})
 
 
+def supplier_degree_histogram(sf_dir: str):
+    """Degree distribution of the supplier co-supply graph: how many
+    suppliers have exactly k distinct co-suppliers.  Completes the
+    graph-statistics family (triangles, PageRank, CC, BFS) with the
+    standard first diagnostic.  Driver path under the cutoff: per-part
+    adjacency marking into the dimension-bounded dense matrix (same
+    trick as cosupply_triangles — no pair materialization), degrees =
+    row sums; beyond it the distinct-pair dataset feeds per-bucket
+    degree partials.  Oracle: distinct-pair CTE + two GROUP BYs."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         np_columns, scale_cutoff,
+                                         within_group_pairs)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    empty = pd.DataFrame({"degree": pd.Series([], dtype="int64"),
+                          "n_suppliers": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+
+    mask = np.int64((1 << 21) - 1)
+
+    def ps_edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
+
+    def hist_frame(degrees: np.ndarray) -> pd.DataFrame:
+        vals, cnts = np.unique(degrees, return_counts=True)
+        return pd.DataFrame({"degree": vals.astype("int64"),
+                             "n_suppliers": cnts.astype("int64")})
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        comp = np.unique(np_columns(eds, ["comp"])["comp"].astype(np.int64))
+        supp = comp & mask
+        nodes = np.unique(supp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        if len(nodes) <= 4096 and len(starts) <= 200_000:
+            scode = np.searchsorted(nodes, supp)
+            A = np.zeros((len(nodes), len(nodes)), np.bool_)
+            for st, sz in zip(starts.tolist(), sizes.tolist()):
+                if sz >= 2:
+                    s = scode[st:st + sz]
+                    A[np.ix_(s, s)] = True
+            np.fill_diagonal(A, False)
+            deg = A.sum(axis=1).astype(np.int64)
+            deg = deg[deg > 0]  # isolated suppliers have no edge rows
+        else:
+            i, j = within_group_pairs(starts, sizes)
+            pairs = np.unique(((comp[i] & mask) << 21)
+                              + (comp[j] & mask))
+            both = np.concatenate([pairs >> 21, pairs & mask])
+            nodes2, deg = np.unique(both, return_counts=True)
+            deg = deg.astype(np.int64)
+        return hist_frame(deg)
+
+    # scale path: distinct pair set, per-bucket degree partials on the
+    # lower endpoint + mirrored upper endpoint, histogram driver fold
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        comp = np.unique(df["comp"].to_numpy(np.int64))
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        i, j = within_group_pairs(starts, sizes)
+        pairs = np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+        return pd.DataFrame({"pair": pairs})
+
+    pair_ds = as_arrow(_distinct_int(
+        as_arrow(bucketed_group_apply(eds, "part", bucket_pairs)),
+        "pair", cutoff=0))
+
+    def explode_ends(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        p = b.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.concatenate([p >> 21, p & mask]), pa.int64())})
+
+    def bucket_deg(df: pd.DataFrame) -> pd.DataFrame:
+        _, deg = np.unique(df["node"].to_numpy(np.int64),
+                           return_counts=True)
+        return hist_frame(deg.astype(np.int64))
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(
+        bucketed_group_apply(
+            pair_ds.map_batches(explode_ends, batch_format="pyarrow"),
+            "node", bucket_deg),
+        ["degree"], sum_cols=["n_suppliers"], combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("degree").reset_index(drop=True)
+    return pd.DataFrame({"degree": agg["degree"].astype("int64"),
+                         "n_suppliers": agg["n_suppliers"].astype("int64")})
+
+
+def events_time_rollup(sf_dir: str):
+    """Multi-granular time rollup: event counts and exact cents sums at
+    hour, day, and week grain in long form — ONE scan.  The hour-grain
+    partial aggregate is calendar-bounded, so the day and week levels
+    re-aggregate it on the driver instead of re-scanning the fact table
+    (the nation_region_rollup discipline applied to the time
+    dimension).  Week starts Monday (integer-day arithmetic ==
+    date_trunc 'week')."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"grain": pd.Series([], dtype="object"),
+                          "bucket": pd.Series([], dtype="datetime64[us]"),
+                          "n": pd.Series([], dtype="int64"),
+                          "amt_cents": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        hour = us // 3_600_000_000
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"hour": pa.array(hour, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    fine = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["hour"], sum_cols=["cents"],
+                             count_alias="n", combine="driver")
+    if fine.empty:
+        return empty
+    h = fine["hour"].to_numpy(np.int64)
+    day = h // 24
+    week = day - (day + 3) % 7  # 1970-01-01 is a Thursday
+
+    def level(keys: np.ndarray, grain: str, to_us):
+        df = pd.DataFrame({"k": keys, "n": fine["n"].to_numpy(np.int64),
+                           "c": fine["cents"].to_numpy(np.int64)})
+        g = df.groupby("k", as_index=False).sum().sort_values("k")
+        return pd.DataFrame({
+            "grain": grain,
+            "bucket": to_us(g["k"].to_numpy(np.int64)),
+            "n": g["n"].astype("int64"),
+            "amt_cents": g["c"].astype("int64")})
+
+    out = pd.concat([
+        level(h, "hour", lambda k: (k * 3_600_000_000).astype(
+            "datetime64[us]")),
+        level(day, "day", lambda k: k.astype("datetime64[D]").astype(
+            "datetime64[us]")),
+        level(week, "week", lambda k: k.astype("datetime64[D]").astype(
+            "datetime64[us]")),
+    ], ignore_index=True)
+    return out.sort_values(["grain", "bucket"]).reset_index(drop=True)
+
+
+def user_time_weighted_value(sf_dir: str):
+    """Time-weighted average value per user (each event's value held
+    until the next event): Σ value·duration / Σ duration over
+    consecutive-event intervals — the sensor/price-feed aggregate
+    row-at-a-time engines do with window lag.  One user-keyed exchange;
+    inside each bucket the lead/duration arithmetic is a vectorized
+    shift over (user, ts, id)-sorted rows.  Numerator and denominator
+    are exact int64 (cents × milliseconds), so the one double division
+    matches the oracle bit-for-bit.  Users with a single event (no
+    interval) are excluded, as in the SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "twa_value": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        # a user's rows are complete within this bucket, so the kernel
+        # reduces straight to per-user sums — no second exchange
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        us = df["us"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        same = np.concatenate([uid[1:] == uid[:-1], [False]])
+        dur_ms = np.where(
+            same, np.concatenate([(us[1:] - us[:-1]), [0]]) // 1000, 0)
+        out = pd.DataFrame({"user_id": uid,
+                            "num": c * dur_ms, "den": dur_ms})
+        return out.groupby("user_id", as_index=False).sum()
+
+    agg = bucketed_group_apply(
+        ds.map_batches(pre, batch_format="pyarrow"), "user_id", per_user)
+    from elevant_ray.stages.util import as_arrow
+    agg = as_arrow(agg)
+
+    def finish(b: pa.Table) -> pa.Table:
+        den = b.column("den").to_numpy(zero_copy_only=False)
+        keep = den > 0
+        num = b.column("num").to_numpy(zero_copy_only=False)[keep]
+        den = den[keep]
+        uid = pc.cast(b.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        twa = num.astype(np.float64) / den.astype(np.float64) / 100.0
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "twa_value": pa.array(
+                             np.floor(twa * 1e6 + 0.5) / 1e6,
+                             pa.float64())})
+
+    return _det_sort(agg.map_batches(finish, batch_format="pyarrow"),
+                     ["user_id"])
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -7259,6 +7493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_tokens": lang_top_tokens,
         "activity_feed_daily": activity_feed_daily,
         "user_type_breadth_histogram": user_type_breadth_histogram,
+        "supplier_degree_histogram": supplier_degree_histogram,
+        "events_time_rollup": events_time_rollup,
+        "user_time_weighted_value": user_time_weighted_value,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -8384,6 +8621,44 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN rn <= 10 THEN doc_id END, ','
                               ORDER BY doc_id) AS postings
             FROM r GROUP BY token ORDER BY token
+        """,
+        "supplier_degree_histogram": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                       FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s),
+                 d AS (SELECT u, count(*) AS deg FROM e GROUP BY 1)
+            SELECT deg::BIGINT AS degree, count(*)::BIGINT AS n_suppliers
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "events_time_rollup": """
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                     AS amt_cents
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), count(*)::BIGINT,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'week', date_trunc('week', ts), count(*)::BIGINT,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+            FROM events GROUP BY 2
+            ORDER BY grain, bucket
+        """,
+        "user_time_weighted_value": """
+            WITH w AS (SELECT user_id,
+                              CAST(round(value*100) AS BIGINT) AS c,
+                              (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                               - epoch_us(ts)) // 1000 AS dur
+                       FROM events)
+            SELECT user_id::BIGINT AS user_id,
+                   round((1.0 * sum(c*dur) / sum(dur)) / 100, 6)
+                     AS twa_value
+            FROM w WHERE dur IS NOT NULL
+            GROUP BY 1 HAVING sum(dur) > 0 ORDER BY 1
         """,
         "lang_top_tokens": """
             WITH c AS (SELECT lang, unnest(string_split(text, ' ')) AS token

@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "lang_top_tokens",
     "activity_feed_daily",
     "user_type_breadth_histogram",
+    "supplier_degree_histogram",
+    "events_time_rollup",
+    "user_time_weighted_value",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
