@@ -2909,8 +2909,14 @@ _REV_C_SQL = ("CAST(round(l_extendedprice*100) AS BIGINT)"
 
 
 def _c2d_sql(expr: str) -> str:
-    return (f"(({expr}) // 100 + CASE WHEN ({expr}) % 100 >= 50"
-            f" THEN 1 ELSE 0 END) / 100.0")
+    # floor-division + non-negative-remainder form: DuckDB's // and %
+    # truncate toward zero for negative dividends, while the engine's
+    # np.divmod floors — the ((x % 100) + 100) % 100 remainder makes
+    # the SQL side floor-consistent, so negative sums (q9 profit) round
+    # identically on both sides; identical to the plain form for x ≥ 0
+    m = f"((({expr}) % 100) + 100) % 100"
+    return (f"((({expr}) - {m}) // 100"
+            f" + CASE WHEN {m} >= 50 THEN 1 ELSE 0 END) / 100.0")
 
 
 def q7_trade_volume(sf_dir: str):
@@ -3544,17 +3550,42 @@ def q20_promotion_suppliers(sf_dir: str):
                          "l_suppkey": b.column("l_suppkey"),
                          "qty": pa.array(qty, pa.int64())})
 
-    ps = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
-                           ["l_partkey", "l_suppkey"], sum_cols=["qty"],
-                           combine="driver")
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         scale_cutoff)
+
+    # (part, supplier) is a fact-scaled key set — the combined partials
+    # only stream to the driver under the cutoff; beyond it the >half
+    # test runs inside part-keyed buckets and only the winning supplier
+    # keys (dimension-bounded) reach the driver
+    ps_ds = partial_group_agg(
+        line.map_batches(pre, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], sum_cols=["qty"],
+        combine="dataset").materialize()
     empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
                           "s_name": pd.Series([], dtype="object")})
-    if ps.empty:
-        return empty
-    totals = ps.groupby("l_partkey")["qty"].transform("sum")
-    winners = np.unique(
-        ps.loc[ps["qty"].to_numpy(np.int64) * 2
-               > totals.to_numpy(np.int64), "l_suppkey"].to_numpy(np.int64))
+    if ps_ds.size_bytes() <= scale_cutoff(256 << 20):
+        ps = ps_ds.to_pandas()
+        if ps.empty:
+            return empty
+        totals = ps.groupby("l_partkey")["qty"].transform("sum")
+        win_rows = ps.loc[ps["qty"].to_numpy(np.int64) * 2
+                          > totals.to_numpy(np.int64), "l_suppkey"]
+        winners = np.unique(win_rows.to_numpy(np.int64))
+    else:
+        def bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+            t = df.groupby("l_partkey")["qty"].transform("sum")
+            w = df.loc[df["qty"].to_numpy(np.int64) * 2
+                       > t.to_numpy(np.int64), "l_suppkey"]
+            return pd.DataFrame(
+                {"l_suppkey": np.unique(w.to_numpy(np.int64))})
+
+        wds = as_arrow(bucketed_group_apply(ps_ds, "l_partkey",
+                                            bucket_winners))
+        chunks = [b.column("l_suppkey").to_numpy(zero_copy_only=False)
+                  for b in wds.iter_batches(batch_format="pyarrow")
+                  if b.num_rows > 0 and "l_suppkey" in b.column_names]
+        winners = np.unique(np.concatenate(
+            chunks or [np.array([], np.int64)]).astype(np.int64))
     if winners.size == 0:
         return empty
     keys = pa.array(winners, pa.int64())
@@ -6198,6 +6229,9 @@ def cosupply_triangles(sf_dir: str):
     import numpy as np
     import pandas as pd
 
+    from elevant_ray.stages.graph import (bipartite_codes_batch,
+                                          cooccurrence_pairs,
+                                          dense_cooccurrence_adjacency)
     from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
                                          cogroup_join, np_columns,
                                          partial_group_agg, scale_cutoff,
@@ -6210,24 +6244,11 @@ def cosupply_triangles(sf_dir: str):
     mask = np.int64((1 << 21) - 1)
 
     def ps_edges(b: pa.Table) -> pa.Table:
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        comp = np.unique((pk << 21) + sk)
-        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
-                         "comp": pa.array(comp, pa.int64())})
+        return bipartite_codes_batch(b, "l_partkey", "l_suppkey")
 
     eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
 
-    def supplier_pairs(comp: np.ndarray) -> np.ndarray:
-        # comp = sorted distinct (part<<21|supp) codes → unique
-        # (s1<<21|s2) supplier-pair codes, s1 < s2
-        comp = np.unique(comp)
-        part = comp >> 21
-        starts = np.flatnonzero(
-            np.concatenate([[True], part[1:] != part[:-1]]))
-        sizes = np.diff(np.append(starts, len(part)))
-        i, j = within_group_pairs(starts, sizes)
-        return np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+    supplier_pairs = cooccurrence_pairs
 
     def wedge_codes(pairs: np.ndarray):
         # pairs sorted unique (x<<21|y), x<y ⇒ grouped by x with y
@@ -6241,26 +6262,16 @@ def cosupply_triangles(sf_dir: str):
 
     if eds.size_bytes() <= scale_cutoff(256 << 20):
         comp = np.unique(np_columns(eds, ["comp"])["comp"].astype(np.int64))
-        supp = comp & mask
-        nodes = np.unique(supp)
-        part = comp >> 21
-        starts = np.flatnonzero(
-            np.concatenate([[True], part[1:] != part[:-1]]))
-        sizes = np.diff(np.append(starts, len(part)))
-        if len(nodes) <= 4096 and len(starts) <= 200_000:
+        dense = dense_cooccurrence_adjacency(comp)
+        if dense is not None:
             # dense-graph shortcut: near-complete co-supply graphs make
             # the wedge list Θ(n³) (150 s at 1000 nodes) and even the
             # flat pair list costs seconds of memory bandwidth — mark
             # the adjacency directly per part (no pair materialization)
             # and count triangles as Σ(A²∘A)/6 via one BLAS matmul,
             # exact in float64 (counts ≤ n < 2^53)
-            scode = np.searchsorted(nodes, supp)
-            A = np.zeros((len(nodes), len(nodes)), np.float64)
-            for st, sz in zip(starts.tolist(), sizes.tolist()):
-                if sz >= 2:
-                    s = scode[st:st + sz]
-                    A[np.ix_(s, s)] = 1.0
-            np.fill_diagonal(A, 0.0)
+            _, A = dense
+            A = A.astype(np.float64)
             tri = int(round(((A @ A) * A).sum() / 6.0))
         else:
             pairs = supplier_pairs(comp)
@@ -6335,9 +6346,10 @@ def supplier_bfs_hops(sf_dir: str):
     import numpy as np
     import pandas as pd
 
+    from elevant_ray.stages.graph import (bipartite_codes_batch,
+                                          cooccurrence_pairs)
     from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
-                                         np_columns, scale_cutoff,
-                                         within_group_pairs)
+                                         np_columns, scale_cutoff)
 
     line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
     empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
@@ -6348,11 +6360,7 @@ def supplier_bfs_hops(sf_dir: str):
     mask = np.int64((1 << 21) - 1)
 
     def ps_edges(b: pa.Table) -> pa.Table:
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        comp = np.unique((pk << 21) + sk)
-        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
-                         "comp": pa.array(comp, pa.int64())})
+        return bipartite_codes_batch(b, "l_partkey", "l_suppkey")
 
     eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
     seed = int(eds.map_batches(
@@ -6360,14 +6368,7 @@ def supplier_bfs_hops(sf_dir: str):
                                                  pa.scalar(int(mask)))}),
         batch_format="pyarrow").min("s"))
 
-    def supplier_pairs(comp: np.ndarray) -> np.ndarray:
-        comp = np.unique(comp)
-        part = comp >> 21
-        starts = np.flatnonzero(
-            np.concatenate([[True], part[1:] != part[:-1]]))
-        sizes = np.diff(np.append(starts, len(part)))
-        i, j = within_group_pairs(starts, sizes)
-        return np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+    supplier_pairs = cooccurrence_pairs
 
     def finish(dist: dict) -> pd.DataFrame:
         out = pd.DataFrame({"s_suppkey": sorted(dist),
@@ -6386,11 +6387,8 @@ def supplier_bfs_hops(sf_dir: str):
         for level in range(1, 21):
             lo = np.searchsorted(u, frontier, side="left")
             hi = np.searchsorted(u, frontier, side="right")
-            if not len(frontier):
-                break
             nbrs = np.unique(np.concatenate(
-                [v[a:b] for a, b in zip(lo, hi)])) if len(frontier) else \
-                np.array([], np.int64)
+                [v[a:b] for a, b in zip(lo, hi)] or [v[:0]]))
             fresh = np.array([n for n in nbrs.tolist() if n not in dist],
                              np.int64)
             if not len(fresh):
@@ -6480,10 +6478,11 @@ def events_rolling_dau_7d(sf_dir: str):
         new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
         gap = np.concatenate([[True], (d[1:] - d[:-1]) > 6])
         s = new_user | gap
-        iid = np.cumsum(s) - 1
         starts = d[s]
-        last = np.zeros(iid[-1] + 1, np.int64)
-        np.maximum.at(last, iid, d)
+        # an interval's last member sits just before the next start
+        # (rows are (user, day)-sorted) — no accumulator, no sign
+        # assumption on day ordinals (pre-1970 days are negative)
+        last = d[np.append(s[1:], True)]
         ends = last + 7
         obs = np.unique(d)  # marker rows: observed days in this bucket
         return pd.DataFrame({
@@ -6799,8 +6798,11 @@ def token_postings(sf_dir: str):
             toks.extend(uniq)
             out_ids.extend([ids[i]] * len(uniq))
         df = pd.DataFrame({"token": toks, "doc_id": out_ids})
-        # batch-level cap: distinct count partial + 10 smallest ids
-        df = df.sort_values(["token", "doc_id"])
+        # batch-level cap: distinct count partial + 10 smallest ids.
+        # Duplicate doc_id ROWS within the batch dedup here; cross-batch
+        # duplicates are a documents-PK violation (doc_id uniqueness is
+        # what data_quality_audit's documents_dup_id check asserts)
+        df = df.drop_duplicates().sort_values(["token", "doc_id"])
         cnt = df.groupby("token")["doc_id"].transform("size")
         rn = df.groupby("token").cumcount()
         head = df[rn < 10]
@@ -7077,9 +7079,11 @@ def supplier_degree_histogram(sf_dir: str):
     import numpy as np
     import pandas as pd
 
+    from elevant_ray.stages.graph import (bipartite_codes_batch,
+                                          cooccurrence_pairs,
+                                          dense_cooccurrence_adjacency)
     from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
-                                         np_columns, scale_cutoff,
-                                         within_group_pairs)
+                                         np_columns, scale_cutoff)
 
     line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
     empty = pd.DataFrame({"degree": pd.Series([], dtype="int64"),
@@ -7090,11 +7094,7 @@ def supplier_degree_histogram(sf_dir: str):
     mask = np.int64((1 << 21) - 1)
 
     def ps_edges(b: pa.Table) -> pa.Table:
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        comp = np.unique((pk << 21) + sk)
-        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
-                         "comp": pa.array(comp, pa.int64())})
+        return bipartite_codes_batch(b, "l_partkey", "l_suppkey")
 
     eds = line.map_batches(ps_edges, batch_format="pyarrow").materialize()
 
@@ -7105,42 +7105,23 @@ def supplier_degree_histogram(sf_dir: str):
 
     if eds.size_bytes() <= scale_cutoff(256 << 20):
         comp = np.unique(np_columns(eds, ["comp"])["comp"].astype(np.int64))
-        supp = comp & mask
-        nodes = np.unique(supp)
-        part = comp >> 21
-        starts = np.flatnonzero(
-            np.concatenate([[True], part[1:] != part[:-1]]))
-        sizes = np.diff(np.append(starts, len(part)))
-        if len(nodes) <= 4096 and len(starts) <= 200_000:
-            scode = np.searchsorted(nodes, supp)
-            A = np.zeros((len(nodes), len(nodes)), np.bool_)
-            for st, sz in zip(starts.tolist(), sizes.tolist()):
-                if sz >= 2:
-                    s = scode[st:st + sz]
-                    A[np.ix_(s, s)] = True
-            np.fill_diagonal(A, False)
+        dense = dense_cooccurrence_adjacency(comp)
+        if dense is not None:
+            _, A = dense
             deg = A.sum(axis=1).astype(np.int64)
             deg = deg[deg > 0]  # isolated suppliers have no edge rows
         else:
-            i, j = within_group_pairs(starts, sizes)
-            pairs = np.unique(((comp[i] & mask) << 21)
-                              + (comp[j] & mask))
+            pairs = cooccurrence_pairs(comp)
             both = np.concatenate([pairs >> 21, pairs & mask])
-            nodes2, deg = np.unique(both, return_counts=True)
+            _, deg = np.unique(both, return_counts=True)
             deg = deg.astype(np.int64)
         return hist_frame(deg)
 
     # scale path: distinct pair set, per-bucket degree partials on the
     # lower endpoint + mirrored upper endpoint, histogram driver fold
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        comp = np.unique(df["comp"].to_numpy(np.int64))
-        part = comp >> 21
-        starts = np.flatnonzero(
-            np.concatenate([[True], part[1:] != part[:-1]]))
-        sizes = np.diff(np.append(starts, len(part)))
-        i, j = within_group_pairs(starts, sizes)
-        pairs = np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
-        return pd.DataFrame({"pair": pairs})
+        return pd.DataFrame(
+            {"pair": cooccurrence_pairs(df["comp"].to_numpy(np.int64))})
 
     pair_ds = as_arrow(_distinct_int(
         as_arrow(bucketed_group_apply(eds, "part", bucket_pairs)),
@@ -7736,6 +7717,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "q3_top_orders": """
             SELECT l_orderkey, o_orderdate,
@@ -8534,6 +8516,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s),
               bfs(node, dist) AS (
                 SELECT min(l_suppkey), 0 FROM lineitem
+                HAVING min(l_suppkey) IS NOT NULL
                 UNION
                 SELECT e.v, bfs.dist + 1
                 FROM bfs JOIN e ON e.u = bfs.node

@@ -367,3 +367,81 @@ def pagerank(edges, num_iters: int = 3, damping: float = 0.85,
         lambda b: pa.table({"node": b.column("node"),
                             "rank": b.column("r")}),
         batch_format="pyarrow")
+
+
+# --- shared co-occurrence-graph kernels ------------------------------
+# Used by the cosupply graph queries (triangles, BFS hops, degree
+# histogram): edges are "two right-keys share a left-key" over a
+# bipartite fact (part → supplier).  Keys pack into one int64 as
+# (left << PAIR_BITS) | right, so distincts and shuffles move a single
+# integer column.
+
+PAIR_BITS = 21
+PAIR_MASK = (1 << PAIR_BITS) - 1  # plain int; cast np.int64 at use sites
+
+
+def bipartite_codes_batch(b: "pa.Table", left: str, right: str):
+    """Per-batch distinct (left<<21|right) codes + the left key, as the
+    (part, comp) table every cosupply query starts from.  Assumes both
+    keys < 2^21 (asserted) — widen PAIR_BITS for larger dimensions."""
+    import numpy as np
+    import pyarrow as pa
+
+    lk = b.column(left).to_numpy(zero_copy_only=False)
+    rk = b.column(right).to_numpy(zero_copy_only=False)
+    comp = np.unique((lk << PAIR_BITS) + rk)
+    return pa.table({"part": pa.array(comp >> PAIR_BITS, pa.int64()),
+                     "comp": pa.array(comp, pa.int64())})
+
+
+def group_starts_sizes(sorted_group_keys):
+    """(starts, sizes) runs of a sorted key array."""
+    import numpy as np
+
+    starts = np.flatnonzero(np.concatenate(
+        [[True], sorted_group_keys[1:] != sorted_group_keys[:-1]]))
+    sizes = np.diff(np.append(starts, len(sorted_group_keys)))
+    return starts, sizes
+
+
+def cooccurrence_pairs(comp):
+    """Sorted unique (x<<21|y) co-occurrence pair codes, x < y, from
+    sorted-unique (left<<21|right) codes — the within-left-group pair
+    expansion (util.within_group_pairs) plus global dedup."""
+    import numpy as np
+
+    from .util import within_group_pairs
+
+    mask = np.int64((1 << PAIR_BITS) - 1)
+    comp = np.unique(comp)
+    starts, sizes = group_starts_sizes(comp >> PAIR_BITS)
+    i, j = within_group_pairs(starts, sizes)
+    return np.unique(((comp[i] & mask) << PAIR_BITS) + (comp[j] & mask))
+
+
+def dense_cooccurrence_adjacency(comp, max_nodes: int = 4096,
+                                 max_groups: int = 200_000):
+    """Dense boolean adjacency of the co-occurrence graph, built by
+    marking each left-group's right-key block directly (NO pair
+    materialization — on near-complete graphs the flat pair list alone
+    costs seconds of memory bandwidth, and wedge lists are Θ(n³)).
+    Returns ``(nodes, A)`` or ``None`` when the node or group count
+    exceeds the dense bounds (callers fall back to the pair/wedge
+    path).  Diagonal is cleared."""
+    import numpy as np
+
+    mask = np.int64((1 << PAIR_BITS) - 1)
+    comp = np.unique(comp)
+    supp = comp & mask
+    nodes = np.unique(supp)
+    starts, sizes = group_starts_sizes(comp >> PAIR_BITS)
+    if len(nodes) > max_nodes or len(starts) > max_groups:
+        return None
+    scode = np.searchsorted(nodes, supp)
+    A = np.zeros((len(nodes), len(nodes)), np.bool_)
+    for st, sz in zip(starts.tolist(), sizes.tolist()):
+        if sz >= 2:
+            s = scode[st:st + sz]
+            A[np.ix_(s, s)] = True
+    np.fill_diagonal(A, False)
+    return nodes, A
