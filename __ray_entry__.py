@@ -7280,6 +7280,356 @@ def user_time_weighted_value(sf_dir: str):
                      ["user_id"])
 
 
+def orders_peer_avg_diff(sf_dir: str):
+    """Leave-one-out peer comparison: each order's price minus the
+    average of the SAME customer's other orders (n ≥ 2) — the window
+    frame EXCLUDE CURRENT ROW shape, computed as x − (S−x)/(n−1) from
+    one per-customer aggregate instead of a window sort.  Customer sums
+    are dimension-bounded, so they broadcast as IntKeyMaps into a
+    second scan; both sides run the identical float expression over
+    exact cents, and the sign-aware half-up round matches SQL ROUND
+    for negative diffs (the _c2d_sql lesson, applied at round-4)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                          "o_custkey": pd.Series([], dtype="int64"),
+                          "peer_diff": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    cds = ds.map_batches(pre, batch_format="pyarrow")
+    per_cust = partial_group_agg(cds, ["o_custkey"], sum_cols=["c"],
+                                 count_alias="n", combine="driver")
+    keys = per_cust["o_custkey"].to_numpy(np.int64)
+    smap = IntKeyMap(keys, per_cust["c"].to_numpy(np.int64))
+    nmap = IntKeyMap(keys, per_cust["n"].to_numpy(np.int64))
+
+    def diff(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        S = smap.take_checked(ck)
+        n = nmap.take_checked(ck)
+        keep = n >= 2
+        c, S, n = c[keep], S[keep], n[keep]
+        d = (c - (S - c) / (n - 1)) / 100.0
+        d4 = np.sign(d) * np.floor(np.abs(d) * 1e4 + 0.5) / 1e4 + 0.0
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(keep)),
+            "o_custkey": b.column("o_custkey").filter(pa.array(keep)),
+            "peer_diff": pa.array(d4, pa.float64())})
+
+    return _det_sort(cds.map_batches(diff, batch_format="pyarrow"),
+                     ["o_orderkey"])
+
+
+def priority_ship_delay(sf_dir: str):
+    """Ship-delay statistics per order priority: average, exact median
+    (percentile_disc over the bounded integer day domain), and max of
+    l_shipdate − o_orderdate — a fact-to-fact join (lineitem × orders)
+    folded into the scan as a broadcast packed (days, priority) lookup
+    under the cutoff, with the co-group join beyond (the q8/q9 gating).
+    The delay domain is calendar-bounded, so the median reuses the
+    two-phase histogram quantile with no sort."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join,
+                                         np_columns, partial_group_agg,
+                                         scale_cutoff)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    empty = pd.DataFrame({
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "avg_delay": pd.Series([], dtype="float64"),
+        "p50_delay": pd.Series([], dtype="int64"),
+        "max_delay": pd.Series([], dtype="int64"),
+        "n_lines": pd.Series([], dtype="int64")})
+    if line.count() == 0 or orders.count() == 0:
+        return empty
+
+    # distinct priorities via per-batch unique partials (≤ values ×
+    # batches rows reach the driver — never the full orders column)
+    prios = sorted({r["o_orderpriority"] for r in _read(
+        sf_dir, "orders", ["o_orderpriority"]).map_batches(
+        lambda b: pa.table({"o_orderpriority":
+                            pc.unique(b.column("o_orderpriority"))}),
+        batch_format="pyarrow").take_all()})
+    pcode = {p: i for i, p in enumerate(prios)}
+
+    def joined():
+        # the packed (days·8 + code) broadcast assumes ≤8 priorities;
+        # wider enums take the co-group path
+        if orders.size_bytes() <= scale_cutoff(64 << 20) \
+                and len(prios) <= 8:
+            o = np_columns(orders, ["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"])
+            days = o["o_orderdate"].astype("datetime64[D]").astype(
+                np.int64)
+            codes = np.array([pcode[p] for p in
+                              o["o_orderpriority"].tolist()], np.int64)
+            omap = IntKeyMap(o["o_orderkey"], days * 8 + codes)
+
+            def fold(b: pa.Table) -> pa.Table:
+                sd = b.column("l_shipdate").to_numpy(
+                    zero_copy_only=False).astype("datetime64[D]").astype(
+                    np.int64)
+                packed, found = omap.take(
+                    b.column("l_orderkey").to_numpy(zero_copy_only=False))
+                packed = np.asarray(packed, np.int64)
+                delay = sd - (packed >> 3)
+                return pa.table({
+                    "prio": pa.array(packed % 8, pa.int64()),
+                    "delay": pa.array(delay, pa.int64())}).filter(
+                    pa.array(found))
+
+            return line.map_batches(fold, batch_format="pyarrow")
+
+        def l_pre(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            return pa.table({"l_orderkey": b.column("l_orderkey"),
+                             "sd": pa.array(sd, pa.int64())})
+
+        def o_pre(b: pa.Table) -> pa.Table:
+            days = b.column("o_orderdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            codes = np.array([pcode[p] for p in
+                              b.column("o_orderpriority").to_pylist()],
+                             np.int64)
+            return pa.table({"l_orderkey": b.column("o_orderkey"),
+                             "od": pa.array(days, pa.int64()),
+                             "prio": pa.array(codes, pa.int64())})
+
+        j = cogroup_join(
+            line.map_batches(l_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("sd", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("od", pa.int64()),
+                                    ("prio", pa.int64())]))
+
+        def fin(b: pa.Table) -> pa.Table:
+            sd = b.column("sd").to_numpy(zero_copy_only=False)
+            od = b.column("od").to_numpy(zero_copy_only=False)
+            return pa.table({"prio": b.column("prio"),
+                             "delay": pa.array(sd - od, pa.int64())})
+
+        return j.map_batches(fin, batch_format="pyarrow")
+
+    # two passes over the same folded scan: moments + exact median
+    stats = partial_group_agg(
+        joined().map_batches(
+            lambda b: b.append_column(
+                "dmax", b.column("delay")),
+            batch_format="pyarrow"),
+        ["prio"], sum_cols=["delay"], max_cols=["dmax"],
+        count_alias="n_lines", combine="driver")
+    med = grouped_quantiles(joined(), "delay", (0.5,),
+                            group_cols=["prio"]).to_pandas()
+    if stats.empty:
+        return empty
+    m50 = {int(r["prio"]): int(r["delay"]) for _, r in med.iterrows()
+           if r["q"] == 0.5}
+    stats = stats.sort_values("prio").reset_index(drop=True)
+    avg = stats["delay"].to_numpy(np.float64) / stats["n_lines"].to_numpy(
+        np.float64)
+    return pd.DataFrame({
+        "o_orderpriority": [prios[int(p)] for p in stats["prio"]],
+        "avg_delay": np.floor(avg * 1e6 + 0.5) / 1e6,
+        "p50_delay": np.array([m50[int(p)] for p in stats["prio"]],
+                              np.int64),
+        "max_delay": stats["dmax"].astype("int64"),
+        "n_lines": stats["n_lines"].astype("int64")})
+
+
+def events_value_pct_change(sf_dir: str):
+    """Percent change between a user's consecutive event values (the
+    pct_change / lag-ratio window): (v − v_prev)/v_prev per event,
+    ordered by (ts, event_id) within user.  One user-keyed bucket
+    exchange; the shift-compare kernel is vectorized over the sorted
+    bucket.  The ratio divides the same exact cents integers the oracle
+    divides (zero previous value → NULL, as SQL division by zero would
+    poison the hash)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "user_id": pd.Series([], dtype="int64"),
+                          "pct_change": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        prev_same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        prev = np.concatenate([[0], c[:-1]])
+        keep = prev_same & (prev != 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = (c - prev) / prev
+        pct = np.sign(pct) * np.floor(np.abs(pct) * 1e6 + 0.5) / 1e6 + 0.0
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "user_id": uid[keep],
+            "pct_change": pct[keep]})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    from elevant_ray.stages.util import as_arrow
+    return _det_sort(as_arrow(out), ["event_id"])
+
+
+def region_acctbal_boxplot(sf_dir: str):
+    """Box-plot five-number summary (min, q1, median, q3, max) of
+    customer balances per region — the grouped multi-quantile report,
+    exact over the cents domain via the two-phase histogram primitive
+    (no sort), with min/max folded into the same partial-aggregate
+    scan.  The nation→region dimension broadcasts into the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import partial_group_agg
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nat2reg = {r["n_nationkey"]: region[r["n_regionkey"]]
+               for r in _read(sf_dir, "nation").take_all()}
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    empty = pd.DataFrame({
+        "r_name": pd.Series([], dtype="object"),
+        "bal_min": pd.Series([], dtype="float64"),
+        "bal_q1": pd.Series([], dtype="float64"),
+        "bal_median": pd.Series([], dtype="float64"),
+        "bal_q3": pd.Series([], dtype="float64"),
+        "bal_max": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        regs = [nat2reg[k] for k in b.column("c_nationkey").to_pylist()]
+        cents = np.rint(b.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64)
+        return pa.table({"r_name": pa.array(regs, pa.string()),
+                         "c": pa.array(cents, pa.int64())})
+
+    cds = ds.map_batches(pre, batch_format="pyarrow")
+    q = grouped_quantiles(cds, "c", (0.25, 0.5, 0.75),
+                          group_cols=["r_name"]).to_pandas()
+    mm = partial_group_agg(
+        cds.map_batches(lambda b: b.append_column("c2", b.column("c")),
+                        batch_format="pyarrow"),
+        ["r_name"], max_cols=["c"], min_cols=["c2"], combine="driver")
+    if mm.empty:
+        return empty
+    qq = {(r["r_name"], r["q"]): int(r["c"]) for _, r in q.iterrows()}
+    mm = mm.sort_values("r_name").reset_index(drop=True)
+    names = mm["r_name"].tolist()
+    return pd.DataFrame({
+        "r_name": names,
+        "bal_min": [mm["c2"][i] / 100.0 for i in range(len(names))],
+        "bal_q1": [qq[(n, 0.25)] / 100.0 for n in names],
+        "bal_median": [qq[(n, 0.5)] / 100.0 for n in names],
+        "bal_q3": [qq[(n, 0.75)] / 100.0 for n in names],
+        "bal_max": [mm["c"][i] / 100.0 for i in range(len(names))]})
+
+
+def docs_source_dedup_rate(sf_dir: str):
+    """Per-source duplication rate: documents, distinct texts (by full
+    md5), and the duplicate fraction — the corpus-hygiene report a
+    curation pass emits.  Per-batch (source, md5) dedup partials, then
+    ONE md5-keyed bucket exchange (a hash's rows co-locate, so
+    per-bucket distinct counts per source are exact partials) and a
+    driver fold over sources × buckets rows.  The dup ratio divides
+    the same exact integers the oracle divides."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "n_distinct": pd.Series([], dtype="int64"),
+                          "dup_rate": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in b.column("text").to_pylist()]
+        t = pa.table({"source": b.column("source"),
+                      "h": pa.array(h, pa.string())})
+        return t.group_by(["source", "h"]).aggregate(
+            [("source", "count")]).rename_columns(["source", "h", "n"])
+
+    totals = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source"], sum_cols=["n"], combine="driver")
+
+    def per_hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "h"])
+        g = d.groupby("source").size()
+        return pd.DataFrame({"source": g.index,
+                             "nd": g.to_numpy(np.int64)})
+
+    distinct = partial_group_agg(
+        bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                             "h", per_hash_bucket),
+        ["source"], sum_cols=["nd"], combine="driver")
+    if totals.empty:
+        return empty
+    out = totals.merge(distinct, on="source", how="left").fillna(0)
+    out = out.sort_values("source").reset_index(drop=True)
+    n = out["n"].to_numpy(np.int64)
+    nd = out["nd"].to_numpy(np.int64)
+    rate = 1.0 - nd / n
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": n,
+        "n_distinct": nd,
+        "dup_rate": np.floor(rate * 1e6 + 0.5) / 1e6 + 0.0})
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -7477,6 +7827,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_degree_histogram": supplier_degree_histogram,
         "events_time_rollup": events_time_rollup,
         "user_time_weighted_value": user_time_weighted_value,
+        "orders_peer_avg_diff": orders_peer_avg_diff,
+        "priority_ship_delay": priority_ship_delay,
+        "events_value_pct_change": events_value_pct_change,
+        "region_acctbal_boxplot": region_acctbal_boxplot,
+        "docs_source_dedup_rate": docs_source_dedup_rate,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -8604,6 +8959,69 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CASE WHEN rn <= 10 THEN doc_id END, ','
                               ORDER BY doc_id) AS postings
             FROM r GROUP BY token ORDER BY token
+        """,
+        "region_acctbal_boxplot": """
+            WITH c AS (SELECT r_name,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS b
+                       FROM customer
+                       JOIN nation ON n_nationkey = c_nationkey
+                       JOIN region ON r_regionkey = n_regionkey)
+            SELECT r_name,
+                   min(b)/100.0 AS bal_min,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY b)/100.0
+                     AS bal_q1,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY b)/100.0
+                     AS bal_median,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY b)/100.0
+                     AS bal_q3,
+                   max(b)/100.0 AS bal_max
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "docs_source_dedup_rate": """
+            WITH d AS (SELECT source, count(*) AS n,
+                              count(DISTINCT md5(text)) AS nd
+                       FROM documents GROUP BY 1)
+            SELECT source, n::BIGINT AS n_docs, nd::BIGINT AS n_distinct,
+                   round(1.0 - (1.0*nd)/n, 6) + 0 AS dup_rate
+            FROM d ORDER BY source
+        """,
+        "events_value_pct_change": """
+            WITH w AS (SELECT event_id, user_id,
+                              CAST(round(value*100) AS BIGINT) AS c,
+                              lag(CAST(round(value*100) AS BIGINT))
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT event_id, user_id::BIGINT AS user_id,
+                   round((1.0*(c - prev))/prev, 6) + 0 AS pct_change
+            FROM w WHERE prev IS NOT NULL AND prev <> 0
+            ORDER BY event_id
+        """,
+        "orders_peer_avg_diff": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(round(o_totalprice*100) AS BIGINT) AS c
+                       FROM orders),
+                 s AS (SELECT o_custkey, sum(c) AS sc, count(*) AS n
+                       FROM o GROUP BY 1)
+            SELECT o_orderkey, o.o_custkey::BIGINT AS o_custkey,
+                   round((c - (1.0*(sc - c))/(n - 1)) / 100, 4) + 0
+                     AS peer_diff
+            FROM o JOIN s USING (o_custkey)
+            WHERE n >= 2 ORDER BY o_orderkey
+        """,
+        "priority_ship_delay": """
+            WITH j AS (SELECT o_orderpriority AS p,
+                              date_diff('day', o_orderdate, l_shipdate)
+                                AS d
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey)
+            SELECT p AS o_orderpriority,
+                   round(1.0*sum(d)/count(*), 6) AS avg_delay,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY d)::BIGINT
+                     AS p50_delay,
+                   max(d)::BIGINT AS max_delay,
+                   count(*)::BIGINT AS n_lines
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "supplier_degree_histogram": """
             WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "supplier_degree_histogram",
     "events_time_rollup",
     "user_time_weighted_value",
+    "orders_peer_avg_diff",
+    "priority_ship_delay",
+    "events_value_pct_change",
+    "region_acctbal_boxplot",
+    "docs_source_dedup_rate",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
