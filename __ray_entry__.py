@@ -7630,6 +7630,262 @@ def docs_source_dedup_rate(sf_dir: str):
         "dup_rate": np.floor(rate * 1e6 + 0.5) / 1e6 + 0.0})
 
 
+def user_value_locf(sf_dir: str):
+    """Last-observation-carried-forward gap fill (the IGNORE NULLS
+    window): treat 'click' events as missing and fill each event's
+    value with the user's most recent non-missing value, ordered by
+    (ts, event_id).  One user-keyed bucket exchange; the forward fill
+    is a vectorized grouped ffill over the sorted bucket.  Rows before
+    a user's first observation stay missing and are dropped, mirroring
+    the oracle's IS NOT NULL filter."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "user_id": pd.Series([], dtype="int64"),
+                          "locf_value": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100)
+        miss = pc.equal(b.column("event_type"),
+                        pa.scalar("click")).to_numpy(zero_copy_only=False)
+        # cents ≤ 1e6 so float64 carries them exactly; NaN marks missing
+        c = np.where(miss, np.nan, cents)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.float64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        filled = df.groupby("user_id", sort=False)["c"].ffill()
+        keep = filled.notna().to_numpy()
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "locf_value": filled.to_numpy(np.float64)[keep] / 100.0})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["event_id"])
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over three measures
+    (quantity, extended price, discount) from ONE scan: per-batch
+    partial raw moments (n, Σ per var, Σ of each product) combine on
+    the driver and close all three correlations at once — the
+    multi-column generalization of the mergeable-moments corr
+    aggregate, still a single pass with no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg, pearson_from_moments
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    names = ["l_discount", "l_extendedprice", "l_quantity"]
+    empty = pd.DataFrame({"var_x": pd.Series([], dtype="object"),
+                          "var_y": pd.Series([], dtype="object"),
+                          "r": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def moments(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("l_discount"), pa.float64())
+        e = pc.cast(b.column("l_extendedprice"), pa.float64())
+        q = pc.cast(b.column("l_quantity"), pa.float64())
+        return pa.table({
+            "g": pa.array(np.zeros(len(b), np.int64)),
+            "sd": d, "se": e, "sq": q,
+            "sd2": pc.multiply(d, d), "se2": pc.multiply(e, e),
+            "sq2": pc.multiply(q, q),
+            "sde": pc.multiply(d, e), "sdq": pc.multiply(d, q),
+            "seq": pc.multiply(e, q)})
+
+    agg = partial_group_agg(
+        ds.map_batches(moments, batch_format="pyarrow"), ["g"],
+        sum_cols=["sd", "se", "sq", "sd2", "se2", "sq2",
+                  "sde", "sdq", "seq"],
+        count_alias="n", combine="driver")
+    n = agg["n"]
+    pairs = [("l_discount", "l_extendedprice", "sd", "se", "sde",
+              "sd2", "se2"),
+             ("l_discount", "l_quantity", "sd", "sq", "sdq",
+              "sd2", "sq2"),
+             ("l_extendedprice", "l_quantity", "se", "sq", "seq",
+              "se2", "sq2")]
+    rows = []
+    for vx, vy, sx, sy, sxy, sx2, sy2 in pairs:
+        r = pearson_from_moments(n, agg[sx], agg[sy], agg[sxy],
+                                 agg[sx2], agg[sy2])[0]
+        rows.append((vx, vy,
+                     float(np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5)
+                           / 1e6) + 0.0))
+    return pd.DataFrame(rows, columns=["var_x", "var_y", "r"])
+
+
+def user_event_type_bitmask(sf_dir: str):
+    """Bitwise-OR aggregate: each (user, week)'s event-type repertoire
+    encoded as a bitmask (bit i = alphabetically i-th type), then the
+    distribution of masks.  OR is idempotent and associative, so
+    per-batch (user, week, mask) partials pre-shrink the exchange; ONE
+    user-keyed bucket pass closes per-group masks and emits per-mask
+    count partials; a tiny sum combine finishes."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    empty = pd.DataFrame({"mask": pd.Series([], dtype="int64"),
+                          "n_groups": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    types = sorted({r["event_type"] for r in _read(
+        sf_dir, "events", ["event_type"]).map_batches(
+        lambda b: pa.table({"event_type":
+                            pc.unique(b.column("event_type"))}),
+        batch_format="pyarrow").take_all()})
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def or_by_key(uid: np.ndarray, wk: np.ndarray, m: np.ndarray):
+        order = np.lexsort((wk, uid))
+        uid, wk, m = uid[order], wk[order], m[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]))
+        return uid[starts], wk[starts], np.bitwise_or.reduceat(m, starts)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # floor_temporal(week) == DuckDB date_trunc('week'): Monday start
+        wk = pc.floor_temporal(b.column("ts"), unit="week").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        m = np.array([bit[t] for t in b.column("event_type").to_pylist()],
+                     np.int64)
+        u, w, pm = or_by_key(uid, wk, m)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "wk": pa.array(w, pa.int64()),
+                         "m": pa.array(pm, pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u, w, pm = or_by_key(df["user_id"].to_numpy(np.int64),
+                             df["wk"].to_numpy(np.int64),
+                             df["m"].to_numpy(np.int64))
+        masks, counts = np.unique(pm, return_counts=True)
+        return pd.DataFrame({"mask": masks,
+                             "nu": counts.astype(np.int64)})
+
+    out = partial_group_agg(
+        bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                             "user_id", per_bucket),
+        ["mask"], sum_cols=["nu"], combine="driver")
+    out = out.sort_values("mask").reset_index(drop=True)
+    return pd.DataFrame({"mask": out["mask"].astype("int64"),
+                         "n_groups": out["nu"].astype("int64")})
+
+
+def returnflag_weighted_median(sf_dir: str):
+    """Weighted median (quantity-weighted extended price) per return
+    flag — the weighted-quantile operator: smallest price whose
+    cumulative quantity reaches half the flag's total, exact in
+    integers via the (group, value) → Σweight histogram (see
+    stages/quantiles.grouped_weighted_median; no sort, one tiny
+    combine exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    empty = pd.DataFrame({
+        "l_returnflag": pd.Series([], dtype="object"),
+        "wmedian_price": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        v = np.rint(b.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        w = np.rint(b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "v": pa.array(v, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    med = grouped_weighted_median(
+        ds.map_batches(pre, batch_format="pyarrow"), "v", "w",
+        group_cols=["l_returnflag"]).to_pandas()
+    med = med.sort_values("l_returnflag").reset_index(drop=True)
+    return pd.DataFrame({
+        "l_returnflag": med["l_returnflag"],
+        "wmedian_price": med["v"].to_numpy(np.float64) / 100.0})
+
+
+def nation_balance_gini(sf_dir: str):
+    """Gini concentration index of customer balances per nation — the
+    rank-weighted aggregate G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted values.  Equal values commute under the rank sum,
+    so the statistic is order-stable; ONE nation-keyed bucket exchange
+    sorts locally and emits exact integer partials (Σi·x, Σx, n), the
+    driver closes the formula in the identical float expression the
+    oracle evaluates."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "gini": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"k": pc.cast(b.column("c_nationkey"), pa.int64()),
+                         "x": pa.array(x, pa.int64())})
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "x"], kind="stable")
+        k = df["k"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sizes = np.diff(np.append(starts, len(k)))
+        i = np.arange(len(k), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        six = np.add.reduceat(i * x, starts)
+        sx = np.add.reduceat(x, starts)
+        return pd.DataFrame({"k": k[starts], "six": six, "sx": sx,
+                             "n": sizes.astype(np.int64)})
+
+    agg = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "k", per_nation).to_pandas()
+    six = agg["six"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    g = (2.0 * six) / (n * sx) - (1.0 * (n + 1)) / n
+    g6 = np.sign(g) * np.floor(np.abs(g) * 1e6 + 0.5) / 1e6 + 0.0
+    out = pd.DataFrame({"n_name": [nation[k] for k in agg["k"]],
+                        "gini": g6})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -7832,6 +8088,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_pct_change": events_value_pct_change,
         "region_acctbal_boxplot": region_acctbal_boxplot,
         "docs_source_dedup_rate": docs_source_dedup_rate,
+        "user_value_locf": user_value_locf,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
+        "user_event_type_bitmask": user_event_type_bitmask,
+        "returnflag_weighted_median": returnflag_weighted_median,
+        "nation_balance_gini": nation_balance_gini,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -9022,6 +9283,82 @@ def oracle_sql() -> dict[str, str]:
                    max(d)::BIGINT AS max_delay,
                    count(*)::BIGINT AS n_lines
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "user_value_locf": """
+            WITH w AS (SELECT event_id, user_id, ts,
+                              CASE WHEN event_type <> 'click'
+                                   THEN CAST(round(value*100) AS BIGINT)
+                              END AS c
+                       FROM events),
+                 f AS (SELECT event_id, user_id,
+                              last_value(c IGNORE NULLS) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS fc
+                       FROM w)
+            SELECT event_id, user_id::BIGINT AS user_id,
+                   fc/100.0 AS locf_value
+            FROM f WHERE fc IS NOT NULL ORDER BY event_id
+        """,
+        "lineitem_corr_matrix": """
+            SELECT * FROM (
+              SELECT 'l_discount' AS var_x, 'l_extendedprice' AS var_y,
+                     round(corr(l_discount, l_extendedprice), 6) + 0 AS r
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', 'l_quantity',
+                     round(corr(l_discount, l_quantity), 6) + 0
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_quantity',
+                     round(corr(l_extendedprice, l_quantity), 6) + 0
+              FROM lineitem)
+            ORDER BY var_x, var_y
+        """,
+        "user_event_type_bitmask": """
+            WITH codes AS (SELECT event_type,
+                                  row_number() OVER (ORDER BY event_type)
+                                    - 1 AS b
+                           FROM (SELECT DISTINCT event_type FROM events)),
+                 m AS (SELECT user_id, date_trunc('week', ts) AS wk,
+                              bit_or(1::BIGINT << b::INT) AS mask
+                       FROM events JOIN codes USING (event_type)
+                       GROUP BY 1, 2)
+            SELECT mask, count(*)::BIGINT AS n_groups
+            FROM m GROUP BY 1 ORDER BY mask
+        """,
+        "returnflag_weighted_median": """
+            WITH b AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice*100) AS BIGINT)
+                                AS v,
+                              CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+                 g AS (SELECT l_returnflag, v, sum(w) AS w
+                       FROM b GROUP BY 1, 2),
+                 c AS (SELECT l_returnflag, v,
+                              sum(w) OVER (PARTITION BY l_returnflag
+                                           ORDER BY v) AS cw,
+                              sum(w) OVER (PARTITION BY l_returnflag)
+                                AS tw
+                       FROM g)
+            SELECT l_returnflag, min(v)/100.0 AS wmedian_price
+            FROM c WHERE 2*cw >= tw GROUP BY 1 ORDER BY 1
+        """,
+        "nation_balance_gini": """
+            WITH b AS (SELECT c_nationkey,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS x
+                       FROM customer),
+                 r AS (SELECT c_nationkey, x,
+                              row_number() OVER (PARTITION BY c_nationkey
+                                                 ORDER BY x) AS i
+                       FROM b),
+                 a AS (SELECT c_nationkey, sum(i*x)::BIGINT AS six,
+                              sum(x)::BIGINT AS sx, count(*)::BIGINT AS n
+                       FROM r GROUP BY 1)
+            SELECT n_name,
+                   round((2.0*six)/(n*sx) - (1.0*(n+1))/n, 6) + 0 AS gini
+            FROM a JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY n_name
         """,
         "supplier_degree_histogram": """
             WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

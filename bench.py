@@ -167,6 +167,11 @@ BENCH_QUERIES = [
     "events_value_pct_change",
     "region_acctbal_boxplot",
     "docs_source_dedup_rate",
+    "user_value_locf",
+    "lineitem_corr_matrix",
+    "user_event_type_bitmask",
+    "returnflag_weighted_median",
+    "nation_balance_gini",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",

@@ -87,3 +87,48 @@ def grouped_quantiles(ds, value_col: str, qs: Sequence[float],
             cols["q"].append(float(q))
             cols[value_col].append(qvals[q])
     return pa.table(cols)
+
+
+def grouped_weighted_median(ds, value_col: str, weight_col: str,
+                            group_cols: Optional[List[str]] = None):
+    """Dataset → pyarrow.Table(*group_cols, <value_col>) of exact
+    per-group LOWER WEIGHTED MEDIANS: the smallest value v whose
+    cumulative weight reaches half the group's total weight
+    (``2·cumw(v) ≥ totw`` over the value-ascending scan — the integer
+    form of the classic weighted-median rule, exact when weights are
+    integers).
+
+    Same scalable shape as :func:`grouped_quantiles`: the only exchange
+    is the (group, value) → Σweight histogram combine; no sort of the
+    fact table.  Equal-weight input degenerates to percentile_disc(0.5).
+    """
+    from elevant_ray.stages.util import partial_group_agg
+
+    group_cols = list(group_cols or [])
+    hist = partial_group_agg(ds, group_cols + [value_col],
+                             sum_cols=[weight_col], combine="driver")
+
+    gcols = [hist[c].to_numpy() for c in group_cols]
+    vvals = hist[value_col].to_numpy()
+    wts = hist[weight_col].to_numpy()
+    per_group: Dict[Tuple, Dict] = {}
+    for i in range(len(hist)):
+        g = tuple(col[i] for col in gcols)
+        per_group.setdefault(g, {})[vvals[i]] = wts[i]
+
+    cols: Dict[str, list] = {c: [] for c in group_cols}
+    cols[value_col] = []
+    for g in sorted(per_group):
+        items = sorted(per_group[g].items())
+        tot = sum(w for _, w in items)
+        med = None
+        cum = 0
+        for v, w in items:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        for c, gv in zip(group_cols, g):
+            cols[c].append(gv)
+        cols[value_col].append(med)
+    return pa.table(cols)
