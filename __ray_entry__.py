@@ -7886,6 +7886,329 @@ def nation_balance_gini(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def user_activity_streaks(sf_dir: str):
+    """Per-user longest consecutive-day activity streak — the
+    gaps-and-islands window applied per key (distinct from the
+    key-space islands of purchase_id_gaps): distinct active days per
+    user, runs split where day deltas exceed 1.  Per-batch composite
+    (user, day) dedup partials shrink the ONE user-keyed bucket
+    exchange; runs close inside the bucket (a user's days co-locate)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_active_days": pd.Series([], dtype="int64"),
+                          "max_streak": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    # composite (user << 20) | day-ordinal; day ordinals stay < 2^20
+    # until year 4840, users < 2^43
+    def pre(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        comp = np.unique((uid << 20) + day)
+        return pa.table({"user_id": pa.array(comp >> 20, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        comp = np.unique(df["comp"].to_numpy(np.int64))
+        uid = comp >> 20
+        day = comp & np.int64((1 << 20) - 1)
+        # a run breaks at a user change or a day gap > 1
+        brk = np.concatenate([[True], (uid[1:] != uid[:-1]) |
+                              (day[1:] != day[:-1] + 1)])
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(run_starts, len(comp)))
+        ustarts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        # per-user reduction over its runs: runs are user-contiguous
+        run_uid = uid[run_starts]
+        rstarts = np.flatnonzero(
+            np.concatenate([[True], run_uid[1:] != run_uid[:-1]]))
+        return pd.DataFrame({
+            "user_id": run_uid[rstarts],
+            "n_active_days": np.diff(np.append(ustarts, len(comp)))
+            .astype(np.int64),
+            "max_streak": np.maximum.reduceat(run_lens, rstarts)
+            .astype(np.int64)})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["user_id"])
+
+
+def order_basket_rules(sf_dir: str):
+    """Association-rule mining over order baskets: for every part pair
+    co-purchased in ≥ 2 orders, support, both confidences, and lift —
+    the market-basket rules report built from three exact counts
+    (pair support, per-item order counts, basket total) that all fall
+    out of ONE distinct-edge pass.  Under the cutoff the deduped edge
+    list closes on the driver (the measured winner for pair kernels);
+    beyond it order-keyed buckets generate pair/item/basket partials
+    in long form and one distributed sum combines them.  Assumes
+    partkey < 2^25 and orderkey < 2^38 (composite layout)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (bucketed_group_apply, np_columns,
+                                         partial_group_agg, scale_cutoff,
+                                         within_group_pairs)
+
+    empty = pd.DataFrame({
+        "part_a": pd.Series([], dtype="int64"),
+        "part_b": pd.Series([], dtype="int64"),
+        "support": pd.Series([], dtype="int64"),
+        "conf_a_to_b": pd.Series([], dtype="float64"),
+        "conf_b_to_a": pd.Series([], dtype="float64"),
+        "lift": pd.Series([], dtype="float64")})
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    if line.count() == 0:
+        return empty
+
+    PBITS = 25
+    pmask = np.int64((1 << PBITS) - 1)
+
+    def edges(b: pa.Table) -> pa.Table:
+        o = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((o << PBITS) + p)
+        return pa.table({"order": pa.array(comp >> PBITS, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def basket_partials(comp: np.ndarray):
+        """(pair→sup, part→orders, n_orders) from a whole-order slice."""
+        comp = np.unique(comp)
+        order = comp >> PBITS
+        part = comp & pmask
+        starts = np.flatnonzero(
+            np.concatenate([[True], order[1:] != order[:-1]]))
+        sizes = np.diff(np.append(starts, len(order)))
+        i, j = within_group_pairs(starts, sizes)
+        # comp sorted ⇒ parts ascend within an order ⇒ part_a < part_b
+        pair = (part[i] << PBITS) + part[j]
+        up, sup = np.unique(pair, return_counts=True)
+        pt, pc_ = np.unique(part, return_counts=True)
+        return up, sup.astype(np.int64), pt, pc_.astype(np.int64), \
+            np.int64(len(starts))
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        up, sup, pt, pcnt, n_orders = basket_partials(
+            np_columns(eds, ["comp"])["comp"].astype(np.int64))
+        pairs = pd.DataFrame({"pair": up, "sup": sup})
+        items = pd.DataFrame({"part": pt, "c": pcnt})
+    else:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            u, s, t, c, n = basket_partials(df["comp"].to_numpy(np.int64))
+            # long form: kind 0 = pair partial, 1 = item partial,
+            # 2 = basket-count partial
+            return pd.DataFrame({
+                "kind": np.concatenate([np.zeros(len(u), np.int64),
+                                        np.ones(len(t), np.int64),
+                                        [2]]),
+                "key": np.concatenate([u, t, [0]]),
+                "c": np.concatenate([s, c, [n]])})
+
+        partials = bucketed_group_apply(eds, "order", per_bucket)
+        comb = partial_group_agg(partials, ["kind", "key"],
+                                 sum_cols=["c"], combine="dataset")
+        comb = comb.filter(
+            lambda r: r["kind"] != 0 or r["c"] >= 2).to_pandas()
+        pairs = comb[comb["kind"] == 0].rename(
+            columns={"key": "pair", "c": "sup"})[["pair", "sup"]]
+        items = comb[comb["kind"] == 1].rename(
+            columns={"key": "part"})[["part", "c"]]
+        n_orders = np.int64(comb.loc[comb["kind"] == 2, "c"].sum())
+
+    pairs = pairs[pairs["sup"] >= 2]
+    if len(pairs) == 0:
+        return empty
+    cmap = dict(zip(items["part"].to_numpy(np.int64),
+                    items["c"].to_numpy(np.int64)))
+    pa_ = (pairs["pair"].to_numpy(np.int64) >> PBITS)
+    pb_ = (pairs["pair"].to_numpy(np.int64) & pmask)
+    sup = pairs["sup"].to_numpy(np.int64)
+    ca = np.array([cmap[p] for p in pa_], np.int64)
+    cb = np.array([cmap[p] for p in pb_], np.int64)
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+    out = pd.DataFrame({
+        "part_a": pa_, "part_b": pb_, "support": sup,
+        "conf_a_to_b": r6((1.0 * sup) / ca),
+        "conf_b_to_a": r6((1.0 * sup) / cb),
+        "lift": r6((1.0 * n_orders * sup) / (ca * cb))})
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def events_value_benford(sf_dir: str):
+    """First-significant-digit (Benford) distribution of event values:
+    digit counts and shares over positive amounts — the data-forensics
+    scan.  Leading digits extract vectorized from exact cents (a
+    bounded divide-down loop, ≤ 7 iterations for any int64 cents); the
+    distribution is a 9-row partial-count combine, shares divide the
+    same exact integers the oracle divides."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+    empty = pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        c = c[c > 0]
+        while (c >= 10).any():
+            big = c >= 10
+            c[big] //= 10
+        return pa.table({"digit": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["digit"], count_alias="n", combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("digit").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    share = (1.0 * n) / n.sum()
+    return pd.DataFrame({
+        "digit": agg["digit"].astype("int64"),
+        "n": n,
+        "share": np.floor(share * 1e6 + 0.5) / 1e6 + 0.0})
+
+
+def user_value_autocorr(sf_dir: str):
+    """Lag-1 serial (auto)correlation of each user's event values in
+    (ts, event_id) order — the time-series diagnostics window: per-user
+    consecutive (previous, current) pairs feed the mergeable-moments
+    Pearson closure; users with fewer than 2 pairs drop (corr
+    undefined).  ONE user-keyed bucket exchange; pairs and moments
+    vectorize over the sorted bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         pearson_from_moments)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64"),
+                          "autocorr": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(cents, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.float64)
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        x = np.concatenate([[0.0], c[:-1]])[same]   # prev
+        y = c[same]                                  # cur
+        u = uid[same]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]]))
+        if len(u) == 0:
+            return pd.DataFrame({"user_id": [], "n_pairs": [],
+                                 "autocorr": []})
+        n = np.diff(np.append(starts, len(u)))
+        r = pearson_from_moments(
+            n,
+            np.add.reduceat(y, starts), np.add.reduceat(x, starts),
+            np.add.reduceat(y * x, starts),
+            np.add.reduceat(y * y, starts),
+            np.add.reduceat(x * x, starts))
+        keep = n >= 2
+        r6 = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6 + 0.0
+        return pd.DataFrame({"user_id": u[starts][keep],
+                             "n_pairs": n[keep].astype(np.int64),
+                             "autocorr": r6[keep]})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["user_id"])
+
+
+def customer_rfm_segments(sf_dir: str):
+    """RFM segmentation: per-customer recency (last order date),
+    frequency (order count), monetary (exact cents total) each cut
+    into quintiles (SQL NTILE with deterministic (metric, custkey)
+    order), then the 5×5×5 segment census.  The fact scan reduces to
+    per-customer partials; the three quintile assignments run on the
+    dimension-bounded customer aggregate with the exact-NTILE kernel
+    (util.ntile_assign)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import ntile_assign, partial_group_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"r_score": pd.Series([], dtype="int64"),
+                          "f_score": pd.Series([], dtype="int64"),
+                          "m_score": pd.Series([], dtype="int64"),
+                          "n_customers": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "r": pa.array(d, pa.int64()),
+                         "m": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["o_custkey"], sum_cols=["m"], max_cols=["r"],
+                            count_alias="f", combine="driver")
+    ck = agg["o_custkey"].to_numpy(np.int64)
+    n = len(agg)
+    sizes = np.full(n, n, np.int64)
+
+    def score(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((ck, metric))
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n)
+        return ntile_assign(sizes, ranks, 5)
+
+    seg = pd.DataFrame({
+        "r_score": score(agg["r"].to_numpy(np.int64)),
+        "f_score": score(agg["f"].to_numpy(np.int64)),
+        "m_score": score(agg["m"].to_numpy(np.int64))})
+    out = seg.groupby(["r_score", "f_score", "m_score"]).size() \
+        .rename("n_customers").reset_index()
+    out = out.sort_values(["r_score", "f_score", "m_score"]) \
+        .reset_index(drop=True)
+    return out.astype({"r_score": "int64", "f_score": "int64",
+                       "m_score": "int64", "n_customers": "int64"})
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -8093,6 +8416,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_bitmask": user_event_type_bitmask,
         "returnflag_weighted_median": returnflag_weighted_median,
         "nation_balance_gini": nation_balance_gini,
+        "user_activity_streaks": user_activity_streaks,
+        "order_basket_rules": order_basket_rules,
+        "events_value_benford": events_value_benford,
+        "user_value_autocorr": user_value_autocorr,
+        "customer_rfm_segments": customer_rfm_segments,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -9283,6 +9611,80 @@ def oracle_sql() -> dict[str, str]:
                    max(d)::BIGINT AS max_delay,
                    count(*)::BIGINT AS n_lines
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "user_activity_streaks": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+                       FROM events),
+                 r AS (SELECT user_id, dt,
+                              dt - (row_number() OVER
+                                    (PARTITION BY user_id
+                                     ORDER BY dt))::INT AS grp
+                       FROM d),
+                 s AS (SELECT user_id, count(*) AS len
+                       FROM r GROUP BY user_id, grp)
+            SELECT user_id::BIGINT AS user_id,
+                   sum(len)::BIGINT AS n_active_days,
+                   max(len)::BIGINT AS max_streak
+            FROM s GROUP BY 1 ORDER BY user_id
+        """,
+        "order_basket_rules": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+                 nn AS (SELECT count(DISTINCT o) AS n FROM op),
+                 ic AS (SELECT p, count(*) AS c FROM op GROUP BY 1),
+                 pr AS (SELECT a.p AS pa, b.p AS pb
+                        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+                 s AS (SELECT pa, pb, count(*) AS sup
+                       FROM pr GROUP BY 1, 2)
+            SELECT pa AS part_a, pb AS part_b, sup::BIGINT AS support,
+                   round((1.0*sup)/ca.c, 6) + 0 AS conf_a_to_b,
+                   round((1.0*sup)/cb.c, 6) + 0 AS conf_b_to_a,
+                   round((1.0*nn.n*sup)/(ca.c*cb.c), 6) + 0 AS lift
+            FROM s JOIN ic ca ON ca.p = pa JOIN ic cb ON cb.p = pb
+            CROSS JOIN nn
+            WHERE sup >= 2 ORDER BY pa, pb
+        """,
+        "events_value_benford": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c
+                       FROM events WHERE round(value*100) > 0),
+                 d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1)
+                                   AS BIGINT) AS digit FROM c),
+                 g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+            SELECT digit, n::BIGINT AS n,
+                   round((1.0*n)/(SELECT sum(n) FROM g), 6) + 0 AS share
+            FROM g ORDER BY digit
+        """,
+        "user_value_autocorr": """
+            WITH w AS (SELECT user_id,
+                              CAST(round(value*100) AS BIGINT) AS c,
+                              lag(CAST(round(value*100) AS BIGINT))
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT user_id::BIGINT AS user_id,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(c, prev), 6) + 0 AS autocorr
+            FROM w WHERE prev IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2 ORDER BY user_id
+        """,
+        "customer_rfm_segments": """
+            WITH a AS (SELECT o_custkey, max(o_orderdate) AS r,
+                              count(*) AS f,
+                              sum(CAST(round(o_totalprice*100) AS BIGINT))
+                                AS m
+                       FROM orders GROUP BY 1),
+                 t AS (SELECT o_custkey,
+                              ntile(5) OVER (ORDER BY r, o_custkey)
+                                AS r_score,
+                              ntile(5) OVER (ORDER BY f, o_custkey)
+                                AS f_score,
+                              ntile(5) OVER (ORDER BY m, o_custkey)
+                                AS m_score
+                       FROM a)
+            SELECT r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+                   m_score::BIGINT AS m_score,
+                   count(*)::BIGINT AS n_customers
+            FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "user_value_locf": """
             WITH w AS (SELECT event_id, user_id, ts,

@@ -172,6 +172,11 @@ BENCH_QUERIES = [
     "user_event_type_bitmask",
     "returnflag_weighted_median",
     "nation_balance_gini",
+    "user_activity_streaks",
+    "order_basket_rules",
+    "events_value_benford",
+    "user_value_autocorr",
+    "customer_rfm_segments",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",

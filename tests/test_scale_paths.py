@@ -27,7 +27,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "parts_cosupply_top_pairs", "q8_market_share",
                   "cosupply_triangles", "supplier_bfs_hops",
                   "q9_product_profit", "supplier_degree_histogram",
-                  "q20_promotion_suppliers"]
+                  "q20_promotion_suppliers", "priority_ship_delay",
+                  "order_basket_rules"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
 
 
