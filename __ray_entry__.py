@@ -8209,6 +8209,287 @@ def customer_rfm_segments(sf_dir: str):
                        "m_score": "int64", "n_customers": "int64"})
 
 
+def events_purchase_context(sf_dir: str):
+    """Nearest-neighbor temporal self-join: for every purchase, the
+    user's closest non-purchase event in time (earlier wins ties) —
+    the bidirectional-LOCF nearest join, distinct from the one-sided
+    as-of join.  Per-user forward and backward index fills vectorize
+    over the sorted bucket; the nearest pick compares exact µs deltas
+    exactly as the oracle's CASE does."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "user_id": pd.Series([], dtype="int64"),
+                          "ctx_event_id": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        purch = pc.equal(b.column("event_type"), pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "purch": pa.array(purch, pa.bool_())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        purch = df["purch"].to_numpy(bool)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [],
+                                 "ctx_event_id": []})
+        idx = np.arange(n)
+        ustarts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        usizes = np.diff(np.append(ustarts, n))
+        ustart_of = np.repeat(ustarts, usizes)
+        uend_of = np.repeat(ustarts + usizes - 1, usizes)
+        # forward fill of the last non-purchase index; a fill from an
+        # earlier user lands below the row's user start → invalid
+        prev = np.maximum.accumulate(np.where(~purch, idx, -1))
+        prev_ok = prev >= ustart_of
+        # backward fill of the next non-purchase index, symmetric
+        nxt = np.minimum.accumulate(
+            np.where(~purch, idx, n)[::-1])[::-1]
+        nxt_ok = nxt <= uend_of
+        keep = purch & (prev_ok | nxt_ok)
+        pi = np.clip(prev[keep], 0, n - 1)
+        ni = np.clip(nxt[keep], 0, n - 1)
+        p_ok, n_ok = prev_ok[keep], nxt_ok[keep]
+        t = us[keep]
+        use_prev = p_ok & (~n_ok | (t - us[pi] <= us[ni] - t))
+        ctx = np.where(use_prev, eid[pi], eid[ni])
+        return pd.DataFrame({"event_id": eid[keep],
+                             "user_id": uid[keep],
+                             "ctx_event_id": ctx})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["event_id"])
+
+
+def events_since_purchase_rank(sf_dir: str):
+    """Windowed rank with a reset marker: each event's 1-based position
+    since the user's most recent purchase (a purchase starts its own
+    segment at rank 1) — the count-since-flag window, computed as
+    row_number within (user, running purchase count).  One user-keyed
+    bucket exchange; the segment cumsum and in-segment ranks vectorize
+    over the sorted bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "user_id": pd.Series([], dtype="int64"),
+                          "n_since": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        purch = pc.equal(b.column("event_type"), pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "purch": pa.array(purch, pa.bool_())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        flag = df["purch"].to_numpy(bool).astype(np.int64)
+        n = len(df)
+        idx = np.arange(n)
+        ustarts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        usizes = np.diff(np.append(ustarts, n))
+        cum = np.cumsum(flag)
+        # running purchase count reset per user: subtract the count
+        # accumulated before each user's first row
+        offset = np.repeat(cum[ustarts] - flag[ustarts], usizes)
+        grp = cum - offset
+        # rank within (user, grp): segment starts where user or grp flips
+        seg = np.concatenate([[True], (uid[1:] != uid[:-1]) |
+                              (grp[1:] != grp[:-1])])
+        sstarts = np.flatnonzero(seg)
+        ssizes = np.diff(np.append(sstarts, n))
+        rn = idx - np.repeat(sstarts, ssizes) + 1
+        return pd.DataFrame({"event_id": df["event_id"]
+                             .to_numpy(np.int64),
+                             "user_id": uid,
+                             "n_since": rn.astype(np.int64)})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["event_id"])
+
+
+def part_name_split_counts(sf_dir: str):
+    """Multi-column string split (SPLIT_PART projection): part names
+    decompose into (adjective, noun); the census counts parts and sums
+    exact retail cents per pair.  The split is one vectorized Arrow
+    split_pattern; the aggregate is a bounded partial combine."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "part", ["p_name", "p_retailprice"])
+    empty = pd.DataFrame({"adjective": pd.Series([], dtype="object"),
+                          "noun": pd.Series([], dtype="object"),
+                          "n_parts": pd.Series([], dtype="int64"),
+                          "avg_price": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("p_name"), " ")
+        cents = np.rint(b.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64)
+        return pa.table({
+            "adjective": pc.list_element(parts, 0),
+            "noun": pc.list_element(parts, 1),
+            "c": pa.array(cents, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["adjective", "noun"], sum_cols=["c"],
+                            count_alias="n_parts", combine="driver")
+    agg = agg.sort_values(["adjective", "noun"]).reset_index(drop=True)
+    c = agg["c"].to_numpy(np.int64)
+    n = agg["n_parts"].to_numpy(np.int64)
+    avg = (1.0 * c) / (100 * n)
+    return pd.DataFrame({
+        "adjective": agg["adjective"], "noun": agg["noun"],
+        "n_parts": n,
+        "avg_price": np.floor(avg * 1e6 + 0.5) / 1e6 + 0.0})
+
+
+def orders_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling by global order: rank every
+    order by (date, key) WITHOUT a global sort — the distributed
+    prefix-scan primitive over all-ones values yields each row's
+    1-based global rank — and keep every 97th.  Deterministic,
+    reproducible, and one-pass; the composite (days<<32 | orderkey)
+    key makes ranks unique and oracle-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                          "sample_rank": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array((d << 32) + k, pa.int64()),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    ranked = global_ordered_cumsum(
+        ds.map_batches(pre, batch_format="pyarrow"), "key", "one")
+    if ranked is None:
+        return empty
+
+    def pick(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        key = b.column("key").to_numpy(zero_copy_only=False)
+        keep = (cum - 1) % 97 == 0
+        return pa.table({
+            "o_orderkey": pa.array(key[keep] & np.int64((1 << 32) - 1),
+                                   pa.int64()),
+            "sample_rank": pa.array(cum[keep], pa.int64())})
+
+    return _det_sort(ranked.map_batches(pick, batch_format="pyarrow"),
+                     ["o_orderkey"])
+
+
+def nation_share_of_parent(sf_dir: str):
+    """Ratio-to-parent hierarchical report: each nation's order revenue
+    as a share of its region, and each region's share of the world —
+    the multi-level percent-of-parent BI op from ONE fact scan (exact
+    cents partials per nation; both share levels close on the driver
+    over the dimension-bounded aggregate with the oracle's exact
+    integer operands)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    nations = _read(sf_dir, "nation").take_all()
+    nat2name = {r["n_nationkey"]: r["n_name"] for r in nations}
+    nat2reg = {r["n_nationkey"]: region[r["n_regionkey"]] for r in nations}
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({
+        "r_name": pd.Series([], dtype="object"),
+        "n_name": pd.Series([], dtype="object"),
+        "revenue": pd.Series([], dtype="float64"),
+        "share_of_region": pd.Series([], dtype="float64"),
+        "region_share_of_total": pd.Series([], dtype="float64")})
+    if orders.count() == 0 or cust.count() == 0:
+        return empty
+
+    from elevant_ray.stages.util import np_columns
+
+    c = np_columns(cust, ["c_custkey", "c_nationkey"])
+    cmap = IntKeyMap(c["c_custkey"].astype(np.int64),
+                     c["c_nationkey"].astype(np.int64))
+
+    def pre(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64)
+        nk = cmap.take_checked(ck)
+        return pa.table({"nk": pa.array(nk, pa.int64()),
+                         "c": pa.array(cents, pa.int64())})
+
+    agg = partial_group_agg(orders.map_batches(pre, batch_format="pyarrow"),
+                            ["nk"], sum_cols=["c"], combine="driver")
+    agg["r_name"] = [nat2reg[k] for k in agg["nk"]]
+    agg["n_name"] = [nat2name[k] for k in agg["nk"]]
+    reg_tot = agg.groupby("r_name")["c"].transform("sum")
+    total = np.int64(agg["c"].sum())
+    c = agg["c"].to_numpy(np.int64)
+
+    def r6(x):
+        return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x) + 0.0
+
+    out = pd.DataFrame({
+        "r_name": agg["r_name"], "n_name": agg["n_name"],
+        # cents sums stay < 2^53, so the /100 division is exact-operand
+        # float arithmetic identical to the oracle's BIGINT/100.0
+        "revenue": c / 100.0,
+        "share_of_region": r6((1.0 * c) / reg_tot.to_numpy(np.int64)),
+        "region_share_of_total": r6(
+            (1.0 * reg_tot.to_numpy(np.int64)) / total)})
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -8421,6 +8702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_benford": events_value_benford,
         "user_value_autocorr": user_value_autocorr,
         "customer_rfm_segments": customer_rfm_segments,
+        "events_purchase_context": events_purchase_context,
+        "events_since_purchase_rank": events_since_purchase_rank,
+        "part_name_split_counts": part_name_split_counts,
+        "orders_systematic_sample": orders_systematic_sample,
+        "nation_share_of_parent": nation_share_of_parent,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -9611,6 +9897,85 @@ def oracle_sql() -> dict[str, str]:
                    max(d)::BIGINT AS max_delay,
                    count(*)::BIGINT AS n_lines
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "events_purchase_context": """
+            WITH w AS (SELECT event_id, user_id, ts, event_type,
+                              lag(CASE WHEN event_type <> 'purchase'
+                                       THEN event_id END IGNORE NULLS)
+                                OVER uw AS pid,
+                              lag(CASE WHEN event_type <> 'purchase'
+                                       THEN ts END IGNORE NULLS)
+                                OVER uw AS pts,
+                              lead(CASE WHEN event_type <> 'purchase'
+                                        THEN event_id END IGNORE NULLS)
+                                OVER uw AS nid,
+                              lead(CASE WHEN event_type <> 'purchase'
+                                        THEN ts END IGNORE NULLS)
+                                OVER uw AS nts
+                       FROM events
+                       WINDOW uw AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+            SELECT event_id, user_id::BIGINT AS user_id,
+                   CASE WHEN nid IS NULL THEN pid
+                        WHEN pid IS NULL THEN nid
+                        WHEN date_diff('microsecond', pts, ts)
+                             <= date_diff('microsecond', ts, nts)
+                          THEN pid
+                        ELSE nid END AS ctx_event_id
+            FROM w
+            WHERE event_type = 'purchase'
+              AND (pid IS NOT NULL OR nid IS NOT NULL)
+            ORDER BY event_id
+        """,
+        "events_since_purchase_rank": """
+            WITH g AS (SELECT event_id, user_id, ts,
+                              sum(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                       FROM events)
+            SELECT event_id, user_id::BIGINT AS user_id,
+                   row_number() OVER (PARTITION BY user_id, grp
+                                      ORDER BY ts, event_id)::BIGINT
+                     AS n_since
+            FROM g ORDER BY event_id
+        """,
+        "part_name_split_counts": """
+            WITH s AS (SELECT split_part(p_name, ' ', 1) AS adjective,
+                              split_part(p_name, ' ', 2) AS noun,
+                              CAST(round(p_retailprice*100) AS BIGINT)
+                                AS c
+                       FROM part)
+            SELECT adjective, noun, count(*)::BIGINT AS n_parts,
+                   round((1.0*sum(c))/(100*count(*)), 6) + 0 AS avg_price
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "orders_systematic_sample": """
+            WITH r AS (SELECT o_orderkey,
+                              row_number() OVER (ORDER BY o_orderdate,
+                                                 o_orderkey) AS rn
+                       FROM orders)
+            SELECT o_orderkey, rn::BIGINT AS sample_rank
+            FROM r WHERE (rn - 1) % 97 = 0 ORDER BY o_orderkey
+        """,
+        "nation_share_of_parent": """
+            WITH f AS (SELECT n_nationkey, n_name, r_name,
+                              sum(CAST(round(o_totalprice*100) AS BIGINT))
+                                ::BIGINT AS c
+                       FROM orders
+                       JOIN customer ON c_custkey = o_custkey
+                       JOIN nation ON n_nationkey = c_nationkey
+                       JOIN region ON r_regionkey = n_regionkey
+                       GROUP BY 1, 2, 3),
+                 r AS (SELECT *,
+                              sum(c) OVER (PARTITION BY r_name) AS rc,
+                              sum(c) OVER () AS tc
+                       FROM f)
+            SELECT r_name, n_name, c/100.0 AS revenue,
+                   round((1.0*c)/rc, 6) + 0 AS share_of_region,
+                   round((1.0*rc)/tc, 6) + 0 AS region_share_of_total
+            FROM r ORDER BY r_name, n_name
         """,
         "user_activity_streaks": """
             WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt

@@ -177,6 +177,11 @@ BENCH_QUERIES = [
     "events_value_benford",
     "user_value_autocorr",
     "customer_rfm_segments",
+    "events_purchase_context",
+    "events_since_purchase_rank",
+    "part_name_split_counts",
+    "orders_systematic_sample",
+    "nation_share_of_parent",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
