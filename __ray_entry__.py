@@ -8490,6 +8490,278 @@ def nation_share_of_parent(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+def signup_purchase_conversion(sf_dir: str):
+    """Attribution-window conversion: users whose first purchase lands
+    within 7 days of their first signup, bucketed by whole-day offset —
+    the time-bounded funnel.  Per-user firsts close inside ONE
+    user-keyed bucket exchange (min-reductions over the sorted bucket);
+    the day-offset histogram is an 8-row combine."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    empty = pd.DataFrame({"day_offset": pd.Series([], dtype="int64"),
+                          "n_users": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    DAY_US = 86_400_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.column("event_type")
+        keep = pc.or_(pc.equal(t, pa.scalar("signup")),
+                      pc.equal(t, pa.scalar("purchase")))
+        b = b.filter(keep)
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "us": pa.array(us, pa.int64()),
+                         "is_signup": pc.equal(b.column("event_type"),
+                                               pa.scalar("signup"))})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        sign = df[df["is_signup"]].groupby("user_id")["us"].min()
+        pur = df[~df["is_signup"]]
+        j = pur.merge(sign.rename("st"), left_on="user_id",
+                      right_index=True)
+        j = j[j["us"] >= j["st"]]
+        if len(j) == 0:
+            return pd.DataFrame({"day_offset": pd.Series([], "int64"),
+                                 "nu": pd.Series([], "int64")})
+        first = j.groupby("user_id").agg(pt=("us", "min"),
+                                         st=("st", "first"))
+        off = (first["pt"].to_numpy(np.int64)
+               - first["st"].to_numpy(np.int64)) // DAY_US
+        off = off[off <= 7]
+        d, c = np.unique(off, return_counts=True)
+        return pd.DataFrame({"day_offset": d, "nu": c.astype(np.int64)})
+
+    agg = partial_group_agg(
+        bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                             "user_id", per_user),
+        ["day_offset"], sum_cols=["nu"], combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("day_offset").reset_index(drop=True)
+    return pd.DataFrame({"day_offset": agg["day_offset"].astype("int64"),
+                         "n_users": agg["nu"].astype("int64")})
+
+
+def events_rolling_median5(sf_dir: str):
+    """Rolling order statistic: the median of each user's last ≤5
+    event values in (ts, event_id) order — the windowed-median frame
+    (ROWS 4 PRECEDING), an aggregate-as-window shape the plain moving
+    average can't express.  Per-user grouped rolling medians vectorize
+    inside ONE bucket exchange; integer cents make the interpolated
+    midpoints (x.0 / x.5) exact on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "user_id": pd.Series([], dtype="int64"),
+                          "med5": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(cents, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        med = df.groupby("user_id", sort=False)["c"] \
+            .rolling(5, min_periods=1).median() \
+            .reset_index(level=0, drop=True)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "med5": med.to_numpy(np.float64) / 100.0})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["event_id"])
+
+
+def nation_segment_welch_t(sf_dir: str):
+    """Two-sample Welch's t statistic per nation between BUILDING and
+    MACHINERY customer balances — the distributed hypothesis-test shape:
+    per-(nation, segment) exact integer moment partials (n, Σc, Σc²)
+    from one scan, the t closure on the driver in the identical float
+    expression the oracle evaluates (Σc² stays < 2^53 through sf1;
+    beyond that the cents domain would need a scale-down)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "n_a": pd.Series([], dtype="int64"),
+                          "n_b": pd.Series([], dtype="int64"),
+                          "welch_t": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        seg = b.column("c_mktsegment")
+        keep = pc.or_(pc.equal(seg, pa.scalar("BUILDING")),
+                      pc.equal(seg, pa.scalar("MACHINERY")))
+        b = b.filter(keep)
+        c = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"nk": pc.cast(b.column("c_nationkey"), pa.int64()),
+                         "seg": b.column("c_mktsegment"),
+                         "sc": pa.array(c, pa.int64()),
+                         "scc": pa.array(c * c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["nk", "seg"], sum_cols=["sc", "scc"],
+                            count_alias="n", combine="driver")
+    if agg.empty:
+        return empty
+    piv = agg.pivot(index="nk", columns="seg",
+                    values=["n", "sc", "scc"])
+    rows = []
+    for nk, r in piv.iterrows():
+        na = r.get(("n", "BUILDING"), np.nan)
+        nb = r.get(("n", "MACHINERY"), np.nan)
+        if not (na >= 2 and nb >= 2):
+            continue
+        na, nb = int(na), int(nb)
+        sa, sb = int(r[("sc", "BUILDING")]), int(r[("sc", "MACHINERY")])
+        qa, qb = int(r[("scc", "BUILDING")]), int(r[("scc", "MACHINERY")])
+        # identical float expression as the oracle, from exact ints
+        ma, mb = (1.0 * sa) / na, (1.0 * sb) / nb
+        va = (qa - (1.0 * sa / na) * sa) / (na - 1)
+        vb = (qb - (1.0 * sb / nb) * sb) / (nb - 1)
+        t = (ma - mb) / np.sqrt(va / na + vb / nb)
+        t6 = float(np.sign(t) * np.floor(np.abs(t) * 1e6 + 0.5) / 1e6) + 0.0
+        rows.append((nation[int(nk)], na, nb, t6))
+    out = pd.DataFrame(rows, columns=["n_name", "n_a", "n_b", "welch_t"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def user_value_ewma(sf_dir: str):
+    """Exponentially weighted moving average (α = 0.2) of each user's
+    event values, final smoothed level per user — the sequential
+    recurrence sₜ = 0.8·sₜ₋₁ + 0.2·xₜ seeded at the first value.  The
+    recurrence is order-dependent by definition, so the kernel applies
+    it sequentially per user (users vectorize across the bucket; the
+    oracle's list_reduce evaluates the identical float chain)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "ewma": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(cents, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        v = df["c"].to_numpy(np.int64) / 100.0
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        ends = np.append(starts[1:], len(uid))
+        out_u, out_n, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            acc = v[s]
+            for x in v[s + 1:e]:
+                acc = 0.8 * acc + 0.2 * x
+            out_u.append(uid[s])
+            out_n.append(e - s)
+            out_e.append(
+                float(np.sign(acc) * np.floor(abs(acc) * 1e6 + 0.5) / 1e6)
+                + 0.0)
+        return pd.DataFrame({"user_id": np.array(out_u, np.int64),
+                             "n_events": np.array(out_n, np.int64),
+                             "ewma": np.array(out_e, np.float64)})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_user)
+    return _det_sort(as_arrow(out), ["user_id"])
+
+
+def customer_decile_concentration(sf_dir: str):
+    """Revenue concentration by customer decile: customers ranked into
+    NTILE(10) by lifetime spend (deterministic (spend, custkey) order),
+    each decile's headcount, exact revenue, and share of total — the
+    concentration-curve BI report over a dimension-bounded aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import ntile_assign, partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"decile": pd.Series([], dtype="int64"),
+                          "n_customers": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "share": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["o_custkey"], sum_cols=["c"],
+                            combine="driver")
+    ck = agg["o_custkey"].to_numpy(np.int64)
+    m = agg["c"].to_numpy(np.int64)
+    n = len(agg)
+    order = np.lexsort((ck, m))
+    ranks = np.empty(n, np.int64)
+    ranks[order] = np.arange(n)
+    dec = ntile_assign(np.full(n, n, np.int64), ranks, 10)
+    df = pd.DataFrame({"decile": dec, "c": m})
+    g = df.groupby("decile").agg(n_customers=("c", "size"),
+                                 cc=("c", "sum")).reset_index()
+    tot = np.int64(m.sum())
+    cc = g["cc"].to_numpy(np.int64)
+    share = (1.0 * cc) / tot
+    return pd.DataFrame({
+        "decile": g["decile"].astype("int64"),
+        "n_customers": g["n_customers"].astype("int64"),
+        "revenue": cc / 100.0,
+        "share": np.floor(share * 1e6 + 0.5) / 1e6 + 0.0}) \
+        .sort_values("decile").reset_index(drop=True)
+
+
 def purchase_followup_counts(sf_dir: str):
     """Keyed interval join between two event streams: for each
     'purchase' event, how many events (any type) the same user emitted
@@ -8707,6 +8979,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_split_counts": part_name_split_counts,
         "orders_systematic_sample": orders_systematic_sample,
         "nation_share_of_parent": nation_share_of_parent,
+        "signup_purchase_conversion": signup_purchase_conversion,
+        "events_rolling_median5": events_rolling_median5,
+        "nation_segment_welch_t": nation_segment_welch_t,
+        "user_value_ewma": user_value_ewma,
+        "customer_decile_concentration": customer_decile_concentration,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -9897,6 +10174,85 @@ def oracle_sql() -> dict[str, str]:
                    max(d)::BIGINT AS max_delay,
                    count(*)::BIGINT AS n_lines
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "signup_purchase_conversion": """
+            WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                       WHERE event_type = 'signup' GROUP BY 1),
+                 p AS (SELECT e.user_id, min(e.ts) AS pt
+                       FROM events e JOIN s ON e.user_id = s.user_id
+                                         AND e.ts >= s.st
+                       WHERE e.event_type = 'purchase' GROUP BY 1),
+                 j AS (SELECT (epoch_us(pt) - epoch_us(st))
+                                // 86400000000 AS day_offset
+                       FROM p JOIN s ON p.user_id = s.user_id)
+            SELECT day_offset::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM j WHERE day_offset <= 7
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_rolling_median5": """
+            WITH c AS (SELECT event_id, user_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events)
+            SELECT event_id, user_id::BIGINT AS user_id,
+                   (median(c) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS 4 PRECEDING)) / 100.0 AS med5
+            FROM c ORDER BY event_id
+        """,
+        "nation_segment_welch_t": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS c
+                       FROM customer
+                       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+                 a AS (SELECT c_nationkey, c_mktsegment,
+                              count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS sc,
+                              sum(c*c)::BIGINT AS scc
+                       FROM c GROUP BY 1, 2),
+                 p AS (SELECT x.c_nationkey,
+                              x.n AS na, x.sc AS sa, x.scc AS qa,
+                              y.n AS nb, y.sc AS sb, y.scc AS qb
+                       FROM a x JOIN a y USING (c_nationkey)
+                       WHERE x.c_mktsegment = 'BUILDING'
+                         AND y.c_mktsegment = 'MACHINERY'
+                         AND x.n >= 2 AND y.n >= 2)
+            SELECT n_name, na AS n_a, nb AS n_b,
+                   round(((1.0*sa)/na - (1.0*sb)/nb) /
+                         sqrt(((qa - (1.0*sa/na)*sa)/(na-1))/na +
+                              ((qb - (1.0*sb/nb)*sb)/(nb-1))/nb), 6) + 0
+                     AS welch_t
+            FROM p JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY n_name
+        """,
+        "user_value_ewma": """
+            WITH o AS (SELECT user_id,
+                              CAST(round(value*100) AS BIGINT)/100.0 AS v,
+                              ts, event_id
+                       FROM events),
+                 l AS (SELECT user_id,
+                              list(v ORDER BY ts, event_id) AS vs
+                       FROM o GROUP BY 1)
+            SELECT user_id::BIGINT AS user_id,
+                   len(vs)::BIGINT AS n_events,
+                   round(list_reduce(vs, (acc, x) -> 0.8*acc + 0.2*x), 6)
+                     + 0 AS ewma
+            FROM l ORDER BY user_id
+        """,
+        "customer_decile_concentration": """
+            WITH a AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice*100) AS BIGINT))
+                                ::BIGINT AS c
+                       FROM orders GROUP BY 1),
+                 t AS (SELECT c, ntile(10) OVER (ORDER BY c, o_custkey)
+                                AS decile
+                       FROM a)
+            SELECT decile::BIGINT AS decile,
+                   count(*)::BIGINT AS n_customers,
+                   sum(c)::BIGINT/100.0 AS revenue,
+                   round((1.0*sum(c))/(SELECT sum(c) FROM a), 6) + 0
+                     AS share
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "events_purchase_context": """
             WITH w AS (SELECT event_id, user_id, ts, event_type,

@@ -182,6 +182,11 @@ BENCH_QUERIES = [
     "part_name_split_counts",
     "orders_systematic_sample",
     "nation_share_of_parent",
+    "signup_purchase_conversion",
+    "events_rolling_median5",
+    "nation_segment_welch_t",
+    "user_value_ewma",
+    "customer_decile_concentration",
     "purchase_followup_counts",
     "users_new_cumulative",
     "extract_pages",
