@@ -8852,6 +8852,268 @@ def users_new_cumulative(sf_dir: str):
         "cum_users": np.cumsum(new)})
 
 
+def _event_type_histogram(sf_dir: str, type_a: str, type_b: str):
+    """Shared kernel for the two-sample tests: the (cents-value →
+    per-type count) histogram of two event types, combined on the
+    driver in value order.  One scan, per-batch Arrow group_by
+    partials; the driver holds only distinct-value rows (the
+    histogram-reduction shape of doc_token_mad).  Returns a pandas
+    frame (c, a, b) sorted by c, or None when either sample is empty."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.column("event_type")
+        keep = pc.or_(pc.equal(t, pa.scalar(type_a)),
+                      pc.equal(t, pa.scalar(type_b)))
+        b = b.filter(keep)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        is_a = pc.equal(b.column("event_type"), pa.scalar(type_a))
+        a = is_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(1 - a, pa.int64())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["c"], sum_cols=["a", "b"], combine="driver")
+    if h.empty or h["a"].sum() == 0 or h["b"].sum() == 0:
+        return None
+    return h.sort_values("c").reset_index(drop=True)
+
+
+def events_value_ks(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events.  D =
+    max |F₁(x) − F₂(x)| over the pooled support, computed EXACTLY as a
+    rational: max |ca·n₂ − cb·n₁| / (n₁·n₂) from cumulative histogram
+    counts — the float division happens once, on integers both sides
+    agree on.  Distribution-shift detection for training-data streams."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"n_click": pd.Series([], dtype="int64"),
+                          "n_purchase": pd.Series([], dtype="int64"),
+                          "ks_num": pd.Series([], dtype="int64"),
+                          "ks_stat": pd.Series([], dtype="float64")})
+    h = _event_type_histogram(sf_dir, "click", "purchase")
+    if h is None:
+        return empty
+    ca = h["a"].to_numpy(np.int64).cumsum()
+    cb = h["b"].to_numpy(np.int64).cumsum()
+    n1, n2 = int(ca[-1]), int(cb[-1])
+    num = int(np.abs(ca * n2 - cb * n1).max())
+    stat = np.floor((1.0 * num) / (n1 * n2) * 1e6 + 0.5) / 1e6 + 0.0
+    return pd.DataFrame({"n_click": [n1], "n_purchase": [n2],
+                         "ks_num": [num], "ks_stat": [stat]})
+
+
+def events_mannwhitney_u(sf_dir: str):
+    """Mann–Whitney U (rank-sum) test statistic between 'click' and
+    'purchase' event values, with midrank tie handling — from the same
+    one-scan value histogram as the KS test.  2·R₁ stays integer
+    (2·avg-rank of a tied value = 2·count-before + tie-size + 1), so
+    U = (2R₁ − n₁(n₁+1))/2 is exact to the half — no float rank sums."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"n_click": pd.Series([], dtype="int64"),
+                          "n_purchase": pd.Series([], dtype="int64"),
+                          "u2": pd.Series([], dtype="int64"),
+                          "u": pd.Series([], dtype="float64")})
+    h = _event_type_histogram(sf_dir, "click", "purchase")
+    if h is None:
+        return empty
+    a = h["a"].to_numpy(np.int64)
+    b = h["b"].to_numpy(np.int64)
+    cnt = a + b
+    before = np.concatenate([[0], cnt.cumsum()[:-1]])
+    n1, n2 = int(a.sum()), int(b.sum())
+    r2 = int((a * (2 * before + cnt + 1)).sum())  # 2·R1, exact
+    u2 = r2 - n1 * (n1 + 1)
+    return pd.DataFrame({"n_click": [n1], "n_purchase": [n2],
+                         "u2": [np.int64(u2)], "u": [u2 / 2.0]})
+
+
+def user_modal_hour(sf_dir: str):
+    """Each user's modal hour-of-day (most events; ties → smallest
+    hour) — the grouped-mode operator.  Two partial-pushed exchanges,
+    both at bounded cardinality: (user, hour) counts, then a per-user
+    max over the composite count·64 + (63 − hour) — the argmax rides
+    the aggregate, no per-user sort or row_number pass."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "modal_hour": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    HOUR_US = 3_600_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "hr": pa.array((us // HOUR_US) % 24, pa.int64())})
+
+    counts = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                               ["user_id", "hr"], count_alias="n",
+                               combine="dataset")
+
+    def to_comp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64())})
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = b.column("hr").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "comp": pa.array(n * 64 + (63 - hr), pa.int64())})
+
+    best = partial_group_agg(counts.map_batches(to_comp,
+                                                batch_format="pyarrow"),
+                             ["user_id"], max_cols=["comp"],
+                             combine="driver")
+    comp = best["comp"].to_numpy(np.int64)
+    return pd.DataFrame({"user_id": best["user_id"].astype("int64"),
+                         "modal_hour": 63 - comp % 64,
+                         "n": comp // 64}) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def user_value_cusum(sf_dir: str):
+    """Per-user CUSUM change detection: Sₜ = max(0, Sₜ₋₁ + (xₜ − μ))
+    over the user's event values in time order, counting alarms where
+    Sₜ exceeds $250.  The recurrence closes WITHOUT sequential state via
+    the prefix identity Sₜ = Cₜ − min(0, min_{j≤t} Cⱼ); scaling by the
+    user's n keeps everything integer (n·(x−μ) = n·c − Σc in cents), so
+    the alarm predicate is exact: S'ₜ > n·25000.  One user-keyed
+    shuffle; cumsum/cummin are vectorized pandas group scans."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    THRESH_C = 25_000  # $250 in cents
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_alarms": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)["c"]
+        n = grp.transform("size").to_numpy(np.int64)
+        sc = grp.transform("sum").to_numpy(np.int64)
+        d = pd.Series(n * g["c"].to_numpy(np.int64) - sc,
+                      index=g.index)
+        cum = d.groupby(g["user_id"], sort=False).cumsum()
+        runmin = cum.groupby(g["user_id"], sort=False).cummin() \
+            .clip(upper=0)
+        alarm = (cum - runmin) > n * THRESH_C
+        res = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                            "alarm": alarm.to_numpy()})
+        agg = res.groupby("user_id", sort=False).agg(
+            n_events=("alarm", "size"), n_alarms=("alarm", "sum"))
+        return agg.reset_index().astype({"n_events": "int64",
+                                         "n_alarms": "int64"})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "user_id")
+
+
+def docs_weighted_sample(sf_dir: str):
+    """Weighted systematic sampling of the corpus (k = 50 draws,
+    weight = token count) — the deterministic mixture-sampling
+    primitive of training-data curation.  Each doc owns the cumulative
+    token interval [cum−w, cum) in doc_id order; draw i lands at
+    position (2i+1)·W/(2k), and a doc's multiplicity is f(cum) −
+    f(cum−w) with f(x) = clamp(⌈(2k·x − W)/(2W)⌉, 0, k) — all integer
+    arithmetic, both sides identical.  The global prefix sum is the
+    distributed scan (util.global_ordered_cumsum), not a sort."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    K2 = 100  # 2k, k = 50 draws
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "weight": pd.Series([], dtype="int64"),
+                          "times_selected": pd.Series([], dtype="int64")})
+
+    def tok(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        n = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "w": pa.array(n, pa.int64())})
+
+    # token counts feed two passes (total weight + prefix scan):
+    # materialize the tiny two-int-column projection once
+    tokds = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    cum = global_ordered_cumsum(tokds, "doc_id", "w")
+    if cum is None:
+        return empty
+    W = 0
+    for b in tokds.select_columns(["w"]).iter_batches(
+            batch_format="pyarrow"):
+        W += int(pc.sum(b.column("w")).as_py() or 0)
+    if W == 0:
+        return empty
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64()),
+                             "times_selected": pa.array([], pa.int64())})
+        c = np.asarray(b.column("cum").to_numpy(zero_copy_only=False),
+                       np.int64)
+        w = np.asarray(b.column("w").to_numpy(zero_copy_only=False),
+                       np.int64)
+
+        def f(x):
+            return np.clip((K2 * x + W - 1) // (2 * W), 0, K2 // 2)
+
+        times = f(c) - f(c - w)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "weight": pa.array(w, pa.int64()),
+                      "times_selected": pa.array(times, pa.int64())})
+        return t.filter(pc.greater_equal(t.column("times_selected"),
+                                         pa.scalar(1)))
+
+    from elevant_ray.stages.util import as_arrow
+
+    return _det_sort(as_arrow(cum).map_batches(pick,
+                                               batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -8984,6 +9246,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segment_welch_t": nation_segment_welch_t,
         "user_value_ewma": user_value_ewma,
         "customer_decile_concentration": customer_decile_concentration,
+        "events_value_ks": events_value_ks,
+        "events_mannwhitney_u": events_mannwhitney_u,
+        "user_modal_hour": user_modal_hour,
+        "user_value_cusum": user_value_cusum,
+        "docs_weighted_sample": docs_weighted_sample,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -11084,6 +11351,115 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
             ORDER BY 1, 2
+        """,
+        "events_value_ks": """
+            WITH v AS (SELECT event_type AS t,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 h AS (SELECT c,
+                              count(*) FILTER (WHERE t = 'click')
+                                ::BIGINT AS a,
+                              count(*) FILTER (WHERE t = 'purchase')
+                                ::BIGINT AS b
+                       FROM v GROUP BY 1),
+                 e AS (SELECT CAST(sum(a) OVER (ORDER BY c
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+                              CAST(sum(b) OVER (ORDER BY c
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+                       FROM h),
+                 n AS (SELECT sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2
+                       FROM h)
+            SELECT n1 AS n_click, n2 AS n_purchase,
+                   max(abs(ca*n2 - cb*n1))::BIGINT AS ks_num,
+                   round((1.0*max(abs(ca*n2 - cb*n1)))/(n1*n2), 6) + 0
+                     AS ks_stat
+            FROM e, n GROUP BY n1, n2
+            HAVING n1 > 0 AND n2 > 0
+        """,
+        "events_mannwhitney_u": """
+            WITH v AS (SELECT event_type AS t,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 h AS (SELECT c,
+                              count(*) FILTER (WHERE t = 'click')
+                                ::BIGINT AS a,
+                              count(*) FILTER (WHERE t = 'purchase')
+                                ::BIGINT AS b
+                       FROM v GROUP BY 1),
+                 e AS (SELECT a, b,
+                              CAST(coalesce(sum(a + b) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS before
+                       FROM h),
+                 n AS (SELECT sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2
+                       FROM h)
+            SELECT n1 AS n_click, n2 AS n_purchase,
+                   (sum(a*(2*before + a + b + 1))::BIGINT
+                      - n1*(n1 + 1))::BIGINT AS u2,
+                   (1.0*(sum(a*(2*before + a + b + 1))::BIGINT
+                      - n1*(n1 + 1)))/2 AS u
+            FROM e, n GROUP BY n1, n2
+            HAVING n1 > 0 AND n2 > 0
+        """,
+        "user_modal_hour": """
+            WITH h AS (SELECT user_id,
+                              CAST(hour(ts) AS BIGINT) AS hr,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT user_id, hr, n,
+                              row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, hr) AS rn
+                       FROM h)
+            SELECT user_id::BIGINT AS user_id, hr AS modal_hour, n
+            FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "user_value_cusum": """
+            WITH o AS (SELECT user_id, event_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 s AS (SELECT user_id, count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS sc
+                       FROM o GROUP BY 1),
+                 w AS (SELECT o.user_id, n, ts, event_id,
+                              CAST(sum(n*c - sc) OVER (
+                                PARTITION BY o.user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM o JOIN s USING (user_id)),
+                 m AS (SELECT user_id, n, cum,
+                              least(0, CAST(min(cum) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT))
+                                AS runmin
+                       FROM w)
+            SELECT user_id::BIGINT AS user_id, n AS n_events,
+                   count(*) FILTER (WHERE cum - runmin > n*25000)
+                     ::BIGINT AS n_alarms
+            FROM m GROUP BY user_id, n ORDER BY user_id
+        """,
+        "docs_weighted_sample": """
+            WITH t AS (SELECT doc_id,
+                              length(regexp_extract_all(text, '\\S+'))
+                                ::BIGINT AS w
+                       FROM documents),
+                 c AS (SELECT doc_id, w,
+                              CAST(sum(w) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM t),
+                 g AS (SELECT sum(w)::BIGINT AS tw FROM t),
+                 s AS (SELECT doc_id, w,
+                              greatest(0, least(50,
+                                  (100*cum + tw - 1) // (2*tw)))
+                              - greatest(0, least(50,
+                                  (100*(cum - w) + tw - 1) // (2*tw)))
+                                AS times
+                       FROM c, g WHERE tw > 0)
+            SELECT doc_id::BIGINT AS doc_id, w AS weight,
+                   times::BIGINT AS times_selected
+            FROM s WHERE times >= 1 ORDER BY doc_id
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -189,6 +189,11 @@ BENCH_QUERIES = [
     "customer_decile_concentration",
     "purchase_followup_counts",
     "users_new_cumulative",
+    "events_value_ks",
+    "events_mannwhitney_u",
+    "user_modal_hour",
+    "user_value_cusum",
+    "docs_weighted_sample",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
