@@ -9114,6 +9114,326 @@ def docs_weighted_sample(sf_dir: str):
                      "doc_id")
 
 
+def events_type_anova(sf_dir: str):
+    """One-way ANOVA F statistic of event value across ALL event types
+    (the k-group generalization of the Welch shape): per-type exact
+    integer moment partials (n, Σc, Σc²) from one scan, the
+    between/within sum-of-squares closure on the driver in the
+    identical float expression the oracle evaluates.  Σc² stays below
+    2^53 through sf10 at this value scale."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    empty = pd.DataFrame({"k_groups": pd.Series([], dtype="int64"),
+                          "n_total": pd.Series([], dtype="int64"),
+                          "f_stat": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "s": pa.array(c, pa.int64()),
+                         "q": pa.array(c * c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["event_type"], sum_cols=["s", "q"],
+                          count_alias="n", combine="driver")
+    if g.empty:
+        return empty
+    g = g.sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    q = g["q"].to_numpy(np.int64)
+    k, nn, gg = len(g), int(n.sum()), int(s.sum())
+    if k < 2 or nn <= k:
+        return empty
+    # identical float expression as the oracle ((1.0·s)·s avoids the
+    # int64 s² overflow both sides)
+    ssb = float(((1.0 * s) * s / n).sum()) - ((1.0 * gg) * gg) / nn
+    ssw = float((1.0 * q - ((1.0 * s) * s) / n).sum())
+    if not ssw > 0:
+        return empty
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    f6 = float(np.sign(f) * np.floor(np.abs(f) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"k_groups": [np.int64(k)],
+                         "n_total": [np.int64(nn)], "f_stat": [f6]})
+
+
+def orders_ship_busdays(sf_dir: str):
+    """Business days (Mon–Fri) between order date and ship date,
+    aggregated per return flag — calendar arithmetic over a fact-fact
+    join.  busdays(a, b) = f(b) − f(a) with f(d) = 5·⌊(d+3)/7⌋ +
+    min((d+3) mod 7, 5) on epoch days (the +3 aligns Monday to 0), an
+    all-integer closed form both sides evaluate identically — no
+    per-row calendar walk.  The orders side folds into the lineitem
+    scan as a broadcast key→day lookup under the cutoff, co-group join
+    beyond (the q8/q9 gating)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join,
+                                         np_columns, partial_group_agg,
+                                         scale_cutoff)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_shipdate", "l_returnflag"])
+    empty = pd.DataFrame({"l_returnflag": pd.Series([], dtype="object"),
+                          "n_lines": pd.Series([], dtype="int64"),
+                          "total_busdays": pd.Series([], dtype="int64"),
+                          "avg_busdays": pd.Series([], dtype="float64")})
+    if line.count() == 0 or orders.count() == 0:
+        return empty
+
+    def wdays(d):
+        # weekdays strictly before epoch-day d (1970-01-01 is Thursday)
+        return 5 * ((d + 3) // 7) + np.minimum((d + 3) % 7, 5)
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        o = np_columns(orders, ["o_orderkey", "o_orderdate"])
+        od = o["o_orderdate"].astype("datetime64[D]").astype(np.int64)
+        omap = IntKeyMap(o["o_orderkey"], od)
+
+        def fold(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            odv, found = omap.take(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            bus = wdays(sd) - wdays(np.asarray(odv, np.int64))
+            return pa.table({"l_returnflag": b.column("l_returnflag"),
+                             "busdays": pa.array(bus, pa.int64())}) \
+                .filter(pa.array(found))
+
+        bd = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def l_pre(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            return pa.table({"l_orderkey": b.column("l_orderkey"),
+                             "sd": pa.array(sd, pa.int64()),
+                             "l_returnflag": b.column("l_returnflag")})
+
+        def o_pre(b: pa.Table) -> pa.Table:
+            od = b.column("o_orderdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            return pa.table({"l_orderkey": b.column("o_orderkey"),
+                             "od": pa.array(od, pa.int64())})
+
+        j = cogroup_join(
+            line.map_batches(l_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("sd", pa.int64()),
+                                   ("l_returnflag", pa.string())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("od", pa.int64())]))
+
+        def fin(b: pa.Table) -> pa.Table:
+            sd = b.column("sd").to_numpy(zero_copy_only=False)
+            od = b.column("od").to_numpy(zero_copy_only=False)
+            return pa.table({"l_returnflag": b.column("l_returnflag"),
+                             "busdays": pa.array(wdays(sd) - wdays(od),
+                                                 pa.int64())})
+
+        bd = j.map_batches(fin, batch_format="pyarrow")
+
+    agg = partial_group_agg(bd, ["l_returnflag"], sum_cols=["busdays"],
+                            count_alias="n_lines", combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("l_returnflag").reset_index(drop=True)
+    tot = agg["busdays"].to_numpy(np.int64)
+    nl = agg["n_lines"].to_numpy(np.int64)
+    avg = (1.0 * tot) / nl
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n_lines": nl,
+        "total_busdays": tot,
+        "avg_busdays": np.sign(avg) * np.floor(np.abs(avg) * 1e6 + 0.5)
+        / 1e6 + 0.0})
+
+
+def lang_token_js_divergence(sf_dir: str):
+    """Jensen–Shannon divergence between the unigram token
+    distributions of the English and German sub-corpora — the
+    corpus-mixture distance used to compare training-data sources.
+    One scan emits per-batch (token, per-lang count) partials; the
+    driver holds only the vocabulary.  Per-token contributions use the
+    same guarded log2 expression as the oracle; the final sum rounds
+    to 6 (the term set is identical both sides, so only last-ULP sum
+    order differs)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    LA, LB = "en", "de"
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    empty = pd.DataFrame({"n_en": pd.Series([], dtype="int64"),
+                          "n_de": pd.Series([], dtype="int64"),
+                          "n_tokens": pd.Series([], dtype="int64"),
+                          "jsd": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        toks, isa = [], []
+        for lang, text in zip(b.column("lang").to_pylist(),
+                              b.column("text").to_pylist()):
+            if lang not in (LA, LB):
+                continue
+            ts = unigrams(text)
+            toks.extend(ts)
+            isa.extend([1 if lang == LA else 0] * len(ts))
+        a = np.asarray(isa, np.int64)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(1 - a, pa.int64())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["token"], sum_cols=["a", "b"],
+                          combine="driver")
+    if h.empty:
+        return empty
+    h = h.sort_values("token").reset_index(drop=True)
+    a = h["a"].to_numpy(np.int64)
+    b = h["b"].to_numpy(np.int64)
+    A, B = int(a.sum()), int(b.sum())
+    if A == 0 or B == 0:
+        return empty
+    pa_ = (1.0 * a) / A
+    pb_ = (1.0 * b) / B
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(a > 0, 0.5 * pa_ * np.log2(2.0 * pa_ / (pa_ + pb_)),
+                      0.0)
+        tb = np.where(b > 0, 0.5 * pb_ * np.log2(2.0 * pb_ / (pa_ + pb_)),
+                      0.0)
+    jsd = float((ta + tb).sum())
+    return pd.DataFrame({
+        "n_en": [np.int64(A)], "n_de": [np.int64(B)],
+        "n_tokens": [np.int64(len(h))],
+        "jsd": [float(np.floor(jsd * 1e6 + 0.5) / 1e6) + 0.0]})
+
+
+def user_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs count per user: each event is above or
+    below the user's own mean value, and a run is a maximal same-side
+    block in time order.  The above/below predicate is exact integer
+    (n·c > Σc — no float mean), the transition count is a vectorized
+    shift-compare inside one user-keyed shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_above": pd.Series([], dtype="int64"),
+            "n_below": pd.Series([], dtype="int64"),
+            "runs": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        grp = g.groupby("user_id", sort=False)["c"]
+        n = grp.transform("size").to_numpy(np.int64)
+        sc = grp.transform("sum").to_numpy(np.int64)
+        ab = n * c > sc
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        trans = same_user & np.concatenate([[False], ab[1:] != ab[:-1]])
+        res = pd.DataFrame({"user_id": uid, "ab": ab, "trans": trans})
+        agg = res.groupby("user_id", sort=False).agg(
+            n_above=("ab", "sum"), n=("ab", "size"),
+            transitions=("trans", "sum")).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "n_above": agg["n_above"].astype("int64"),
+            "n_below": (agg["n"] - agg["n_above"]).astype("int64"),
+            "runs": (1 + agg["transitions"]).astype("int64")})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "user_id")
+
+
+def nation_supply_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ(share²) over suppliers, shares of exact
+    1e-4-unit revenue.  Squares of per-supplier revenue outgrow int64
+    (~sf1), so the driver closure uses arbitrary-precision Python ints
+    (the oracle mirrors with HUGEINT) and converts to float exactly
+    once for the division.  Per-supplier sums are dimension-bounded —
+    one partial-pushed exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "n_suppliers": pd.Series([], dtype="int64"),
+                          "hhi": pd.Series([], dtype="float64")})
+    if line.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": pc.cast(b.column("l_suppkey"),
+                                              pa.int64()),
+                         "rev": pa.array(_rev_cents(b), pa.int64())})
+
+    per_supp = partial_group_agg(
+        line.map_batches(pre, batch_format="pyarrow"),
+        ["l_suppkey"], sum_cols=["rev"], combine="driver")
+    if per_supp.empty:
+        return empty
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    j = per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    rows = []
+    for nk, grp in j.groupby("s_nationkey"):
+        revs = [int(r) for r in grp["rev"]]
+        tot = sum(revs)
+        if tot <= 0:
+            continue
+        ssq = sum(r * r for r in revs)
+        hhi = (1.0 * ssq) / ((1.0 * tot) * (1.0 * tot))
+        rows.append((nation[int(nk)], len(revs),
+                     float(np.floor(hhi * 1e6 + 0.5) / 1e6) + 0.0))
+    out = pd.DataFrame(rows, columns=["n_name", "n_suppliers", "hhi"])
+    return out.astype({"n_suppliers": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -9251,6 +9571,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_hour": user_modal_hour,
         "user_value_cusum": user_value_cusum,
         "docs_weighted_sample": docs_weighted_sample,
+        "events_type_anova": events_type_anova,
+        "orders_ship_busdays": orders_ship_busdays,
+        "lang_token_js_divergence": lang_token_js_divergence,
+        "user_runs_test": user_runs_test,
+        "nation_supply_hhi": nation_supply_hhi,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -11460,6 +11785,107 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id, w AS weight,
                    times::BIGINT AS times_selected
             FROM s WHERE times >= 1 ORDER BY doc_id
+        """,
+        "events_type_anova": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 g AS (SELECT event_type, count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS s, sum(c*c)::BIGINT AS q
+                       FROM c GROUP BY 1),
+                 t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                              sum(s)::BIGINT AS gg
+                       FROM g),
+                 p AS (SELECT k, nn,
+                              sum((1.0*s)*s/n) - ((1.0*gg)*gg)/nn AS ssb,
+                              sum(1.0*q - ((1.0*s)*s)/n) AS ssw
+                       FROM g, t GROUP BY k, nn, gg)
+            SELECT k AS k_groups, nn AS n_total,
+                   round((ssb/(k-1))/(ssw/(nn-k)), 6) + 0 AS f_stat
+            FROM p WHERE k >= 2 AND nn > k AND ssw > 0
+        """,
+        "orders_ship_busdays": """
+            WITH j AS (SELECT l_returnflag,
+                              CAST(CAST(l_shipdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS sd,
+                              CAST(CAST(o_orderdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS od
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey),
+                 b AS (SELECT l_returnflag,
+                              (5*((sd+3)//7) + least((sd+3)%7, 5))
+                              - (5*((od+3)//7) + least((od+3)%7, 5))
+                                AS busdays
+                       FROM j)
+            SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+                   sum(busdays)::BIGINT AS total_busdays,
+                   round((1.0*sum(busdays))/count(*), 6) + 0
+                     AS avg_busdays
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "lang_token_js_divergence": """
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9_]+'))
+                                  AS token
+                         FROM documents WHERE lang IN ('en', 'de')),
+                 h AS (SELECT token,
+                              count(*) FILTER (WHERE lang = 'en')
+                                ::BIGINT AS a,
+                              count(*) FILTER (WHERE lang = 'de')
+                                ::BIGINT AS b
+                       FROM tok GROUP BY 1),
+                 n AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+                              count(*)::BIGINT AS nt
+                       FROM h),
+                 terms AS (SELECT (1.0*a)/ta AS pa, (1.0*b)/tb AS pb,
+                                  a, b, ta, tb, nt
+                           FROM h, n WHERE ta > 0 AND tb > 0)
+            SELECT ta AS n_en, tb AS n_de, nt AS n_tokens,
+                   round(sum(
+                       CASE WHEN a > 0
+                            THEN 0.5*pa*log2(2.0*pa/(pa + pb))
+                            ELSE 0 END
+                     + CASE WHEN b > 0
+                            THEN 0.5*pb*log2(2.0*pb/(pa + pb))
+                            ELSE 0 END), 6) + 0 AS jsd
+            FROM terms GROUP BY ta, tb, nt
+        """,
+        "user_runs_test": """
+            WITH o AS (SELECT user_id, event_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 s AS (SELECT user_id, count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS sc
+                       FROM o GROUP BY 1),
+                 w AS (SELECT o.user_id, (n*c > sc) AS ab,
+                              lag(n*c > sc) OVER (
+                                PARTITION BY o.user_id
+                                ORDER BY ts, event_id) AS prev
+                       FROM o JOIN s USING (user_id))
+            SELECT user_id::BIGINT AS user_id,
+                   count(*) FILTER (WHERE ab)::BIGINT AS n_above,
+                   count(*) FILTER (WHERE NOT ab)::BIGINT AS n_below,
+                   (1 + count(*) FILTER (WHERE prev IS NOT NULL
+                                           AND ab <> prev))::BIGINT
+                     AS runs
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "nation_supply_hhi": """
+            WITH r AS (SELECT l_suppkey,
+                              sum(""" + _REV_C_SQL + """)::HUGEINT AS rev
+                       FROM lineitem GROUP BY 1),
+                 j AS (SELECT s_nationkey, rev
+                       FROM r JOIN supplier ON s_suppkey = l_suppkey),
+                 a AS (SELECT s_nationkey,
+                              sum(rev*rev) AS ssq, sum(rev) AS tot,
+                              count(*)::BIGINT AS n_suppliers
+                       FROM j GROUP BY 1)
+            SELECT n_name, n_suppliers,
+                   round((1.0*ssq)/((1.0*tot)*(1.0*tot)), 6) + 0 AS hhi
+            FROM a JOIN nation ON n_nationkey = s_nationkey
+            WHERE tot > 0
+            ORDER BY n_name
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

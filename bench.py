@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     "user_modal_hour",
     "user_value_cusum",
     "docs_weighted_sample",
+    "events_type_anova",
+    "orders_ship_busdays",
+    "lang_token_js_divergence",
+    "user_runs_test",
+    "nation_supply_hhi",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
