@@ -9434,6 +9434,284 @@ def nation_supply_hhi(sf_dir: str):
         .sort_values("n_name").reset_index(drop=True)
 
 
+def user_value_interp_hourly(sf_dir: str):
+    """Time-series resampling with LINEAR interpolation: each user's
+    event values resampled onto an hourly grid between their first and
+    last event.  Events deduped per (user, µs) by lowest event_id, then
+    each grid point t in [t₁, t₂) interpolates c₁ + (c₂−c₁)·(t−t₁)/
+    (t₂−t₁) — the identical float expression the oracle's interval
+    join evaluates, from integer µs/cents inputs.  One user-keyed
+    shuffle; grid points resolve with two searchsorteds per bucket, no
+    per-user Python."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "t_us": pd.Series([], dtype="int64"),
+            "value_interp": pd.Series([], dtype="float64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable") \
+            .drop_duplicates(["user_id", "us"], keep="first")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        ends = np.append(starts[1:], len(uid))
+        # per-user grid bounds: ceil(first/H)·H .. floor(last/H)·H
+        lo = -(-us[starts] // HOUR_US) * HOUR_US
+        hi = (us[ends - 1] // HOUR_US) * HOUR_US
+        counts = np.maximum((hi - lo) // HOUR_US + 1, 0)
+        if counts.sum() == 0:
+            return out_empty
+        guser = np.repeat(np.arange(len(starts)), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.concatenate([[0], counts.cumsum()[:-1]]), counts)
+        t = lo[guser] + offs * HOUR_US
+        # composite-key searchsorted: interval owning each grid point
+        BAND = int(us.max() - us.min()) + HOUR_US + 2
+        rel = us - us.min() + 1
+        comp = np.int64(pd.factorize(uid)[0]) * BAND + rel
+        trel = t - us.min() + 1
+        tcomp = np.int64(pd.factorize(uid)[0])[starts][guser] * BAND + trel
+        idx = np.searchsorted(comp, tcomp, side="right") - 1
+        t1, t2 = us[idx], us[np.minimum(idx + 1, len(us) - 1)]
+        c1, c2 = c[idx], c[np.minimum(idx + 1, len(us) - 1)]
+        # points at exactly the last event: t == t1, formula yields c1;
+        # guard the t2 == t1 division by treating those as exact hits
+        exact = t == t1
+        denom = np.where(t2 > t1, (t2 - t1).astype(np.float64), 1.0)
+        v = np.where(
+            exact, c1.astype(np.float64),
+            c1 + (1.0 * (c2 - c1)) * (1.0 * (t - t1)) / denom)
+        vi = v / 100.0
+        vi = np.sign(vi) * np.floor(np.abs(vi) * 1e4 + 0.5) / 1e4 + 0.0
+        return pd.DataFrame({"user_id": uid[starts][guser],
+                             "t_us": t, "value_interp": vi})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), ["user_id", "t_us"])
+
+
+def lineitem_qty_chisq_uniform(sf_dir: str):
+    """Chi-square goodness-of-fit of l_quantity against the uniform
+    1..50 generator: χ² = Σ₅₀(50·obs_b − n)² / (50·n), the numerator an
+    exact integer over ALL 50 bins (absent bins count, obs = 0), the
+    single float division rounded at 6.  One scan, a 50-row bincount
+    partial per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "df": pd.Series([], dtype="int64"),
+                          "chi2_num": pd.Series([], dtype="int64"),
+                          "chi2": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = np.rint(b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"bin": pa.array(q, pa.int64())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["bin"], count_alias="obs", combine="driver")
+    obs = np.zeros(51, np.int64)
+    b = h["bin"].to_numpy(np.int64)
+    keep = (b >= 1) & (b <= 50)
+    obs[b[keep]] = h["obs"].to_numpy(np.int64)[keep]
+    n = int(obs.sum())
+    if n == 0:
+        return empty
+    num = int(((50 * obs[1:] - n) ** 2).sum())
+    chi2 = (1.0 * num) / (50.0 * n)
+    return pd.DataFrame({
+        "n": [np.int64(n)], "df": [np.int64(49)],
+        "chi2_num": [np.int64(num)],
+        "chi2": [float(np.floor(chi2 * 1e6 + 0.5) / 1e6) + 0.0]})
+
+
+def orders_iso_week(sf_dir: str):
+    """Order counts and revenue per ISO week — the ISO-8601 week-date
+    rollup (a week belongs to the year of its Thursday).  The engine
+    derives (iso_year, iso_week) in closed form on epoch days: t =
+    Thursday of the row's Mon-aligned week, iso_year = t's calendar
+    year, week = (t − Jan 1 of that year)//7 + 1 — vectorized, no
+    per-row calendar library.  Oracle: isoyear()/weekofyear()."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"iso_year": pd.Series([], dtype="int64"),
+                          "iso_week": pd.Series([], dtype="int64"),
+                          "n_orders": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        t = d - (d + 3) % 7 + 3  # the ISO week's Thursday
+        td = t.astype("datetime64[D]")
+        ty = td.astype("datetime64[Y]")
+        jan1 = ty.astype("datetime64[D]").astype(np.int64)
+        iso_year = ty.astype(np.int64) + 1970
+        iso_week = (t - jan1) // 7 + 1
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"iso_year": pa.array(iso_year, pa.int64()),
+                         "iso_week": pa.array(iso_week, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["iso_year", "iso_week"], sum_cols=["c"],
+                            count_alias="n_orders", combine="driver")
+    agg = agg.sort_values(["iso_year", "iso_week"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "iso_year": agg["iso_year"].astype("int64"),
+        "iso_week": agg["iso_week"].astype("int64"),
+        "n_orders": agg["n_orders"].astype("int64"),
+        "revenue": agg["c"].to_numpy(np.int64) / 100.0})
+
+
+def customer_mahalanobis(sf_dir: str):
+    """Top-20 multivariate outliers by 2-D Mahalanobis distance over
+    (account balance, lifetime spend) in whole dollars: sample
+    covariance from exact integer moment partials (whole-dollar units
+    keep Σy² in int64 through sf10), the 2×2 inverse folded into the
+    closed form d² = (Syy·dx² − 2·Sxy·dx·dy + Sxx·dy²)/det — every
+    float step mirrored in the oracle.  Customers without orders spend
+    0 (left join)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "bal": pd.Series([], dtype="int64"),
+                          "spend": pd.Series([], dtype="int64"),
+                          "d2": pd.Series([], dtype="float64")})
+    if cust.count() == 0:
+        return empty
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        # whole-dollar rounding must be half-AWAY (SQL ROUND), not
+        # np.rint's half-even — X.50 totals are common
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        y = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    spend = partial_group_agg(
+        orders.map_batches(o_pre, batch_format="pyarrow"),
+        ["o_custkey"], sum_cols=["y"], combine="driver")
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        x = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"c_custkey": pc.cast(b.column("c_custkey"),
+                                              pa.int64()),
+                         "x": pa.array(x, pa.int64())})
+
+    bal = pd.concat(
+        [t.to_pandas() for t in cust.map_batches(
+            c_pre, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")],
+        ignore_index=True)
+    df = bal.merge(spend, left_on="c_custkey", right_on="o_custkey",
+                   how="left")
+    x = df["x"].to_numpy(np.int64)
+    y = np.nan_to_num(df["y"].to_numpy(np.float64)).astype(np.int64)
+    n = len(df)
+    if n < 3:
+        return empty
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x * y).sum())
+    # identical float closure as the oracle
+    vxx = (sxx - (1.0 * sx) * sx / n) / (n - 1)
+    vyy = (syy - (1.0 * sy) * sy / n) / (n - 1)
+    vxy = (sxy - (1.0 * sx) * sy / n) / (n - 1)
+    det = vxx * vyy - vxy * vxy
+    if not det > 0:
+        return empty
+    mx, my = (1.0 * sx) / n, (1.0 * sy) / n
+    dx, dy = x - mx, y - my
+    d2 = (vyy * dx * dx - 2.0 * vxy * dx * dy + vxx * dy * dy) / det
+    d2 = np.floor(d2 * 1e6 + 0.5) / 1e6 + 0.0
+    out = pd.DataFrame({"c_custkey": df["c_custkey"].astype("int64"),
+                        "bal": x, "spend": y, "d2": d2})
+    out = out.sort_values(["d2", "c_custkey"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def doc_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats per document: split on terminal
+    punctuation runs followed by whitespace ('[.!?]+\\s+'), count
+    non-empty segments and their mean character length — the
+    readability-feature extraction stage (same RE2-compatible pattern
+    class as docs_redact_numbers, so Python re and DuckDB
+    regexp_split_to_array agree byte-for-byte on ASCII)."""
+    import re
+
+    import numpy as np
+
+    SPLIT = re.compile(r"[.!?]+\s+")
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, ns, mean = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            segs = [s for s in SPLIT.split(text) if s != ""]
+            ids.append(doc_id)
+            ns.append(len(segs))
+            if segs:
+                tot = sum(len(s) for s in segs)
+                m = (1.0 * tot) / len(segs)
+                mean.append(float(np.floor(m * 1e4 + 0.5) / 1e4) + 0.0)
+            else:
+                mean.append(None)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_sentences": pa.array(ns, pa.int64()),
+                         "mean_sentence_chars": pa.array(mean,
+                                                         pa.float64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -9576,6 +9854,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_js_divergence": lang_token_js_divergence,
         "user_runs_test": user_runs_test,
         "nation_supply_hhi": nation_supply_hhi,
+        "user_value_interp_hourly": user_value_interp_hourly,
+        "lineitem_qty_chisq_uniform": lineitem_qty_chisq_uniform,
+        "orders_iso_week": orders_iso_week,
+        "customer_mahalanobis": customer_mahalanobis,
+        "doc_sentence_stats": doc_sentence_stats,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -11886,6 +12169,111 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN nation ON n_nationkey = s_nationkey
             WHERE tot > 0
             ORDER BY n_name
+        """,
+        "user_value_interp_hourly": """
+            WITH e0 AS (SELECT user_id, event_id,
+                               epoch_us(ts)::BIGINT AS us,
+                               CAST(round(value*100) AS BIGINT) AS c
+                        FROM events),
+                 e AS (SELECT user_id, us, c
+                       FROM (SELECT *, row_number() OVER (
+                                 PARTITION BY user_id, us
+                                 ORDER BY event_id) AS rn
+                             FROM e0)
+                       WHERE rn = 1),
+                 seq AS (SELECT user_id, us AS t1, c AS c1,
+                                lead(us, 1, us + 1) OVER w AS t2,
+                                lead(c, 1, c) OVER w AS c2
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+                 b AS (SELECT user_id,
+                              ((min(us) + 3599999999)//3600000000)
+                                *3600000000 AS lo,
+                              (max(us)//3600000000)*3600000000 AS hi
+                       FROM e GROUP BY 1),
+                 g AS (SELECT user_id,
+                              unnest(generate_series(lo, hi,
+                                                     3600000000)) AS t
+                       FROM b WHERE lo <= hi),
+                 j AS (SELECT g.user_id, t,
+                              c1 + (1.0*(c2 - c1))*(1.0*(t - t1))
+                                   /(1.0*(t2 - t1)) AS v
+                       FROM g JOIN seq ON g.user_id = seq.user_id
+                                      AND t >= t1 AND t < t2)
+            SELECT user_id::BIGINT AS user_id, t AS t_us,
+                   round(v/100.0, 4) + 0 AS value_interp
+            FROM j ORDER BY user_id, t_us
+        """,
+        "lineitem_qty_chisq_uniform": """
+            WITH h AS (SELECT CAST(round(l_quantity) AS BIGINT) AS bin,
+                              count(*)::BIGINT AS obs
+                       FROM lineitem GROUP BY 1),
+                 f AS (SELECT gs.bin, coalesce(obs, 0)::BIGINT AS obs
+                       FROM (SELECT unnest(generate_series(1, 50))
+                                ::BIGINT AS bin) gs
+                       LEFT JOIN h USING (bin)),
+                 t AS (SELECT sum(obs)::BIGINT AS n FROM f)
+            SELECT n, CAST(49 AS BIGINT) AS df,
+                   sum((50*obs - n)*(50*obs - n))::BIGINT AS chi2_num,
+                   round((1.0*sum((50*obs - n)*(50*obs - n)))
+                         /(50.0*n), 6) + 0 AS chi2
+            FROM f, t GROUP BY n HAVING n > 0
+        """,
+        "orders_iso_week": """
+            SELECT isoyear(o_orderdate)::BIGINT AS iso_year,
+                   weekofyear(o_orderdate)::BIGINT AS iso_week,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice*100) AS BIGINT))
+                     ::BIGINT/100.0 AS revenue
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customer_mahalanobis": """
+            WITH sp AS (SELECT o_custkey,
+                               sum(CAST(round(o_totalprice) AS BIGINT))
+                                 ::BIGINT AS y
+                        FROM orders GROUP BY 1),
+                 d AS (SELECT c_custkey,
+                              CAST(round(c_acctbal) AS BIGINT) AS x,
+                              coalesce(y, 0)::BIGINT AS y
+                       FROM customer
+                       LEFT JOIN sp ON o_custkey = c_custkey),
+                 m AS (SELECT count(*)::BIGINT AS n,
+                              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                              sum(x*x)::BIGINT AS sxx,
+                              sum(y*y)::BIGINT AS syy,
+                              sum(x*y)::BIGINT AS sxy
+                       FROM d),
+                 v AS (SELECT n, sx, sy,
+                              (sxx - (1.0*sx)*sx/n)/(n-1) AS vxx,
+                              (syy - (1.0*sy)*sy/n)/(n-1) AS vyy,
+                              (sxy - (1.0*sx)*sy/n)/(n-1) AS vxy
+                       FROM m WHERE n >= 3),
+                 r AS (SELECT c_custkey, x, y,
+                              round((vyy*(x - (1.0*sx)/n)*(x - (1.0*sx)/n)
+                                     - 2.0*vxy*(x - (1.0*sx)/n)
+                                          *(y - (1.0*sy)/n)
+                                     + vxx*(y - (1.0*sy)/n)
+                                          *(y - (1.0*sy)/n))
+                                    /(vxx*vyy - vxy*vxy), 6) + 0 AS d2
+                       FROM d, v WHERE vxx*vyy - vxy*vxy > 0)
+            SELECT c_custkey::BIGINT AS c_custkey, x AS bal, y AS spend,
+                   d2
+            FROM r ORDER BY d2 DESC, c_custkey LIMIT 20
+        """,
+        "doc_sentence_stats": """
+            WITH s AS (SELECT doc_id,
+                              list_filter(
+                                  regexp_split_to_array(text,
+                                                        '[.!?]+\\s+'),
+                                  x -> x <> '') AS segs
+                       FROM documents)
+            SELECT doc_id::BIGINT AS doc_id,
+                   len(segs)::BIGINT AS n_sentences,
+                   CASE WHEN len(segs) > 0
+                        THEN round((1.0*list_sum(list_transform(segs,
+                                 x -> length(x))))/len(segs), 4) + 0
+                        END AS mean_sentence_chars
+            FROM s ORDER BY doc_id
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -199,6 +199,11 @@ BENCH_QUERIES = [
     "lang_token_js_divergence",
     "user_runs_test",
     "nation_supply_hhi",
+    "user_value_interp_hourly",
+    "lineitem_qty_chisq_uniform",
+    "orders_iso_week",
+    "customer_mahalanobis",
+    "doc_sentence_stats",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
