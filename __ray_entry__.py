@@ -9712,6 +9712,343 @@ def doc_sentence_stats(sf_dir: str):
     return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
+def events_value_rolling_std5(sf_dir: str):
+    """Rolling sample standard deviation over each user's trailing
+    5-event window (current + 4 preceding, time order) — the windowed
+    second-moment operator.  Window sums of c and c² come from two
+    prefix sums and a lagged subtraction (exact int64; n·Σc² and (Σc)²
+    stay under 2^53 at this value scale), so the float closure is the
+    identical expression the oracle's windowed sums feed."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "n_win": pd.Series([], dtype="int64"),
+            "std5": pd.Series([], dtype="float64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        m = len(uid)
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        ustart = np.repeat(starts, np.diff(np.append(starts, m)))
+        i = np.arange(m)
+        lo = np.maximum(i - 4, ustart)
+        cs = np.cumsum(c)
+        qs = np.cumsum(c * c)
+        s = cs - np.where(lo > 0, cs[lo - 1], 0)
+        q = qs - np.where(lo > 0, qs[lo - 1], 0)
+        n = i - lo + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = ((1.0 * n) * q - (1.0 * s) * s) / ((1.0 * n) * (n - 1))
+            std = np.sqrt(var) / 100.0
+        std = np.floor(std * 1e6 + 0.5) / 1e6 + 0.0
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "n_win": n.astype(np.int64),
+            "std5": np.where(n >= 2, std, np.nan)})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "event_id")
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """Confusion matrix of the stopword-vote language classifier
+    against the labeled lang column: count and within-actual-language
+    share per (actual, predicted) cell — the classifier-evaluation
+    rollup.  One scan; cells are |langs|×3-bounded partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                          "lang_pred": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import lang_guess
+
+        return pa.table({
+            "lang": b.column("lang"),
+            "lang_pred": pa.array(
+                [lang_guess(t) for t in b.column("text").to_pylist()],
+                pa.string())})
+
+    cells = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["lang", "lang_pred"], count_alias="n",
+                              combine="driver")
+    tot = cells.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    share = (1.0 * n) / tot
+    out = pd.DataFrame({"lang": cells["lang"],
+                        "lang_pred": cells["lang_pred"],
+                        "n": n,
+                        "share": np.floor(share * 1e6 + 0.5) / 1e6 + 0.0})
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def vocab_coverage_90(sf_dir: str):
+    """Vocabulary coverage curve threshold: the smallest k such that
+    the k most frequent unigrams cover ≥ 90% of all token occurrences
+    (integer predicate 10·cum ≥ 9·total — no float quantile), plus the
+    covered count — the tokenizer-vocabulary sizing question.  Per-batch
+    token-count partials; the driver holds only the vocabulary."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "covered": pd.Series([], dtype="int64"),
+                          "total": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        toks = []
+        for t in b.column("text").to_pylist():
+            toks.extend(unigrams(t))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["token"], count_alias="c", combine="driver")
+    if h.empty:
+        return empty
+    h = h.sort_values(["c", "token"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    c = h["c"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    k = int(np.argmax(10 * cum >= 9 * total)) + 1
+    return pd.DataFrame({"k": [np.int64(k)],
+                         "covered": [np.int64(cum[k - 1])],
+                         "total": [np.int64(total)]})
+
+
+def part_supplier_kcore(sf_dir: str):
+    """Bipartite k-core peeling of the part↔supplier graph: iteratively
+    drop parts supplied by < 15 suppliers and suppliers carrying < 400
+    parts until a fixpoint — the recommender-style "dense interaction
+    core" cleaning pass.  Every node reports its in_core flag and
+    fixpoint degree (0 if peeled), so the result is total.  Distinct
+    edges dedupe as composite ints; under the cutoff the peel runs
+    vectorized on the driver, beyond it each round is two degree
+    partials + a broadcast-filtered semi-join (bounded rounds: each
+    round removes ≥1 node or stops)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns, scale_cutoff
+
+    K_PART, K_SUPP = 15, 400
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    empty = pd.DataFrame({"side": pd.Series([], dtype="object"),
+                          "key": pd.Series([], dtype="int64"),
+                          "in_core": pd.Series([], dtype="bool"),
+                          "core_degree": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+
+    def edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def peel(comp: np.ndarray):
+        comp = np.unique(comp)
+        all_p = np.unique(comp >> 21)
+        all_s = np.unique(comp & np.int64((1 << 21) - 1))
+        while True:
+            p = comp >> 21
+            s = comp & np.int64((1 << 21) - 1)
+            pu, pinv, pdeg = np.unique(p, return_inverse=True,
+                                       return_counts=True)
+            su, sinv, sdeg = np.unique(s, return_inverse=True,
+                                       return_counts=True)
+            keep = (pdeg[pinv] >= K_PART) & (sdeg[sinv] >= K_SUPP)
+            if keep.all():
+                return comp, all_p, all_s, pu, pdeg, su, sdeg
+            comp = comp[keep]
+            if not len(comp):
+                return comp, all_p, all_s, \
+                    np.array([], np.int64), np.array([], np.int64), \
+                    np.array([], np.int64), np.array([], np.int64)
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        comp = np_columns(eds, ["comp"])["comp"].astype(np.int64)
+        comp, all_p, all_s, pu, pdeg, su, sdeg = peel(comp)
+    else:
+        # distributed peel: per-round degree partials + broadcast
+        # survivor filters; node sets are dimension-bounded, only the
+        # edge list stays distributed.  Per-batch np.unique in edges()
+        # dedupes only locally — the degree counts need GLOBAL distinct
+        # edges, so one shuffle dedupe comes first.
+        import ray
+
+        from elevant_ray.stages.util import partial_group_agg
+
+        deduped = _distinct_int(eds, "comp", cutoff=0)
+        import ray.data as rd
+
+        if not hasattr(deduped, "map_batches"):
+            deduped = rd.from_pandas(deduped)
+        deduped = deduped.materialize()
+
+        def node_partials(b: pa.Table) -> pa.Table:
+            cv = b.column("comp").to_numpy(zero_copy_only=False)
+            p = np.unique(cv >> 21)
+            s = np.unique(cv & np.int64((1 << 21) - 1))
+            n = max(len(p), len(s))
+            return pa.table({
+                "p": pa.array(np.concatenate(
+                    [p, np.full(n - len(p), -1, np.int64)]), pa.int64()),
+                "s": pa.array(np.concatenate(
+                    [s, np.full(n - len(s), -1, np.int64)]), pa.int64())})
+
+        uni = np_columns(deduped.map_batches(node_partials,
+                                             batch_format="pyarrow"),
+                         ["p", "s"])
+        all_p = np.unique(uni["p"][uni["p"] >= 0])
+        all_s = np.unique(uni["s"][uni["s"] >= 0])
+        cur = deduped
+        for _ in range(100):
+            def split(b: pa.Table) -> pa.Table:
+                cv = b.column("comp").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "comp": b.column("comp"),
+                    "p": pa.array(cv >> 21, pa.int64()),
+                    "s": pa.array(cv & ((1 << 21) - 1), pa.int64())})
+
+            sp = cur.map_batches(split, batch_format="pyarrow") \
+                .materialize()
+            pdeg_df = partial_group_agg(sp, ["p"], count_alias="d",
+                                        combine="driver")
+            sdeg_df = partial_group_agg(sp, ["s"], count_alias="d",
+                                        combine="driver")
+            bad_p = pdeg_df[pdeg_df["d"] < K_PART]["p"].to_numpy(np.int64)
+            bad_s = sdeg_df[sdeg_df["d"] < K_SUPP]["s"].to_numpy(np.int64)
+            if not len(bad_p) and not len(bad_s):
+                pu = pdeg_df["p"].to_numpy(np.int64)
+                pdeg = pdeg_df["d"].to_numpy(np.int64)
+                su = sdeg_df["s"].to_numpy(np.int64)
+                sdeg = sdeg_df["d"].to_numpy(np.int64)
+                order_p, order_s = np.argsort(pu), np.argsort(su)
+                pu, pdeg = pu[order_p], pdeg[order_p]
+                su, sdeg = su[order_s], sdeg[order_s]
+                break
+            bp = ray.put(np.sort(bad_p))
+            bs = ray.put(np.sort(bad_s))
+
+            def drop(b: pa.Table) -> pa.Table:
+                import ray as _ray
+                bpv, bsv = _ray.get(bp), _ray.get(bs)
+                pv = b.column("p").to_numpy(zero_copy_only=False)
+                sv = b.column("s").to_numpy(zero_copy_only=False)
+                ok = ~(np.isin(pv, bpv) | np.isin(sv, bsv))
+                return b.filter(pa.array(ok)).select(["comp", "p", "s"])
+
+            cur = sp.map_batches(drop, batch_format="pyarrow")
+        else:
+            pu = pdeg = su = sdeg = np.array([], np.int64)
+
+    pmap = dict(zip(pu.tolist(), pdeg.tolist()))
+    smap = dict(zip(su.tolist(), sdeg.tolist()))
+    rows = []
+    for k in all_p.tolist():
+        d = pmap.get(k, 0)
+        rows.append(("part", k, d > 0, d))
+    for k in all_s.tolist():
+        d = smap.get(k, 0)
+        rows.append(("supplier", k, d > 0, d))
+    out = pd.DataFrame(rows, columns=["side", "key", "in_core",
+                                      "core_degree"])
+    return out.astype({"key": "int64", "core_degree": "int64"}) \
+        .sort_values(["side", "key"]).reset_index(drop=True)
+
+
+def blocking_quality(sf_dir: str):
+    """Blocking-stage quality metrics of the record-linkage flagship:
+    pair completeness (candidate recall of the synthetic gold
+    same-entity pairs) and reduction ratio (1 − candidates / all
+    possible pairs) — the standard ER blocking evaluation
+    (elevant's evaluation counters shape).  Candidate∩gold resolves
+    through the same distributed full-outer pair join as pairwise_f1;
+    sketch-derived, so rows-only for the driver (pytest covers the
+    metric arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.pipelines.record_linkage import (
+        gold_pairs_from_doc_ids, prepare_pages)
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.dedup import lsh_candidate_pairs
+    from elevant_ray.stages.evaluation import pairwise_f1
+
+    if _read(sf_dir, "documents", ["doc_id"]).count() == 0:
+        return pd.DataFrame({
+            "n_pages": pd.Series([], dtype="int64"),
+            "n_candidates": pd.Series([], dtype="int64"),
+            "n_gold": pd.Series([], dtype="int64"),
+            "n_hit": pd.Series([], dtype="int64"),
+            "pair_completeness": pd.Series([], dtype="float64"),
+            "reduction_ratio": pd.Series([], dtype="float64")})
+    pages = prepare_pages(synth_pages(sf_dir, include_doc_id=True)) \
+        .materialize()
+    n_pages = pages.count()
+    cand = lsh_candidate_pairs(pages, id_col="url", canon_col="canon",
+                               num_partitions=_shuffle_parts())
+    gold = gold_pairs_from_doc_ids(pages)
+    m = pairwise_f1(cand, gold, num_partitions=_shuffle_parts())
+    tp = m["true_positives"]
+    fp = m["false_positives"]
+    fn = m["false_negatives"]
+    n_cand, n_gold = tp + fp, tp + fn
+    all_pairs = n_pages * (n_pages - 1) // 2
+    pc_ = (1.0 * tp) / n_gold if n_gold else 0.0
+    rr = 1.0 - (1.0 * n_cand) / all_pairs if all_pairs else 0.0
+    return pd.DataFrame({
+        "n_pages": [np.int64(n_pages)],
+        "n_candidates": [np.int64(n_cand)],
+        "n_gold": [np.int64(n_gold)],
+        "n_hit": [np.int64(tp)],
+        "pair_completeness": [
+            float(np.floor(pc_ * 1e6 + 0.5) / 1e6) + 0.0],
+        "reduction_ratio": [
+            float(np.floor(rr * 1e6 + 0.5) / 1e6) + 0.0]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -9859,6 +10196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_iso_week": orders_iso_week,
         "customer_mahalanobis": customer_mahalanobis,
         "doc_sentence_stats": doc_sentence_stats,
+        "events_value_rolling_std5": events_value_rolling_std5,
+        "lang_confusion_matrix": lang_confusion_matrix,
+        "vocab_coverage_90": vocab_coverage_90,
+        "part_supplier_kcore": part_supplier_kcore,
+        "blocking_quality": blocking_quality,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -12275,10 +12617,72 @@ def oracle_sql() -> dict[str, str]:
                         END AS mean_sentence_chars
             FROM s ORDER BY doc_id
         """,
+        "events_value_rolling_std5": """
+            WITH o AS (SELECT event_id, user_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 w AS (SELECT event_id,
+                              count(*) OVER win AS n,
+                              sum(c) OVER win AS s,
+                              sum(c*c) OVER win AS q
+                       FROM o
+                       WINDOW win AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING
+                                      AND CURRENT ROW))
+            SELECT event_id::BIGINT AS event_id, n::BIGINT AS n_win,
+                   CASE WHEN n >= 2
+                        THEN round(sqrt(((1.0*n)*q - (1.0*s)*s)
+                                        /((1.0*n)*(n - 1)))/100.0, 6) + 0
+                        END AS std5
+            FROM w ORDER BY event_id
+        """,
+        "lang_confusion_matrix": f"""
+            WITH p AS (SELECT lang,
+                              CASE WHEN en = 0 AND de = 0 THEN 'other'
+                                   WHEN en >= de THEN 'en'
+                                   ELSE 'de' END AS lang_pred
+                       FROM (SELECT lang,
+                                    length(list_filter(
+                                        regexp_extract_all(lower(text),
+                                                           '[a-z0-9_]+'),
+                                        x -> list_contains({_EN}, x)))
+                                      AS en,
+                                    length(list_filter(
+                                        regexp_extract_all(lower(text),
+                                                           '[a-z0-9_]+'),
+                                        x -> list_contains({_DE}, x)))
+                                      AS de
+                             FROM documents)),
+                 c AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+                       FROM p GROUP BY 1, 2)
+            SELECT lang, lang_pred, n,
+                   round((1.0*n)/(sum(n) OVER (PARTITION BY lang)), 6)
+                     + 0 AS share
+            FROM c ORDER BY lang, lang_pred
+        """,
+        "vocab_coverage_90": """
+            WITH h AS (SELECT token, count(*)::BIGINT AS c
+                       FROM (SELECT unnest(regexp_extract_all(
+                                 lower(text), '[a-z0-9_]+')) AS token
+                             FROM documents)
+                       GROUP BY 1),
+                 t AS (SELECT sum(c)::BIGINT AS tot FROM h),
+                 w AS (SELECT row_number() OVER
+                                  (ORDER BY c DESC, token) AS k,
+                              CAST(sum(c) OVER (ORDER BY c DESC, token
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS cum
+                       FROM h)
+            SELECT min(k)::BIGINT AS k,
+                   min_by(cum, k)::BIGINT AS covered, tot AS total
+            FROM w, t WHERE 10*cum >= 9*tot GROUP BY tot
+        """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
         # dedup_minhash / dedup_simhash (sketch-derived), knn_ivf
         # (approximate by construction), multimodal_features (stub
-        # decoder): rows-only checks; semantics covered by the pytest
-        # differential suite.
+        # decoder), part_supplier_kcore (iterative fixpoint),
+        # blocking_quality (sketch-derived metrics): rows-only checks;
+        # semantics covered by the pytest differential suite.
     }

@@ -204,6 +204,11 @@ BENCH_QUERIES = [
     "orders_iso_week",
     "customer_mahalanobis",
     "doc_sentence_stats",
+    "events_value_rolling_std5",
+    "lang_confusion_matrix",
+    "vocab_coverage_90",
+    "part_supplier_kcore",
+    "blocking_quality",
     "extract_pages",
     "link_frequencies",
     "entity_linking",

@@ -279,3 +279,68 @@ class TestBenchmarkStats:
         assert got[("case", "lowercased")] == 1
         assert got[("entity_type", "Q215627")] == 1
         assert got[("entity_type", "OTHER")] == 1
+
+
+class TestKcoreAndBlocking:
+    def test_kcore_matches_naive_peel(self, ray_session):
+        """Differential: the engine's bipartite k-core fixpoint equals a
+        naive dict-based peel over the same distinct edge set."""
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as m
+
+        sf = "/root/testdata/sf0.001"
+        got = m.queries()["part_supplier_kcore"](sf)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+
+        edges = duckdb.sql(
+            f"SELECT DISTINCT l_partkey p, l_suppkey s "
+            f"FROM '{sf}/lineitem.parquet'").df()
+        pairs = set(zip(edges["p"].tolist(), edges["s"].tolist()))
+        while True:
+            pdeg, sdeg = {}, {}
+            for p, s in pairs:
+                pdeg[p] = pdeg.get(p, 0) + 1
+                sdeg[s] = sdeg.get(s, 0) + 1
+            nxt = {(p, s) for p, s in pairs
+                   if pdeg[p] >= 15 and sdeg[s] >= 400}
+            if nxt == pairs:
+                break
+            pairs = nxt
+        want = {("part", k): v for k, v in pdeg.items()} if pairs else {}
+        want.update({("supplier", k): v for k, v in sdeg.items()}
+                    if pairs else {})
+        for r in got.itertuples():
+            exp = want.get((r.side, r.key), 0)
+            assert r.core_degree == exp, (r.side, r.key)
+            assert r.in_core == (exp > 0)
+        # totality: every part and supplier appears exactly once
+        assert len(got) == len({p for p, _ in zip(
+            edges["p"], edges["s"])} ) + len(set(edges["s"]))
+
+    def test_blocking_quality_metric_arithmetic(self, ray_session):
+        import pandas as pd
+
+        import __ray_entry__ as m
+
+        r = m.queries()["blocking_quality"]("/root/testdata/sf0.001")
+        if not isinstance(r, pd.DataFrame):
+            r = r.to_pandas()
+        assert len(r) == 1
+        row = r.iloc[0]
+        assert 0 <= row.n_hit <= row.n_gold
+        assert row.n_hit <= row.n_candidates
+        assert 0.0 <= row.pair_completeness <= 1.0
+        assert 0.0 <= row.reduction_ratio <= 1.0
+        import numpy as np
+        exp_pc = np.floor((1.0 * row.n_hit) / row.n_gold * 1e6 + 0.5) / 1e6
+        assert row.pair_completeness == exp_pc
+        allp = row.n_pages * (row.n_pages - 1) // 2
+        exp_rr = np.floor(
+            (1.0 - (1.0 * row.n_candidates) / allp) * 1e6 + 0.5) / 1e6
+        assert row.reduction_ratio == exp_rr
+        # the canonical-url blocking key guarantees exact-dup urls and
+        # mirrors land in a shared block: completeness is high
+        assert row.pair_completeness >= 0.9

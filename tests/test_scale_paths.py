@@ -29,7 +29,7 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "q9_product_profit", "supplier_degree_histogram",
                   "q20_promotion_suppliers", "priority_ship_delay",
                   "order_basket_rules"]
-PATH_VS_PATH = ["dedup_simhash", "dedup_minhash"]
+PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
 @pytest.fixture(scope="module")
