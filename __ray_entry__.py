@@ -10049,6 +10049,225 @@ def blocking_quality(sf_dir: str):
             float(np.floor(rr * 1e6 + 0.5) / 1e6) + 0.0]})
 
 
+def nation_kendall_tau(sf_dir: str):
+    """Kendall's τ-b rank correlation between customer account balance
+    and lifetime spend, per nation — computed in O(n log n) via
+    Knight's identity C−D = n₀−n₁−n₂+n₃−2·I (I = inversions of y after
+    a lexicographic (x, y) sort, counted by bottom-up merge with
+    vectorized searchsorted), NOT the O(n²) pair scan the oracle runs.
+    All pair counts are exact integers; only the final τ division is
+    float (identical expression both sides).  Property-tested against
+    the brute-force pair count in tests/test_window_kernels.py."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns, partial_group_agg
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "n_pairs": pd.Series([], dtype="int64"),
+                          "c_minus_d": pd.Series([], dtype="int64"),
+                          "tau_b": pd.Series([], dtype="float64")})
+    if cust.count() == 0:
+        return empty
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "y": pa.array(c, pa.int64())})
+
+    spend = partial_group_agg(
+        orders.map_batches(o_pre, batch_format="pyarrow"),
+        ["o_custkey"], sum_cols=["y"], combine="driver")
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        x = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"c_custkey": pc.cast(b.column("c_custkey"),
+                                              pa.int64()),
+                         "nk": pc.cast(b.column("c_nationkey"),
+                                       pa.int64()),
+                         "x": pa.array(x, pa.int64())})
+
+    cols = np_columns(cust.map_batches(c_pre, batch_format="pyarrow"),
+                      ["c_custkey", "nk", "x"])
+    df = pd.DataFrame(cols).merge(spend, left_on="c_custkey",
+                                  right_on="o_custkey", how="left")
+    df["y"] = np.nan_to_num(df["y"].to_numpy(np.float64)).astype(np.int64)
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+
+    from elevant_ray.stages.util import merge_inversions, tie_pair_count
+
+    rows = []
+    for nk, grp in df.groupby("nk"):
+        x = grp["x"].to_numpy(np.int64)
+        y = grp["y"].to_numpy(np.int64)
+        n = len(x)
+        if n < 2:
+            continue
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        n0 = n * (n - 1) // 2
+        n1 = tie_pair_count(xs, assume_sorted=True)
+        n2 = tie_pair_count(np.sort(ys, kind="stable"),
+                            assume_sorted=True)
+        # ties in both: run lengths of consecutive equal (x, y) pairs
+        # in the lexicographic order
+        new = np.concatenate(
+            [[True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])])
+        sizes = np.diff(np.append(np.flatnonzero(new), n))
+        n3 = int((sizes * (sizes - 1) // 2).sum())
+        inv = merge_inversions(ys)
+        cmd = n0 - n1 - n2 + n3 - 2 * inv
+        den = (1.0 * (n0 - n1)) * (n0 - n2)
+        if not den > 0:
+            continue
+        tau = (1.0 * cmd) / np.sqrt(den)
+        rows.append((nation[int(nk)], n0, cmd,
+                     float(np.sign(tau) * np.floor(np.abs(tau) * 1e6
+                                                   + 0.5) / 1e6) + 0.0))
+    out = pd.DataFrame(rows, columns=["n_name", "n_pairs", "c_minus_d",
+                                      "tau_b"])
+    return out.astype({"n_pairs": "int64", "c_minus_d": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def daily_user_overlap(sf_dir: str):
+    """Day-over-day active-user overlap: for each observed day, the
+    Jaccard similarity between that day's distinct user set and the
+    previous calendar day's — the churn/stability pulse.  Distinct
+    (day, user) pairs reduce through per-batch partials; the driver
+    holds only the user-day incidence (days × users bounded), and
+    consecutive-day intersections are sorted-array intersects."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                          "n_prev": pd.Series([], dtype="int64"),
+                          "n_cur": pd.Series([], dtype="int64"),
+                          "n_both": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"day": pa.array(us // DAY_US, pa.int64()),
+                         "user_id": pc.cast(b.column("user_id"),
+                                            pa.int64())})
+
+    du = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                           ["day", "user_id"], count_alias="c",
+                           combine="driver")
+    du = du.sort_values(["day", "user_id"]).reset_index(drop=True)
+    days = du["day"].to_numpy(np.int64)
+    users = du["user_id"].to_numpy(np.int64)
+    uds, starts = np.unique(days, return_index=True)
+    ends = np.append(starts[1:], len(days))
+    sets = {int(d): users[s:e] for d, s, e in zip(uds, starts, ends)}
+    rows = []
+    for d in uds.tolist():
+        cur = sets[int(d)]
+        prev = sets.get(int(d) - 1, np.array([], np.int64))
+        nb = len(np.intersect1d(cur, prev, assume_unique=True))
+        denom = len(prev) + len(cur) - nb
+        j = (1.0 * nb) / denom if denom else 0.0
+        rows.append((d, len(prev), len(cur), nb,
+                     float(np.floor(j * 1e6 + 0.5) / 1e6) + 0.0))
+    return pd.DataFrame(rows, columns=["day", "n_prev", "n_cur",
+                                       "n_both", "jaccard"]) \
+        .astype({"day": "int64", "n_prev": "int64", "n_cur": "int64",
+                 "n_both": "int64"})
+
+
+def gap_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival curve of time-to-next-event (seconds):
+    every inter-event gap is an observed "death", each user's tail
+    (corpus max timestamp − last event) is a censored observation, and
+    S(t) steps down by (1 − d/n_at_risk) at each distinct death time.
+    Survival multiplies via the windowed running product — np.cumprod
+    and the oracle's product() OVER accumulate in the same ascending-t
+    order.  One user-keyed shuffle for the gaps; the KM closure runs on
+    the second-bounded (t, censored) histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (bucketed_group_apply, np_columns,
+                                         partial_group_agg)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    empty = pd.DataFrame({"t_s": pd.Series([], dtype="int64"),
+                          "d": pd.Series([], dtype="int64"),
+                          "at_risk": pd.Series([], dtype="int64"),
+                          "survival": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def us_col(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64())})
+
+    evs = ds.map_batches(us_col, batch_format="pyarrow").materialize()
+    mx_parts = np_columns(evs.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(pc.max(b.column("us")).as_py())]
+            if b.num_rows else [], pa.int64())}),
+        batch_format="pyarrow"), ["m"])["m"]
+    MX = int(mx_parts.max())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"t_s": pd.Series([], dtype="int64"),
+                                  "ev": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        last = np.concatenate([uid[1:] != uid[:-1], [True]])
+        gaps = (us[1:] - us[:-1])[~last[:-1]] // 1_000_000
+        cens = (MX - us[last]) // 1_000_000
+        return pd.DataFrame({
+            "t_s": np.concatenate([gaps, cens]),
+            "ev": np.concatenate([np.ones(len(gaps), np.int64),
+                                  np.zeros(len(cens), np.int64)])})
+
+    obs = bucketed_group_apply(evs, "user_id", per_bucket)
+    h = partial_group_agg(obs, ["t_s", "ev"], count_alias="c",
+                          combine="driver")
+    if h.empty:
+        return empty
+    piv = h.pivot_table(index="t_s", columns="ev", values="c",
+                        aggfunc="sum", fill_value=0)
+    t = piv.index.to_numpy(np.int64)
+    d = piv[1].to_numpy(np.int64) if 1 in piv.columns \
+        else np.zeros(len(t), np.int64)
+    tot = piv.sum(axis=1).to_numpy(np.int64)
+    at_risk = tot[::-1].cumsum()[::-1]  # obs with time >= t
+    keep = d > 0
+    factor = 1.0 - (1.0 * d[keep]) / at_risk[keep]
+    surv = np.cumprod(factor)
+    return pd.DataFrame({
+        "t_s": t[keep],
+        "d": d[keep],
+        "at_risk": at_risk[keep],
+        "survival": np.floor(surv * 1e6 + 0.5) / 1e6 + 0.0})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10201,6 +10420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_90": vocab_coverage_90,
         "part_supplier_kcore": part_supplier_kcore,
         "blocking_quality": blocking_quality,
+        "nation_kendall_tau": nation_kendall_tau,
+        "daily_user_overlap": daily_user_overlap,
+        "gap_kaplan_meier": gap_kaplan_meier,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -12677,6 +12899,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(k)::BIGINT AS k,
                    min_by(cum, k)::BIGINT AS covered, tot AS total
             FROM w, t WHERE 10*cum >= 9*tot GROUP BY tot
+        """,
+        "nation_kendall_tau": """
+            WITH sp AS (SELECT o_custkey,
+                               sum(CAST(round(o_totalprice*100)
+                                        AS BIGINT))::BIGINT AS y
+                        FROM orders GROUP BY 1),
+                 d AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS x,
+                              coalesce(y, 0)::BIGINT AS y
+                       FROM customer
+                       LEFT JOIN sp ON o_custkey = c_custkey),
+                 p AS (SELECT a.nk,
+                              count(*)::BIGINT AS n0,
+                              count(*) FILTER (WHERE (a.x - b.x)
+                                  *(a.y - b.y) > 0)::BIGINT AS c,
+                              count(*) FILTER (WHERE (a.x - b.x)
+                                  *(a.y - b.y) < 0)::BIGINT AS dd,
+                              count(*) FILTER (WHERE a.x = b.x)
+                                ::BIGINT AS n1,
+                              count(*) FILTER (WHERE a.y = b.y)
+                                ::BIGINT AS n2
+                       FROM d a JOIN d b ON a.nk = b.nk AND a.ck < b.ck
+                       GROUP BY 1)
+            SELECT n_name, n0 AS n_pairs, (c - dd)::BIGINT AS c_minus_d,
+                   round((1.0*(c - dd))
+                         /sqrt((1.0*(n0 - n1))*(n0 - n2)), 6) + 0
+                     AS tau_b
+            FROM p JOIN nation ON n_nationkey = nk
+            WHERE (1.0*(n0 - n1))*(n0 - n2) > 0
+            ORDER BY n_name
+        """,
+        "daily_user_overlap": """
+            WITH du AS (SELECT DISTINCT
+                               (epoch_us(ts)//86400000000)::BIGINT
+                                 AS day,
+                               user_id
+                        FROM events),
+                 cur AS (SELECT day, count(*)::BIGINT AS n_cur
+                         FROM du GROUP BY 1),
+                 ov AS (SELECT a.day, count(*)::BIGINT AS n_both
+                        FROM du a JOIN du b ON b.day = a.day - 1
+                                           AND b.user_id = a.user_id
+                        GROUP BY 1)
+            SELECT c.day, coalesce(p.n_cur, 0)::BIGINT AS n_prev,
+                   c.n_cur, coalesce(o.n_both, 0)::BIGINT AS n_both,
+                   round((1.0*coalesce(o.n_both, 0))
+                         /(coalesce(p.n_cur, 0) + c.n_cur
+                           - coalesce(o.n_both, 0)), 6) + 0 AS jaccard
+            FROM cur c
+            LEFT JOIN cur p ON p.day = c.day - 1
+            LEFT JOIN ov o ON o.day = c.day
+            ORDER BY c.day
+        """,
+        "gap_kaplan_meier": """
+            WITH e AS (SELECT user_id, event_id,
+                              epoch_us(ts)::BIGINT AS us
+                       FROM events),
+                 mx AS (SELECT max(us)::BIGINT AS m FROM e),
+                 g AS (SELECT user_id, us,
+                              lead(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS nxt
+                       FROM e),
+                 o AS (SELECT (nxt - us)//1000000 AS t_s, 1 AS ev
+                       FROM g WHERE nxt IS NOT NULL
+                       UNION ALL
+                       SELECT (m - us)//1000000 AS t_s, 0 AS ev
+                       FROM g, mx WHERE nxt IS NULL),
+                 h AS (SELECT t_s::BIGINT AS t_s, sum(ev)::BIGINT AS d,
+                              count(*)::BIGINT AS n_all
+                       FROM o GROUP BY 1),
+                 w AS (SELECT t_s, d,
+                              CAST(sum(n_all) OVER (ORDER BY t_s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS at_risk
+                       FROM h),
+                 s AS (SELECT t_s, d, at_risk,
+                              product(1.0 - (1.0*d)/at_risk)
+                                OVER (ORDER BY t_s
+                                      ROWS UNBOUNDED PRECEDING) AS surv
+                       FROM w WHERE d > 0)
+            SELECT t_s, d, at_risk, round(surv, 6) + 0 AS survival
+            FROM s ORDER BY t_s
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

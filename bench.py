@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "vocab_coverage_90",
     "part_supplier_kcore",
     "blocking_quality",
+    "nation_kendall_tau",
+    "daily_user_overlap",
+    "gap_kaplan_meier",
     "extract_pages",
     "link_frequencies",
     "entity_linking",

@@ -115,3 +115,59 @@ def test_global_ordered_cumsum_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()),
                                        "v": pa.array([], pa.int64())}))
     assert global_ordered_cumsum(ds, "k", "v") is None
+
+
+class TestKendallKernels:
+    def test_merge_inversions_matches_brute(self):
+        import numpy as np
+
+        from elevant_ray.stages.util import merge_inversions
+
+        rng = np.random.RandomState(7)
+        for _ in range(100):
+            n = rng.randint(0, 60)
+            a = rng.randint(0, 8, n)
+            brute = sum(1 for i in range(n) for j in range(i + 1, n)
+                        if a[i] > a[j])
+            assert merge_inversions(a) == brute
+
+    def test_tie_pair_count(self):
+        import numpy as np
+
+        from elevant_ray.stages.util import tie_pair_count
+
+        assert tie_pair_count(np.array([], np.int64)) == 0
+        assert tie_pair_count(np.array([5])) == 0
+        assert tie_pair_count(np.array([3, 3, 3])) == 3
+        assert tie_pair_count(np.array([2, 1, 2, 1, 2])) == 4
+
+    def test_knight_identity_matches_brute_force_tau(self):
+        """C−D = n0−n1−n2+n3−2I on lexicographically sorted pairs."""
+        import numpy as np
+
+        from elevant_ray.stages.util import merge_inversions, tie_pair_count
+
+        rng = np.random.RandomState(11)
+        for _ in range(100):
+            n = rng.randint(2, 40)
+            x = rng.randint(0, 6, n).astype(np.int64)
+            y = rng.randint(0, 6, n).astype(np.int64)
+            C = D = 0
+            for i in range(n):
+                for j in range(i + 1, n):
+                    s = (x[i] - x[j]) * (y[i] - y[j])
+                    if s > 0:
+                        C += 1
+                    elif s < 0:
+                        D += 1
+            order = np.lexsort((y, x))
+            xs, ys = x[order], y[order]
+            n0 = n * (n - 1) // 2
+            n1 = tie_pair_count(xs, assume_sorted=True)
+            n2 = tie_pair_count(ys)
+            new = np.concatenate(
+                [[True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])])
+            sizes = np.diff(np.append(np.flatnonzero(new), n))
+            n3 = int((sizes * (sizes - 1) // 2).sum())
+            got = n0 - n1 - n2 + n3 - 2 * merge_inversions(ys)
+            assert got == C - D
