@@ -10268,6 +10268,247 @@ def gap_kaplan_meier(sf_dir: str):
         "survival": np.floor(surv * 1e6 + 0.5) / 1e6 + 0.0})
 
 
+def doc_char_entropy(sf_dir: str):
+    """Character-level Shannon entropy per document (bits) — the
+    classic gibberish/compressibility quality signal.  Per-doc char
+    histograms stay inside the batch (no shuffle at all); the entropy
+    terms use the identical p·log2(p) expression as the oracle, summed
+    over ≤ charset-size terms and rounded at 6.  Empty documents have
+    no distribution and are omitted (both sides)."""
+    from collections import Counter
+
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, ns, ents = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            n = len(text)
+            if n == 0:
+                continue
+            cnt = np.array(sorted(Counter(text).values()), np.int64)
+            p = (1.0 * cnt) / n
+            h = -float((p * np.log2(p)).sum())
+            ids.append(doc_id)
+            ns.append(n)
+            ents.append(float(np.sign(h) * np.floor(abs(h) * 1e6 + 0.5)
+                              / 1e6) + 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(ns, pa.int64()),
+                         "entropy": pa.array(ents, pa.float64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
+def user_phase_value_means(sf_dir: str):
+    """Early/mid/late behavior drift: each user's events split into
+    time-order tertiles (SQL NTILE semantics via util.ntile_assign),
+    average value per (user, phase) from exact cents — the lifecycle
+    phase comparison.  One user-keyed shuffle, phases assigned
+    vectorized inside the bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         ntile_assign)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "phase": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "avg_value": pd.Series([], dtype="float64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        sizes_per_user = np.diff(np.append(starts, len(uid)))
+        sizes = np.repeat(sizes_per_user, sizes_per_user)
+        ranks = np.arange(len(uid)) - np.repeat(starts, sizes_per_user)
+        phase = ntile_assign(sizes, ranks, 3)
+        res = pd.DataFrame({"user_id": uid, "phase": phase, "c": c})
+        agg = res.groupby(["user_id", "phase"], sort=False).agg(
+            n=("c", "size"), sc=("c", "sum")).reset_index()
+        avg = (1.0 * agg["sc"].to_numpy(np.int64)) \
+            / agg["n"].to_numpy(np.int64) / 100.0
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "phase": agg["phase"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "avg_value": np.floor(avg * 1e6 + 0.5) / 1e6 + 0.0})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), ["user_id", "phase"])
+
+
+def signup_to_purchase_latency(sf_dir: str):
+    """Activation latency: seconds from each user's FIRST signup to
+    their first purchase at-or-after it, summarized as user count +
+    exact p50/p90 (percentile_disc over the second-bounded histogram —
+    stages/quantiles.py, no sort).  Users without a signup or without
+    a qualifying purchase drop out."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    empty = pd.DataFrame({"n_users": pd.Series([], dtype="int64"),
+                          "p50_s": pd.Series([], dtype="int64"),
+                          "p90_s": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.column("event_type")
+        keep = pc.or_(pc.equal(t, pa.scalar("signup")),
+                      pc.equal(t, pa.scalar("purchase")))
+        b = b.filter(keep)
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "us": pa.array(us, pa.int64()),
+                         "is_signup": pc.equal(b.column("event_type"),
+                                               pa.scalar("signup"))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"lat_s": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        sg = g[g["is_signup"]].groupby("user_id")["us"].min()
+        pu = g[~g["is_signup"]][["user_id", "us"]].merge(
+            sg.rename("s0"), left_on="user_id", right_index=True)
+        pu = pu[pu["us"] >= pu["s0"]]
+        if not len(pu):
+            return out_empty
+        first = pu.groupby("user_id").agg(us=("us", "min"),
+                                          s0=("s0", "first"))
+        lat = (first["us"].to_numpy(np.int64)
+               - first["s0"].to_numpy(np.int64)) // 1_000_000
+        return pd.DataFrame({"lat_s": lat})
+
+    lats = bucketed_group_apply(ds.map_batches(pre,
+                                               batch_format="pyarrow"),
+                                "user_id", per_bucket)
+    from elevant_ray.stages.util import as_arrow
+
+    lats = as_arrow(lats)
+    q = grouped_quantiles(lats, "lat_s", (0.5, 0.9)).to_pandas()
+    if q.empty:
+        return empty
+    n = lats.count()
+    p = {r["q"]: int(r["lat_s"]) for _, r in q.iterrows()}
+    return pd.DataFrame({"n_users": [np.int64(n)],
+                         "p50_s": [np.int64(p[0.5])],
+                         "p90_s": [np.int64(p[0.9])]})
+
+
+def supplier_neighborhood_jaccard(sf_dir: str):
+    """Top-50 supplier pairs by Jaccard similarity of their part
+    neighborhoods — set-similarity join over the bipartite graph:
+    J(a, b) = |parts(a) ∩ parts(b)| / (deg a + deg b − common).  Pair
+    commons reuse the co-occurrence kernel (util.within_group_pairs)
+    under the driver cutoff (cf. parts_cosupply_top_pairs for the
+    bucketed scale path); ranking is by the ROUNDED score with (s1,
+    s2) tie-break, so the oracle's ORDER BY matches bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (bucketed_group_apply, np_columns,
+                                         partial_group_agg, scale_cutoff,
+                                         within_group_pairs)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    empty = pd.DataFrame({"s1": pd.Series([], dtype="int64"),
+                          "s2": pd.Series([], dtype="int64"),
+                          "common_parts": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if line.count() == 0:
+        return empty
+
+    mask = np.int64((1 << 21) - 1)
+
+    def edges(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        comp = np.unique((pk << 21) + sk)
+        return pa.table({"part": pa.array(comp >> 21, pa.int64()),
+                         "comp": pa.array(comp, pa.int64())})
+
+    eds = line.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def pair_counts(comp: np.ndarray) -> pd.DataFrame:
+        comp = np.unique(comp)
+        part = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], part[1:] != part[:-1]]))
+        sizes = np.diff(np.append(starts, len(part)))
+        i, j = within_group_pairs(starts, sizes)
+        pair = ((comp[i] & mask) << 21) + (comp[j] & mask)
+        up, c = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": up, "c": c.astype(np.int64)})
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        comp = np.unique(np_columns(eds, ["comp"])["comp"]
+                         .astype(np.int64))
+        agg = pair_counts(comp)
+        su, sdeg = np.unique(comp & mask, return_counts=True)
+    else:
+        parts_df = bucketed_group_apply(
+            eds, "part",
+            lambda g: pair_counts(g["comp"].to_numpy(np.int64)))
+        agg = partial_group_agg(parts_df, ["pair"], sum_cols=["c"],
+                                combine="driver")
+        deg = partial_group_agg(
+            eds.map_batches(
+                lambda b: pa.table({
+                    "s": pa.array(
+                        b.column("comp").to_numpy(zero_copy_only=False)
+                        & mask, pa.int64())}),
+                batch_format="pyarrow"),
+            ["s"], count_alias="d", combine="driver")
+        su = deg["s"].to_numpy(np.int64)
+        sdeg = deg["d"].to_numpy(np.int64)
+        order = np.argsort(su)
+        su, sdeg = su[order], sdeg[order]
+    if agg.empty:
+        return empty
+    pairv = agg["pair"].to_numpy(np.int64)
+    common = agg["c"].to_numpy(np.int64)
+    s1 = pairv >> 21
+    s2 = pairv & mask
+    d1 = sdeg[np.searchsorted(su, s1)]
+    d2 = sdeg[np.searchsorted(su, s2)]
+    j = (1.0 * common) / (d1 + d2 - common)
+    j6 = np.floor(j * 1e6 + 0.5) / 1e6 + 0.0
+    out = pd.DataFrame({"s1": s1, "s2": s2, "common_parts": common,
+                        "jaccard": j6})
+    out = out.sort_values(["jaccard", "s1", "s2"],
+                          ascending=[False, True, True]).head(50)
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10423,6 +10664,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_kendall_tau": nation_kendall_tau,
         "daily_user_overlap": daily_user_overlap,
         "gap_kaplan_meier": gap_kaplan_meier,
+        "doc_char_entropy": doc_char_entropy,
+        "user_phase_value_means": user_phase_value_means,
+        "signup_to_purchase_latency": signup_to_purchase_latency,
+        "supplier_neighborhood_jaccard": supplier_neighborhood_jaccard,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -12981,6 +13226,68 @@ def oracle_sql() -> dict[str, str]:
                        FROM w WHERE d > 0)
             SELECT t_s, d, at_risk, round(surv, 6) + 0 AS survival
             FROM s ORDER BY t_s
+        """,
+        "doc_char_entropy": """
+            WITH ch AS (SELECT doc_id,
+                               unnest(string_split(text, '')) AS ch
+                        FROM documents),
+                 cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+                         FROM ch GROUP BY 1, 2),
+                 n AS (SELECT doc_id, sum(c)::BIGINT AS n
+                       FROM cnt GROUP BY 1)
+            SELECT doc_id::BIGINT AS doc_id, n AS n_chars,
+                   round(-sum(((1.0*c)/n)*log2((1.0*c)/n)), 6) + 0
+                     AS entropy
+            FROM cnt JOIN n USING (doc_id)
+            GROUP BY doc_id, n ORDER BY doc_id
+        """,
+        "user_phase_value_means": """
+            WITH o AS (SELECT user_id, event_id, ts,
+                              CAST(round(value*100) AS BIGINT) AS c,
+                              ntile(3) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS phase
+                       FROM events)
+            SELECT user_id::BIGINT AS user_id, phase::BIGINT AS phase,
+                   count(*)::BIGINT AS n,
+                   round((1.0*sum(c))/count(*)/100.0, 6) + 0
+                     AS avg_value
+            FROM o GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "signup_to_purchase_latency": """
+            WITH s AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS s0
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY 1),
+                 p AS (SELECT e.user_id,
+                              min(epoch_us(ts))::BIGINT AS p0, s0
+                       FROM events e JOIN s USING (user_id)
+                       WHERE event_type = 'purchase'
+                         AND epoch_us(ts) >= s0
+                       GROUP BY e.user_id, s0),
+                 l AS (SELECT (p0 - s0)//1000000 AS lat_s FROM p)
+            SELECT count(*)::BIGINT AS n_users,
+                   quantile_disc(lat_s, 0.5)::BIGINT AS p50_s,
+                   quantile_disc(lat_s, 0.9)::BIGINT AS p90_s
+            FROM l HAVING count(*) > 0
+        """,
+        "supplier_neighborhood_jaccard": """
+            WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                       FROM lineitem),
+                 deg AS (SELECT s, count(*)::BIGINT AS d
+                         FROM e GROUP BY 1),
+                 pr AS (SELECT a.s AS s1, b.s AS s2,
+                               count(*)::BIGINT AS common
+                        FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+                        GROUP BY 1, 2),
+                 j AS (SELECT s1, s2, common,
+                              round((1.0*common)
+                                    /(d1.d + d2.d - common), 6) + 0
+                                AS jaccard
+                       FROM pr
+                       JOIN deg d1 ON d1.s = s1
+                       JOIN deg d2 ON d2.s = s2)
+            SELECT s1::BIGINT AS s1, s2::BIGINT AS s2,
+                   common AS common_parts, jaccard
+            FROM j ORDER BY jaccard DESC, s1, s2 LIMIT 50
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

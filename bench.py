@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     "nation_kendall_tau",
     "daily_user_overlap",
     "gap_kaplan_meier",
+    "doc_char_entropy",
+    "user_phase_value_means",
+    "signup_to_purchase_latency",
+    "supplier_neighborhood_jaccard",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
