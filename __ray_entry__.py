@@ -10509,6 +10509,147 @@ def supplier_neighborhood_jaccard(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def nation_balance_qq(sf_dir: str):
+    """Q–Q comparison of two nations' customer balance distributions:
+    exact percentile_disc at each decile for nation 0 vs nation 1 —
+    the distribution-shift diagnostic as quantile pairs.  Both sides
+    come from ONE grouped histogram pass (stages/quantiles.py), no
+    sort."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    empty = pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                          "bal_n0": pd.Series([], dtype="float64"),
+                          "bal_n1": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b.column("c_nationkey"), pa.int64())
+        keep = pc.or_(pc.equal(nk, pa.scalar(0, pa.int64())),
+                      pc.equal(nk, pa.scalar(1, pa.int64())))
+        b2 = pa.table({"nk": nk, "bal": b.column("c_acctbal")})
+        b2 = b2.filter(keep)
+        c = np.rint(b2.column("bal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"nk": b2.column("nk"),
+                         "c": pa.array(c, pa.int64())})
+
+    QS = tuple(i / 10 for i in range(1, 10))
+    q = grouped_quantiles(ds.map_batches(pre, batch_format="pyarrow"),
+                          "c", QS, group_cols=["nk"]).to_pandas()
+    if q.empty:
+        return empty
+    piv = q.pivot(index="q", columns="nk", values="c")
+    if 0 not in piv.columns or 1 not in piv.columns:
+        return empty
+    return pd.DataFrame({
+        "q": piv.index.to_numpy(np.float64),
+        "bal_n0": piv[0].to_numpy(np.int64) / 100.0,
+        "bal_n1": piv[1].to_numpy(np.int64) / 100.0}) \
+        .sort_values("q").reset_index(drop=True)
+
+
+def event_type_cosine(sf_dir: str):
+    """Cosine similarity between event types over the per-user
+    engagement space: each type is a vector of per-user counts, and
+    cos(a, b) = Σᵤ cₐcᵦ / (‖a‖·‖b‖) measures co-engagement.  The
+    (user, type) count matrix reduces through partials; the 5×5 gram
+    closes on the driver in exact ints, one float division per pair
+    (identical expression as the oracle's pairwise join)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    empty = pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                          "t2": pd.Series([], dtype="object"),
+                          "dot": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    counts = partial_group_agg(ds, ["user_id", "event_type"],
+                               count_alias="c", combine="driver")
+    piv = counts.pivot_table(index="user_id", columns="event_type",
+                             values="c", aggfunc="sum", fill_value=0)
+    types = sorted(piv.columns.tolist())
+    m = piv[types].to_numpy(np.int64)
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            dot = int((m[:, i] * m[:, j]).sum())
+            na = int((m[:, i] * m[:, i]).sum())
+            nb = int((m[:, j] * m[:, j]).sum())
+            if na == 0 or nb == 0:
+                continue
+            cos = (1.0 * dot) / (np.sqrt(1.0 * na) * np.sqrt(1.0 * nb))
+            rows.append((types[i], types[j], dot,
+                         float(np.floor(cos * 1e6 + 0.5) / 1e6) + 0.0))
+    return pd.DataFrame(rows, columns=["t1", "t2", "dot", "cosine"]) \
+        .astype({"dot": "int64"})
+
+
+def part_name_token_pairs(sf_dir: str):
+    """String set-similarity join on part names: the 100 part pairs
+    sharing the most distinct name tokens (≥ 2 shared), tie-broken by
+    keys — the schema-matching / near-duplicate-name shape.  The
+    token→part inverted index feeds the same vectorized pair kernel as
+    co-occurrence mining (util.within_group_pairs) after factorizing
+    tokens to dense ints; token posting lists are capped like real ER
+    blockers cap frequent keys (none hit the 2^21 part-id bound here,
+    cf. parts_cosupply layout)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (np_columns, within_group_pairs)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    empty = pd.DataFrame({"p1": pd.Series([], dtype="int64"),
+                          "p2": pd.Series([], dtype="int64"),
+                          "common_tokens": pd.Series([], dtype="int64")})
+    if part.count() == 0:
+        return empty
+
+    def tok(b: pa.Table) -> pa.Table:
+        ks, ts = [], []
+        for k, name in zip(b.column("p_partkey").to_pylist(),
+                           b.column("p_name").to_pylist()):
+            for t in set(name.split(" ")):
+                if t:
+                    ks.append(k)
+                    ts.append(t)
+        return pa.table({"pk": pa.array(ks, pa.int64()),
+                         "tok": pa.array(ts, pa.string())})
+
+    # part names are a dimension table: the (token, part) postings fit
+    # the driver (the bucketed fallback would key by token, exactly the
+    # parts_cosupply scale path)
+    cols = np_columns(part.map_batches(tok, batch_format="pyarrow"),
+                      ["pk", "tok"])
+    codes, _ = pd.factorize(cols["tok"])
+    comp = np.unique(codes.astype(np.int64) * (1 << 21)
+                     + cols["pk"].astype(np.int64))
+    grp = comp >> 21
+    starts = np.flatnonzero(np.concatenate([[True], grp[1:] != grp[:-1]]))
+    sizes = np.diff(np.append(starts, len(grp)))
+    i, j = within_group_pairs(starts, sizes)
+    mask = np.int64((1 << 21) - 1)
+    pair = ((comp[i] & mask) << 21) + (comp[j] & mask)
+    up, c = np.unique(pair, return_counts=True)
+    keep = c >= 2
+    up, c = up[keep], c[keep].astype(np.int64)
+    out = pd.DataFrame({"p1": up >> 21, "p2": up & mask,
+                        "common_tokens": c})
+    out = out.sort_values(["common_tokens", "p1", "p2"],
+                          ascending=[False, True, True]).head(100)
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10668,6 +10809,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_phase_value_means": user_phase_value_means,
         "signup_to_purchase_latency": signup_to_purchase_latency,
         "supplier_neighborhood_jaccard": supplier_neighborhood_jaccard,
+        "nation_balance_qq": nation_balance_qq,
+        "event_type_cosine": event_type_cosine,
+        "part_name_token_pairs": part_name_token_pairs,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -13288,6 +13432,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1::BIGINT AS s1, s2::BIGINT AS s2,
                    common AS common_parts, jaccard
             FROM j ORDER BY jaccard DESC, s1, s2 LIMIT 50
+        """,
+        "nation_balance_qq": """
+            WITH c AS (SELECT c_nationkey AS nk,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS c
+                       FROM customer WHERE c_nationkey IN (0, 1)),
+                 s AS (""" + "\n                      UNION ALL ".join(
+            f"""SELECT {q/10}::DOUBLE AS q,
+                              (SELECT quantile_disc(c, {q/10}) FROM c
+                               WHERE nk = 0) AS c0,
+                              (SELECT quantile_disc(c, {q/10}) FROM c
+                               WHERE nk = 1) AS c1"""
+            for q in range(1, 10)) + """)
+            SELECT q, c0::BIGINT/100.0 AS bal_n0,
+                   c1::BIGINT/100.0 AS bal_n1
+            FROM s WHERE c0 IS NOT NULL AND c1 IS NOT NULL
+            ORDER BY q
+        """,
+        "event_type_cosine": """
+            WITH c AS (SELECT user_id, event_type,
+                              count(*)::BIGINT AS c
+                       FROM events GROUP BY 1, 2),
+                 n AS (SELECT event_type,
+                              sum(c*c)::BIGINT AS nrm
+                       FROM c GROUP BY 1),
+                 d AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                              sum(a.c*b.c)::BIGINT AS dot
+                       FROM c a JOIN c b ON a.user_id = b.user_id
+                                        AND a.event_type < b.event_type
+                       GROUP BY 1, 2)
+            SELECT t1, t2, dot,
+                   round((1.0*dot)/(sqrt(1.0*na.nrm)*sqrt(1.0*nb.nrm)),
+                         6) + 0 AS cosine
+            FROM d
+            JOIN n na ON na.event_type = t1
+            JOIN n nb ON nb.event_type = t2
+            WHERE na.nrm > 0 AND nb.nrm > 0
+            ORDER BY t1, t2
+        """,
+        "part_name_token_pairs": """
+            WITH tok AS (SELECT DISTINCT p_partkey AS pk,
+                                unnest(string_split(p_name, ' ')) AS t
+                         FROM part),
+                 tk AS (SELECT pk, t FROM tok WHERE t <> ''),
+                 pr AS (SELECT a.pk AS p1, b.pk AS p2,
+                               count(*)::BIGINT AS common_tokens
+                        FROM tk a JOIN tk b ON a.t = b.t AND a.pk < b.pk
+                        GROUP BY 1, 2
+                        HAVING count(*) >= 2)
+            SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, common_tokens
+            FROM pr ORDER BY common_tokens DESC, p1, p2 LIMIT 100
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

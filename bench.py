@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     "user_phase_value_means",
     "signup_to_purchase_latency",
     "supplier_neighborhood_jaccard",
+    "nation_balance_qq",
+    "event_type_cosine",
+    "part_name_token_pairs",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
