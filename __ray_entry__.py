@@ -10650,6 +10650,165 @@ def part_name_token_pairs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def docs_incremental_new(sf_dir: str):
+    """Incremental-ingest dedup: treat the first half of the corpus
+    (doc_id < ⌈max/2⌉) as already-ingested state and report which
+    second-half docs are genuinely NEW — their normalized-text
+    fingerprint absent from the state.  The state's fingerprint set
+    ships ONCE via ray.put and probes sorted-array membership per
+    batch (cached per worker); a >memory state would swap this for the
+    bucketed anti-join (customer_except's scale path)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.util import np_columns
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "fingerprint": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+    mx = int(np_columns(ds.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(pc.max(b.column("doc_id")).as_py())]
+            if b.num_rows else [], pa.int64())}),
+        batch_format="pyarrow"), ["m"])["m"].max())
+    split = mx // 2 + 1
+
+    def fp(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import md5_fingerprint
+
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"),
+                                           pa.int64()),
+                         "fingerprint": pa.array(
+                             [md5_fingerprint(t)
+                              for t in b.column("text").to_pylist()],
+                             pa.string())})
+
+    fps = ds.map_batches(fp, batch_format="pyarrow").materialize()
+    state = fps.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"),
+                                   pa.scalar(split, pa.int64()))),
+        batch_format="pyarrow")
+    state_fps = ray.put(np.unique(np_columns(
+        state, ["fingerprint"])["fingerprint"].astype(str)))
+
+    def new_only(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        st = cached_get(state_fps)
+        keep_rows = pc.greater_equal(b.column("doc_id"),
+                                     pa.scalar(split, pa.int64()))
+        b = b.filter(keep_rows)
+        f = np.asarray(b.column("fingerprint").to_pylist(), dtype=str)
+        idx = np.searchsorted(st, f)
+        idx = np.minimum(idx, len(st) - 1) if len(st) else idx
+        seen = (st[idx] == f) if len(st) else np.zeros(len(f), bool)
+        return b.filter(pa.array(~seen))
+
+    out = fps.map_batches(new_only, batch_format="pyarrow")
+    return _det_sort(out, "doc_id")
+
+
+def daily_revenue_wow(sf_dir: str):
+    """Week-over-week revenue pulse: per-day order revenue compared to
+    the SAME WEEKDAY one calendar week earlier (a day-indexed join, not
+    a row lag — gaps don't shift the comparison), with the percent
+    change exact-rational until the one float division.  Per-day sums
+    are calendar-bounded partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "revenue_prev_week":
+                              pd.Series([], dtype="float64"),
+                          "wow_pct": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["day"], sum_cols=["c"], combine="driver")
+    agg = agg.sort_values("day").reset_index(drop=True)
+    day = agg["day"].to_numpy(np.int64)
+    c = agg["c"].to_numpy(np.int64)
+    idx = np.searchsorted(day, day - 7)
+    idx = np.minimum(idx, len(day) - 1)
+    has_prev = day[idx] == day - 7
+    prev = np.where(has_prev, c[idx], 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = 100.0 * (c - prev) / prev
+    pct = np.where(has_prev & (prev > 0),
+                   np.sign(pct) * np.floor(np.abs(pct) * 1e6 + 0.5)
+                   / 1e6 + 0.0, np.nan)
+    return pd.DataFrame({
+        "day": day,
+        "revenue": c / 100.0,
+        "revenue_prev_week": np.where(has_prev, prev / 100.0, np.nan),
+        "wow_pct": pct})
+
+
+def nation_segment_sets(sf_dir: str):
+    """GROUPING SETS ((nation), (segment)): customer counts and exact
+    balance sums at two independent granularities in one result, each
+    side's absent key NULL — the multi-granularity report shape
+    (complement of the ROLLUP/CUBE queries).  One scan produces both
+    groupings' partials; no row is read twice."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "c_mktsegment": pd.Series([], dtype="object"),
+                          "n_customers": pd.Series([], dtype="int64"),
+                          "total_bal": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"nk": pc.cast(b.column("c_nationkey"),
+                                       pa.int64()),
+                         "seg": b.column("c_mktsegment"),
+                         "c": pa.array(c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    by_n = partial_group_agg(pre_ds, ["nk"], sum_cols=["c"],
+                             count_alias="n", combine="driver")
+    by_s = partial_group_agg(pre_ds, ["seg"], sum_cols=["c"],
+                             count_alias="n", combine="driver")
+    rows = []
+    for _, r in by_n.iterrows():
+        rows.append((nation[int(r["nk"])], None, int(r["n"]),
+                     int(r["c"]) / 100.0))
+    for _, r in by_s.iterrows():
+        rows.append((None, r["seg"], int(r["n"]), int(r["c"]) / 100.0))
+    out = pd.DataFrame(rows, columns=["n_name", "c_mktsegment",
+                                      "n_customers", "total_bal"])
+    return out.astype({"n_customers": "int64"}) \
+        .sort_values(["n_name", "c_mktsegment"],
+                     na_position="last").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10812,6 +10971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_qq": nation_balance_qq,
         "event_type_cosine": event_type_cosine,
         "part_name_token_pairs": part_name_token_pairs,
+        "docs_incremental_new": docs_incremental_new,
+        "daily_revenue_wow": daily_revenue_wow,
+        "nation_segment_sets": nation_segment_sets,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -13482,6 +13644,44 @@ def oracle_sql() -> dict[str, str]:
                         HAVING count(*) >= 2)
             SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, common_tokens
             FROM pr ORDER BY common_tokens DESC, p1, p2 LIMIT 100
+        """,
+        "docs_incremental_new": """
+            WITH f AS (SELECT doc_id,
+                              md5(trim(regexp_replace(lower(text),
+                                                      '\\s+', ' ', 'g')))
+                                AS fingerprint
+                       FROM documents),
+                 mx AS (SELECT max(doc_id)//2 + 1 AS split
+                        FROM documents)
+            SELECT doc_id::BIGINT AS doc_id, fingerprint
+            FROM f, mx
+            WHERE doc_id >= split
+              AND fingerprint NOT IN (SELECT fingerprint
+                                      FROM f, mx WHERE doc_id < split)
+            ORDER BY doc_id
+        """,
+        "daily_revenue_wow": """
+            WITH a AS (SELECT CAST(CAST(o_orderdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders GROUP BY 1)
+            SELECT a.day, a.c/100.0 AS revenue,
+                   p.c/100.0 AS revenue_prev_week,
+                   CASE WHEN p.c > 0
+                        THEN round(100.0*(a.c - p.c)/p.c, 6) + 0
+                        END AS wow_pct
+            FROM a LEFT JOIN a p ON p.day = a.day - 7
+            ORDER BY a.day
+        """,
+        "nation_segment_sets": """
+            SELECT n_name, c_mktsegment,
+                   count(*)::BIGINT AS n_customers,
+                   sum(CAST(round(c_acctbal*100) AS BIGINT))
+                     ::BIGINT/100.0 AS total_bal
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+            ORDER BY n_name NULLS LAST, c_mktsegment NULLS LAST
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

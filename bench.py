@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "nation_balance_qq",
     "event_type_cosine",
     "part_name_token_pairs",
+    "docs_incremental_new",
+    "daily_revenue_wow",
+    "nation_segment_sets",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
