@@ -10809,6 +10809,171 @@ def nation_segment_sets(sf_dir: str):
                      na_position="last").reset_index(drop=True)
 
 
+def events_hourly_control_chart(sf_dir: str):
+    """X̄ control chart over hourly value means: each hour-of-day's
+    mean is flagged out-of-control when it leaves the ±3σ/√n band
+    around the global mean — the monitoring-rule shape.  Global and
+    per-hour moments are exact integer partials from ONE scan; every
+    float step (mean, σ, band, comparison) is the identical expression
+    the oracle evaluates, so the boolean flag matches exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"hour": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "mean_value": pd.Series([], dtype="float64"),
+                          "out_of_control": pd.Series([], dtype="bool")})
+    if ds.count() == 0:
+        return empty
+
+    HOUR_US = 3_600_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"hour": pa.array((us // HOUR_US) % 24,
+                                          pa.int64()),
+                         "s": pa.array(c, pa.int64()),
+                         "q": pa.array(c * c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["hour"], sum_cols=["s", "q"],
+                          count_alias="n", combine="driver")
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    q = g["q"].to_numpy(np.int64)
+    N, S, Q = int(n.sum()), int(s.sum()), int(q.sum())
+    if N < 2:
+        return empty
+    mu = (1.0 * S) / N
+    sigma = np.sqrt((Q - (1.0 * S) * S / N) / (N - 1))
+    mean_h = (1.0 * s) / n
+    flag = np.abs(mean_h - mu) > 3.0 * sigma / np.sqrt(1.0 * n)
+    out = pd.DataFrame({
+        "hour": g["hour"].astype("int64"),
+        "n": n,
+        "mean_value": np.floor(mean_h / 100.0 * 1e6 + 0.5) / 1e6 + 0.0,
+        "out_of_control": flag})
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def embedding_quantize_check(sf_dir: str):
+    """Symmetric int8 quantization of the embedding column with
+    integrity checksums: per vector, scale = max|x| and qᵢ =
+    round(127·xᵢ/scale) — reported as the exact integer sum and L1
+    norm of the quantized vector (so the oracle compares the WHOLE
+    quantized vector through two integers).  float32 → double is exact
+    both sides; the division/round expression is identical.  Pure
+    map, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, scales, qsum, ql1 = [], [], [], []
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vids = b.column("vec_id").to_pylist()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        for k, vid in enumerate(vids):
+            x = vals[offs[k]:offs[k + 1]]
+            scale = float(np.abs(x).max()) if len(x) else 0.0
+            if scale > 0:
+                z = 127.0 * x / scale
+                qv = (np.sign(z) * np.floor(np.abs(z) + 0.5)) \
+                    .astype(np.int64)
+            else:
+                qv = np.zeros(len(x), np.int64)
+            ids.append(vid)
+            scales.append(
+                float(np.floor(scale * 1e6 + 0.5) / 1e6) + 0.0)
+            qsum.append(int(qv.sum()))
+            ql1.append(int(np.abs(qv).sum()))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "scale": pa.array(scales, pa.float64()),
+                         "q_sum": pa.array(qsum, pa.int64()),
+                         "q_l1": pa.array(ql1, pa.int64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "vec_id")
+
+
+def user_trailing_type_diversity(sf_dir: str):
+    """Sliding-window DISTINCT: how many distinct event types each
+    user touched in their trailing 10 events (current + 9 preceding) —
+    the windowed-diversity engagement signal.  Distinct-over-window
+    isn't subtractable, so the kernel ORs 10 shifted type-bitmask
+    arrays with user-boundary guards (types are enum-bounded; popcount
+    by table) — no per-row set, no per-user loop."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "n_types10": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    # global type enum from per-batch unique partials
+    types = sorted({t for b in ds.map_batches(
+        lambda b: pa.table({"t": pc.unique(b.column("event_type"))}),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for t in b.column("t").to_pylist()})
+    tcode = {t: i for i, t in enumerate(types)}
+    if len(types) > 20:
+        raise ValueError("type enum too wide for bitmask window")
+    POP = np.array([bin(i).count("1") for i in range(1 << len(types))],
+                   np.int64)
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        bits = np.array([1 << tcode[t]
+                         for t in b.column("event_type").to_pylist()],
+                        np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "bits": pa.array(bits, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "n_types10": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        bits = g["bits"].to_numpy(np.int64)
+        m = len(uid)
+        starts = np.flatnonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]]))
+        ustart = np.repeat(starts, np.diff(np.append(starts, m)))
+        i = np.arange(m)
+        acc = np.zeros(m, np.int64)
+        for k in range(10):
+            valid = i - k >= ustart
+            src = np.where(valid, bits[np.maximum(i - k, 0)], 0)
+            acc |= src
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "n_types10": POP[acc]})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "event_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -10974,6 +11139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_new": docs_incremental_new,
         "daily_revenue_wow": daily_revenue_wow,
         "nation_segment_sets": nation_segment_sets,
+        "events_hourly_control_chart": events_hourly_control_chart,
+        "embedding_quantize_check": embedding_quantize_check,
+        "user_trailing_type_diversity": user_trailing_type_diversity,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -13682,6 +13850,55 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON n_nationkey = c_nationkey
             GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
             ORDER BY n_name NULLS LAST, c_mktsegment NULLS LAST
+        """,
+        "events_hourly_control_chart": """
+            WITH c AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 g AS (SELECT hour, count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS s, sum(c*c)::BIGINT AS q
+                       FROM c GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT AS nn, sum(s)::BIGINT AS ss,
+                              sum(q)::BIGINT AS qq
+                       FROM g)
+            SELECT hour, n,
+                   round((1.0*s)/n/100.0, 6) + 0 AS mean_value,
+                   abs((1.0*s)/n - (1.0*ss)/nn)
+                     > 3.0*sqrt((qq - (1.0*ss)*ss/nn)/(nn - 1))
+                       /sqrt(1.0*n) AS out_of_control
+            FROM g, t WHERE nn >= 2 ORDER BY hour
+        """,
+        "embedding_quantize_check": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v,
+                              list_aggregate(
+                                  list_transform(v, x -> abs(x)),
+                                  'max') AS scale
+                       FROM e),
+                 q AS (SELECT vec_id, scale,
+                              CASE WHEN scale > 0
+                                   THEN list_transform(v,
+                                       x -> CAST(round(127.0*x/scale)
+                                                 AS BIGINT))
+                                   ELSE list_transform(v,
+                                       x -> CAST(0 AS BIGINT))
+                                   END AS qv
+                       FROM s)
+            SELECT vec_id::BIGINT AS vec_id,
+                   round(scale, 6) + 0 AS scale,
+                   list_sum(qv)::BIGINT AS q_sum,
+                   list_sum(list_transform(qv, x -> abs(x)))::BIGINT
+                     AS q_l1
+            FROM q ORDER BY vec_id
+        """,
+        "user_trailing_type_diversity": """
+            SELECT event_id::BIGINT AS event_id,
+                   count(DISTINCT event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS n_types10
+            FROM events ORDER BY event_id
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "docs_incremental_new",
     "daily_revenue_wow",
     "nation_segment_sets",
+    "events_hourly_control_chart",
+    "embedding_quantize_check",
+    "user_trailing_type_diversity",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
