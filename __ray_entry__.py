@@ -10974,6 +10974,198 @@ def user_trailing_type_diversity(sf_dir: str):
     return _det_sort(as_arrow(out), "event_id")
 
 
+def customer_year_rank_shift(sf_dir: str):
+    """Rank-mobility report: each customer's spend rank in 1997 vs
+    1998 (row_number by spend desc, custkey tie-break), top 20 movers
+    by |rank delta| — the year-over-year leaderboard shift.  Per-
+    (customer, year) sums are one partial-pushed exchange; ranking is
+    a driver lexsort over the dimension-bounded customer set."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "rank_1997": pd.Series([], dtype="int64"),
+                          "rank_1998": pd.Series([], dtype="int64"),
+                          "rank_delta": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        y = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                      "y": pa.array(y, pa.int64()),
+                      "c": pa.array(c, pa.int64())})
+        keep = pc.or_(pc.equal(t.column("y"), pa.scalar(1997, pa.int64())),
+                      pc.equal(t.column("y"), pa.scalar(1998, pa.int64())))
+        return t.filter(keep)
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["ck", "y"], sum_cols=["c"],
+                            combine="driver")
+    if agg.empty:
+        return empty
+    piv = agg.pivot(index="ck", columns="y", values="c")
+    if 1997 not in piv.columns or 1998 not in piv.columns:
+        return empty
+    piv = piv.dropna()
+    if piv.empty:
+        return empty
+    ck = piv.index.to_numpy(np.int64)
+
+    def ranks(c):
+        c = c.astype(np.int64)
+        order = np.lexsort((ck, -c))
+        r = np.empty(len(c), np.int64)
+        r[order] = np.arange(1, len(c) + 1)
+        return r
+
+    r97 = ranks(piv[1997].to_numpy())
+    r98 = ranks(piv[1998].to_numpy())
+    delta = r97 - r98
+    out = pd.DataFrame({"c_custkey": ck, "rank_1997": r97,
+                        "rank_1998": r98, "rank_delta": delta,
+                        "absd": np.abs(delta)})
+    out = out.sort_values(["absd", "c_custkey"],
+                          ascending=[False, True]).head(20)
+    return out.drop(columns=["absd"]).reset_index(drop=True)
+
+
+def user_idle_share(sf_dir: str):
+    """Share of each user's active span spent idle: idle = Σ max(gap −
+    1h, 0) over consecutive-event gaps, span = last − first event —
+    exact µs integers until the one share division.  One user-keyed
+    shuffle, gaps vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "idle_us": pd.Series([], dtype="int64"),
+            "span_us": pd.Series([], dtype="int64"),
+            "idle_share": pd.Series([], dtype="float64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        gaps = np.maximum((us[1:] - us[:-1]) - HOUR_US, 0) * same
+        idle = pd.Series(np.concatenate([gaps, [0]])) \
+            .groupby(uid, sort=False).sum()
+        span = pd.Series(us).groupby(uid, sort=False) \
+            .agg(lambda s: s.iloc[-1] - s.iloc[0])
+        keep = span > 0
+        share = (1.0 * idle[keep].to_numpy(np.int64)) \
+            / span[keep].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": idle[keep].index.to_numpy(np.int64),
+            "idle_us": idle[keep].to_numpy(np.int64),
+            "span_us": span[keep].to_numpy(np.int64),
+            "idle_share": np.floor(share * 1e6 + 0.5) / 1e6 + 0.0})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "user_id")
+
+
+def customers_churned_1998(sf_dir: str):
+    """Temporal churn anti-join: customers who ordered in 1997 but
+    placed NOTHING in 1998, with their 1997 order count and exact
+    spend.  One scan; per-customer year-bucketed partials, the churn
+    predicate closes on the combine — no join at all."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "n_orders_1997": pd.Series([], dtype="int64"),
+                          "spend_1997": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        y = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        is97 = (y == 1997).astype(np.int64)
+        is98 = (y == 1998).astype(np.int64)
+        return pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "n97": pa.array(is97, pa.int64()),
+                         "n98": pa.array(is98, pa.int64()),
+                         "c97": pa.array(is97 * c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["ck"], sum_cols=["n97", "n98", "c97"],
+                            combine="driver")
+    if agg.empty:
+        return empty
+    keep = (agg["n97"] > 0) & (agg["n98"] == 0)
+    out = agg[keep]
+    return pd.DataFrame({
+        "c_custkey": out["ck"].astype("int64"),
+        "n_orders_1997": out["n97"].astype("int64"),
+        "spend_1997": out["c97"].to_numpy(np.int64) / 100.0}) \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+def doc_keyword_context(sf_dir: str):
+    """Keyword-in-context extraction: the first occurrence of 'merge'
+    in each document with ±20 characters of context (the concordance /
+    snippet stage of search indexing).  Byte-identical slicing both
+    sides (ASCII corpus: Python str.find == SQL position); docs
+    without the keyword drop out.  Pure map."""
+    import numpy as np
+
+    KW = "merge"
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, poss, ctxs = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            p0 = text.find(KW)
+            if p0 < 0:
+                continue
+            s = max(p0 - 20, 0)
+            ids.append(doc_id)
+            poss.append(p0 + 1)  # 1-based, as SQL position()
+            ctxs.append(text[s:p0 + len(KW) + 20])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "context": pa.array(ctxs, pa.string())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -11142,6 +11334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_control_chart": events_hourly_control_chart,
         "embedding_quantize_check": embedding_quantize_check,
         "user_trailing_type_diversity": user_trailing_type_diversity,
+        "customer_year_rank_shift": customer_year_rank_shift,
+        "user_idle_share": user_idle_share,
+        "customers_churned_1998": customers_churned_1998,
+        "doc_keyword_context": doc_keyword_context,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -13899,6 +14095,70 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
                      ::BIGINT AS n_types10
             FROM events ORDER BY event_id
+        """,
+        "customer_year_rank_shift": """
+            WITH s AS (SELECT o_custkey AS ck,
+                              year(o_orderdate)::BIGINT AS y,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders
+                       WHERE year(o_orderdate) IN (1997, 1998)
+                       GROUP BY 1, 2),
+                 b AS (SELECT a.ck, a.c AS c97, z.c AS c98
+                       FROM s a JOIN s z ON a.ck = z.ck
+                       WHERE a.y = 1997 AND z.y = 1998),
+                 r AS (SELECT ck,
+                              row_number() OVER (ORDER BY c97 DESC, ck)
+                                ::BIGINT AS rank_1997,
+                              row_number() OVER (ORDER BY c98 DESC, ck)
+                                ::BIGINT AS rank_1998
+                       FROM b)
+            SELECT ck::BIGINT AS c_custkey, rank_1997, rank_1998,
+                   (rank_1997 - rank_1998)::BIGINT AS rank_delta
+            FROM r
+            ORDER BY abs(rank_1997 - rank_1998) DESC, ck LIMIT 20
+        """,
+        "user_idle_share": """
+            WITH o AS (SELECT user_id, event_id,
+                              epoch_us(ts)::BIGINT AS us
+                       FROM events),
+                 g AS (SELECT user_id, us,
+                              lead(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS nxt
+                       FROM o),
+                 a AS (SELECT user_id,
+                              sum(CASE WHEN nxt IS NOT NULL
+                                       THEN greatest(nxt - us
+                                                     - 3600000000, 0)
+                                       ELSE 0 END)::BIGINT AS idle_us,
+                              (max(us) - min(us))::BIGINT AS span_us
+                       FROM g GROUP BY 1)
+            SELECT user_id::BIGINT AS user_id, idle_us, span_us,
+                   round((1.0*idle_us)/span_us, 6) + 0 AS idle_share
+            FROM a WHERE span_us > 0 ORDER BY user_id
+        """,
+        "customers_churned_1998": """
+            SELECT o_custkey::BIGINT AS c_custkey,
+                   count(*) FILTER (WHERE year(o_orderdate) = 1997)
+                     ::BIGINT AS n_orders_1997,
+                   sum(CASE WHEN year(o_orderdate) = 1997
+                            THEN CAST(round(o_totalprice*100) AS BIGINT)
+                            ELSE 0 END)::BIGINT/100.0 AS spend_1997
+            FROM orders
+            GROUP BY 1
+            HAVING count(*) FILTER (WHERE year(o_orderdate) = 1997) > 0
+               AND count(*) FILTER (WHERE year(o_orderdate) = 1998) = 0
+            ORDER BY 1
+        """,
+        "doc_keyword_context": """
+            WITH p AS (SELECT doc_id, text,
+                              position('merge' IN text)::BIGINT AS pos
+                       FROM documents)
+            SELECT doc_id::BIGINT AS doc_id, pos,
+                   substr(text, greatest(pos - 20, 1),
+                          pos + 24 + 1 - greatest(pos - 20, 1))
+                     AS context
+            FROM p WHERE pos > 0 ORDER BY doc_id
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

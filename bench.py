@@ -225,6 +225,10 @@ BENCH_QUERIES = [
     "events_hourly_control_chart",
     "embedding_quantize_check",
     "user_trailing_type_diversity",
+    "customer_year_rank_shift",
+    "user_idle_share",
+    "customers_churned_1998",
+    "doc_keyword_context",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
