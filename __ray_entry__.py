@@ -11166,6 +11166,183 @@ def doc_keyword_context(sf_dir: str):
     return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
 
 
+def event_type_target_encoding(sf_dir: str):
+    """Smoothed target encoding of the event-type categorical: each
+    type's mean value shrunk toward the global mean with pseudo-count
+    m = 100 — the leakage-free feature-engineering primitive.  All
+    sums are exact cents; the smoothing chain (1·Σc + 100·μ)/(n+100)
+    is the identical float expression the oracle evaluates."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64"),
+                          "raw_mean": pd.Series([], dtype="float64"),
+                          "smoothed_mean":
+                              pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "c": pa.array(c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["event_type"], sum_cols=["c"],
+                          count_alias="n", combine="driver")
+    g = g.sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    sc = g["c"].to_numpy(np.int64)
+    N, S = int(n.sum()), int(sc.sum())
+    mu = (1.0 * S) / N
+    raw = (1.0 * sc) / n / 100.0
+    sm = (1.0 * sc + 100.0 * mu) / (n + 100) / 100.0
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n": n,
+        "raw_mean": np.floor(raw * 1e6 + 0.5) / 1e6 + 0.0,
+        "smoothed_mean": np.floor(sm * 1e6 + 0.5) / 1e6 + 0.0})
+
+
+def doc_trigram_novelty(sf_dir: str):
+    """Trigram novelty per document: the share of a doc's DISTINCT
+    word trigrams appearing in no other document — the
+    contamination/memorization screen.  (doc, trigram) incidence
+    dedupes per doc in the map; doc frequency reduces through
+    partials; the df=1 set broadcasts once and probes per batch.  The
+    trigram vocabulary here is token-vocab³-bounded; an open-vocab
+    corpus would swap the driver combine for a trigram-keyed bucket
+    exchange."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_tri": pd.Series([], dtype="int64"),
+                          "novel": pd.Series([], dtype="int64"),
+                          "novel_share": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def tris(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + 3])
+                for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids, ts = [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            for t in tris(text):
+                ids.append(doc_id)
+                ts.append(t)
+        return pa.table({"tri": pa.array(ts, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    inc = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    df = partial_group_agg(inc, ["tri"], count_alias="df",
+                           combine="driver")
+    if df.empty:
+        return empty
+    df1 = ray.put(np.sort(
+        df[df["df"] == 1]["tri"].to_numpy(dtype=str)))
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        uniq = cached_get(df1)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = np.asarray(b.column("tri").to_pylist(), dtype=str)
+        if len(uniq):
+            idx = np.minimum(np.searchsorted(uniq, t), len(uniq) - 1)
+            nov = (uniq[idx] == t).astype(np.int64)
+        else:
+            nov = np.zeros(len(t), np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "one": pa.array(np.ones(len(t), np.int64)),
+                         "nov": pa.array(nov, pa.int64())})
+
+    agg = partial_group_agg(inc.map_batches(per_doc,
+                                            batch_format="pyarrow"),
+                            ["doc_id"], sum_cols=["one", "nov"],
+                            combine="driver")
+    agg = agg.sort_values("doc_id").reset_index(drop=True)
+    nt = agg["one"].to_numpy(np.int64)
+    nv = agg["nov"].to_numpy(np.int64)
+    share = (1.0 * nv) / nt
+    return pd.DataFrame({"doc_id": agg["doc_id"].astype("int64"),
+                         "n_tri": nt, "novel": nv,
+                         "novel_share": np.floor(share * 1e6 + 0.5)
+                         / 1e6 + 0.0})
+
+
+def docs_length_kruskal(sf_dir: str):
+    """Kruskal–Wallis H test of document token-count distributions
+    across sources — the nonparametric k-group location test.  Midrank
+    sums stay integer in half-units (2R_g = Σ a·(2·cb + c + 1) over the
+    value histogram, the Mann-Whitney trick generalized), the tie
+    correction Σ(c³−c) is exact, and the H closure is the identical
+    float expression the oracle evaluates."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "h": pd.Series([], dtype="float64"),
+                          "h_tied": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import token_count
+
+        v = [token_count(t) for t in b.column("text").to_pylist()]
+        return pa.table({"g": b.column("source"),
+                         "v": pa.array(v, pa.int64())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["v", "g"], count_alias="a", combine="driver")
+    if h.empty:
+        return empty
+    h = h.sort_values(["v", "g"]).reset_index(drop=True)
+    cv = h.groupby("v", sort=True)["a"].sum()
+    vs = cv.index.to_numpy(np.int64)
+    cva = cv.to_numpy(np.int64)
+    cb = np.concatenate([[0], cva.cumsum()[:-1]])
+    rank2 = pd.Series(2 * cb + cva + 1, index=vs)
+    h["r2c"] = h["a"].to_numpy(np.int64) \
+        * rank2.loc[h["v"]].to_numpy(np.int64)
+    grp = h.groupby("g", sort=True).agg(r2=("r2c", "sum"),
+                                        n=("a", "sum"))
+    r2 = grp["r2"].to_numpy(np.int64)
+    n = grp["n"].to_numpy(np.int64)
+    N, k = int(n.sum()), len(grp)
+    if N < 2 or k < 2:
+        return empty
+    tie = int((cva.astype(object) ** 3 - cva).sum())
+    H = (12.0 / ((1.0 * N) * (N + 1))) \
+        * float((((1.0 * r2) * r2 / 4.0) / n).sum()) - 3.0 * (N + 1)
+    den = ((1.0 * N) * N * N - N)
+    corr = 1.0 - (1.0 * tie) / den
+    h_t = H / corr if corr > 0 else np.nan
+    rnd = lambda x: (float(np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)
+                           / 1e6) + 0.0) if np.isfinite(x) else np.nan
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(N)],
+                         "h": [rnd(H)], "h_tied": [rnd(h_t)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -11338,6 +11515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_idle_share": user_idle_share,
         "customers_churned_1998": customers_churned_1998,
         "doc_keyword_context": doc_keyword_context,
+        "event_type_target_encoding": event_type_target_encoding,
+        "doc_trigram_novelty": doc_trigram_novelty,
+        "docs_length_kruskal": docs_length_kruskal,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -14159,6 +14339,76 @@ def oracle_sql() -> dict[str, str]:
                           pos + 24 + 1 - greatest(pos - 20, 1))
                      AS context
             FROM p WHERE pos > 0 ORDER BY doc_id
+        """,
+        "event_type_target_encoding": """
+            WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+                              sum(CAST(round(value*100) AS BIGINT))
+                                ::BIGINT AS sc
+                       FROM events GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT AS nn, sum(sc)::BIGINT AS ss
+                       FROM g)
+            SELECT event_type, n,
+                   round((1.0*sc)/n/100.0, 6) + 0 AS raw_mean,
+                   round((1.0*sc + 100.0*((1.0*ss)/nn))/(n + 100)
+                         /100.0, 6) + 0 AS smoothed_mean
+            FROM g, t ORDER BY event_type
+        """,
+        "doc_trigram_novelty": """
+            WITH td AS (SELECT DISTINCT doc_id,
+                               unnest(list_transform(
+                                   generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1]
+                                        || ' ' || toks[i+2])) AS tri
+                        FROM (SELECT doc_id,
+                                     string_split(text, ' ') AS toks
+                              FROM documents)
+                        WHERE len(toks) >= 3),
+                 df AS (SELECT tri, count(*)::BIGINT AS df
+                        FROM td GROUP BY 1)
+            SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tri,
+                   count(*) FILTER (WHERE df = 1)::BIGINT AS novel,
+                   round((1.0*count(*) FILTER (WHERE df = 1))
+                         /count(*), 6) + 0 AS novel_share
+            FROM td JOIN df USING (tri)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_length_kruskal": """
+            WITH c AS (SELECT source AS g,
+                              length(regexp_extract_all(text, '\\S+'))
+                                ::BIGINT AS v
+                       FROM documents),
+                 h AS (SELECT v, g, count(*)::BIGINT AS a
+                       FROM c GROUP BY 1, 2),
+                 cv AS (SELECT v, sum(a)::BIGINT AS cv
+                        FROM h GROUP BY 1),
+                 w AS (SELECT v, cv,
+                              coalesce(CAST(sum(cv) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS BIGINT), 0) AS cb
+                       FROM cv),
+                 r AS (SELECT g, sum(a*(2*cb + cv + 1))::BIGINT AS r2,
+                              sum(a)::BIGINT AS n
+                       FROM h JOIN w USING (v) GROUP BY g),
+                 t AS (SELECT sum(n)::BIGINT AS nn,
+                              count(*)::BIGINT AS k
+                       FROM r),
+                 tc AS (SELECT sum(cv*cv*cv - cv)::HUGEINT AS tie
+                        FROM cv)
+            SELECT k, nn AS n,
+                   round((12.0/((1.0*nn)*(nn + 1)))
+                         *sum(((1.0*r2)*r2/4.0)/n)
+                         - 3.0*(nn + 1), 6) + 0 AS h,
+                   CASE WHEN 1.0 - (1.0*tie)
+                                   /((1.0*nn)*nn*nn - nn) > 0
+                        THEN round(((12.0/((1.0*nn)*(nn + 1)))
+                                    *sum(((1.0*r2)*r2/4.0)/n)
+                                    - 3.0*(nn + 1))
+                                   /(1.0 - (1.0*tie)
+                                     /((1.0*nn)*nn*nn - nn)), 6) + 0
+                        END AS h_tied
+            FROM r, t, tc
+            GROUP BY k, nn, tie
+            HAVING nn >= 2 AND k >= 2
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

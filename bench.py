@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "user_idle_share",
     "customers_churned_1998",
     "doc_keyword_context",
+    "event_type_target_encoding",
+    "doc_trigram_novelty",
+    "docs_length_kruskal",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
