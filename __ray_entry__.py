@@ -11343,6 +11343,267 @@ def docs_length_kruskal(sf_dir: str):
                          "h": [rnd(H)], "h_tied": [rnd(h_t)]})
 
 
+def supplier_late_wilson(sf_dir: str):
+    """Late-shipment rate per supplier with the Wilson-score lower
+    confidence bound (z = 1.96) — the small-sample-safe reliability
+    ranking.  Late = ship > 100 days after order.  The order-date side
+    folds into the lineitem scan as a broadcast lookup under the
+    cutoff (co-group beyond, cf. orders_ship_busdays); counts are
+    exact and the Wilson closure is the identical float expression the
+    oracle evaluates."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (IntKeyMap, cogroup_join,
+                                         np_columns, partial_group_agg,
+                                         scale_cutoff)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+    empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                          "n_lines": pd.Series([], dtype="int64"),
+                          "n_late": pd.Series([], dtype="int64"),
+                          "late_rate": pd.Series([], dtype="float64"),
+                          "wilson_low": pd.Series([], dtype="float64")})
+    if line.count() == 0 or orders.count() == 0:
+        return empty
+
+    if orders.size_bytes() <= scale_cutoff(64 << 20):
+        o = np_columns(orders, ["o_orderkey", "o_orderdate"])
+        od = o["o_orderdate"].astype("datetime64[D]").astype(np.int64)
+        omap = IntKeyMap(o["o_orderkey"], od)
+
+        def fold(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            odv, found = omap.take(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False))
+            late = (sd - np.asarray(odv, np.int64) > 100).astype(np.int64)
+            return pa.table({"sk": pc.cast(b.column("l_suppkey"),
+                                           pa.int64()),
+                             "late": pa.array(late, pa.int64())}) \
+                .filter(pa.array(found))
+
+        folded = line.map_batches(fold, batch_format="pyarrow")
+    else:
+        def l_pre(b: pa.Table) -> pa.Table:
+            sd = b.column("l_shipdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            return pa.table({"l_orderkey": b.column("l_orderkey"),
+                             "sk": pc.cast(b.column("l_suppkey"),
+                                           pa.int64()),
+                             "sd": pa.array(sd, pa.int64())})
+
+        def o_pre(b: pa.Table) -> pa.Table:
+            od = b.column("o_orderdate").to_numpy(
+                zero_copy_only=False).astype("datetime64[D]").astype(
+                np.int64)
+            return pa.table({"l_orderkey": b.column("o_orderkey"),
+                             "od": pa.array(od, pa.int64())})
+
+        j = cogroup_join(
+            line.map_batches(l_pre, batch_format="pyarrow"),
+            orders.map_batches(o_pre, batch_format="pyarrow"),
+            on="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("sk", pa.int64()),
+                                   ("sd", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("od", pa.int64())]))
+
+        def fin(b: pa.Table) -> pa.Table:
+            sd = b.column("sd").to_numpy(zero_copy_only=False)
+            od = b.column("od").to_numpy(zero_copy_only=False)
+            return pa.table({"sk": b.column("sk"),
+                             "late": pa.array(
+                                 (sd - od > 100).astype(np.int64),
+                                 pa.int64())})
+
+        folded = j.map_batches(fin, batch_format="pyarrow")
+
+    agg = partial_group_agg(folded, ["sk"], sum_cols=["late"],
+                            count_alias="n", combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("sk").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    late = agg["late"].to_numpy(np.int64)
+    p = (1.0 * late) / n
+    z = 1.96
+    z2 = z * z
+    low = (p + z2 / (2.0 * n)
+           - z * np.sqrt((p * (1.0 - p)) / n + z2 / (4.0 * (n * n)))) \
+        / (1.0 + z2 / n)
+    return pd.DataFrame({
+        "s_suppkey": agg["sk"].astype("int64"),
+        "n_lines": n, "n_late": late,
+        "late_rate": np.floor(p * 1e6 + 0.5) / 1e6 + 0.0,
+        "wilson_low": np.sign(low) * np.floor(np.abs(low) * 1e6 + 0.5)
+        / 1e6 + 0.0})
+
+
+def doc_zlib_ratio(sf_dir: str):
+    """Compression-ratio quality signal: zlib(level 6) compressed size
+    over raw size per document — low ratios flag repetitive/templated
+    text, high ratios flag noise (the classic curation heuristic).
+    Deterministic but not SQL-expressible → rows-only for the driver;
+    the pytest suite pins monotonicity on constructed docs.  Pure
+    map."""
+    import zlib
+
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids, ns, ratios = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            raw = text.encode("utf-8")
+            if not raw:
+                continue
+            comp = len(zlib.compress(raw, 6))
+            r = (1.0 * comp) / len(raw)
+            ids.append(doc_id)
+            ns.append(len(raw))
+            ratios.append(float(np.floor(r * 1e6 + 0.5) / 1e6) + 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bytes": pa.array(ns, pa.int64()),
+                         "zlib_ratio": pa.array(ratios, pa.float64())})
+
+    return _det_sort(ds.map_batches(f, batch_format="pyarrow"), "doc_id")
+
+
+def session_bounce_rate(sf_dir: str):
+    """Bounce rate by session entry point: sessions (30-min µs gap
+    rule) grouped by their FIRST event type, with the share that
+    contain exactly one event — the landing-page quality report.  One
+    user-keyed shuffle sessionizes vectorized; per-entry-type counts
+    reduce through partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         partial_group_agg)
+
+    GAP_US = 1_800_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"first_type": pd.Series([], dtype="object"),
+                          "n_sessions": pd.Series([], dtype="int64"),
+                          "bounces": pd.Series([], dtype="int64"),
+                          "bounce_rate": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "first_type": pd.Series([], dtype="object"),
+                "bounce": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        new = np.concatenate(
+            [[True], (uid[1:] != uid[:-1])
+             | (us[1:] - us[:-1] > GAP_US)])
+        sid = np.cumsum(new)
+        res = pd.DataFrame({"sid": sid,
+                            "t": g["event_type"].to_numpy()})
+        agg = res.groupby("sid", sort=False).agg(
+            first_type=("t", "first"), sz=("t", "size"))
+        return pd.DataFrame({
+            "first_type": agg["first_type"],
+            "bounce": (agg["sz"] == 1).astype("int64")})
+
+    sess = bucketed_group_apply(ds.map_batches(pre,
+                                               batch_format="pyarrow"),
+                                "user_id", per_bucket)
+    agg = partial_group_agg(as_arrow(sess), ["first_type"],
+                            sum_cols=["bounce"], count_alias="n",
+                            combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("first_type").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    b_ = agg["bounce"].to_numpy(np.int64)
+    rate = (1.0 * b_) / n
+    return pd.DataFrame({"first_type": agg["first_type"],
+                         "n_sessions": n, "bounces": b_,
+                         "bounce_rate": np.floor(rate * 1e6 + 0.5)
+                         / 1e6 + 0.0})
+
+
+def events_value_minmax_scaled(sf_dir: str):
+    """Min-max feature scaling per event type: scaled = (c − min)/(max
+    − min) over exact cents, the per-group bounds broadcast once into
+    a streaming per-row map (single-event-value types scale to NULL).
+    The normalization staple of feature pipelines — no shuffle touches
+    the fact rows."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "event_type": pd.Series([], dtype="object"),
+                          "scaled": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "c": pa.array(c, pa.int64()),
+                         "cmin": pa.array(c, pa.int64()),
+                         "cmax": pa.array(c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    bounds = partial_group_agg(pre_ds, ["event_type"],
+                               min_cols=["cmin"], max_cols=["cmax"],
+                               combine="driver")
+    bmap = {r["event_type"]: (int(r["cmin"]), int(r["cmax"]))
+            for _, r in bounds.iterrows()}
+    bref = ray.put(bmap)
+
+    def scale(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        bm = cached_get(bref)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        ts = b.column("event_type").to_pylist()
+        mn = np.array([bm[t][0] for t in ts], np.int64)
+        mx = np.array([bm[t][1] for t in ts], np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (1.0 * (c - mn)) / (mx - mn)
+        s = np.where(mx > mn,
+                     np.floor(s * 1e6 + 0.5) / 1e6 + 0.0, np.nan)
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "scaled": pa.array(s, pa.float64())})
+
+    return _det_sort(pre_ds.map_batches(scale, batch_format="pyarrow"),
+                     "event_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -11518,6 +11779,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_target_encoding": event_type_target_encoding,
         "doc_trigram_novelty": doc_trigram_novelty,
         "docs_length_kruskal": docs_length_kruskal,
+        "supplier_late_wilson": supplier_late_wilson,
+        "doc_zlib_ratio": doc_zlib_ratio,
+        "session_bounce_rate": session_bounce_rate,
+        "events_value_minmax_scaled": events_value_minmax_scaled,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -14410,11 +14675,75 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k, nn, tie
             HAVING nn >= 2 AND k >= 2
         """,
+        "supplier_late_wilson": """
+            WITH j AS (SELECT l_suppkey AS sk,
+                              CASE WHEN CAST(l_shipdate AS DATE)
+                                        - CAST(o_orderdate AS DATE)
+                                        > 100
+                                   THEN 1 ELSE 0 END AS late
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey),
+                 a AS (SELECT sk, count(*)::BIGINT AS n,
+                              sum(late)::BIGINT AS late
+                       FROM j GROUP BY 1),
+                 w AS (SELECT sk, n, late, (1.0*late)/n AS p
+                       FROM a)
+            SELECT sk::BIGINT AS s_suppkey, n AS n_lines,
+                   late AS n_late,
+                   round(p, 6) + 0 AS late_rate,
+                   round((p + (1.96*1.96)/(2.0*n)
+                          - 1.96*sqrt((p*(1.0 - p))/n
+                                      + (1.96*1.96)/(4.0*(n*n))))
+                         /(1.0 + (1.96*1.96)/n), 6) + 0 AS wilson_low
+            FROM w ORDER BY s_suppkey
+        """,
+        "session_bounce_rate": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts)::BIGINT AS us
+                       FROM events),
+                 w AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS pus
+                       FROM e),
+                 f AS (SELECT *, CASE WHEN pus IS NULL
+                                        OR us - pus > 1800000000
+                                      THEN 1 ELSE 0 END AS new
+                       FROM w),
+                 s AS (SELECT *, CAST(sum(new) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS sid
+                       FROM f),
+                 g AS (SELECT user_id, sid, count(*)::BIGINT AS sz,
+                              first(event_type ORDER BY us, event_id)
+                                AS first_type
+                       FROM s GROUP BY 1, 2)
+            SELECT first_type, count(*)::BIGINT AS n_sessions,
+                   count(*) FILTER (WHERE sz = 1)::BIGINT AS bounces,
+                   round((1.0*count(*) FILTER (WHERE sz = 1))
+                         /count(*), 6) + 0 AS bounce_rate
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_minmax_scaled": """
+            WITH o AS (SELECT event_id, event_type,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 b AS (SELECT event_type, min(c)::BIGINT AS mn,
+                              max(c)::BIGINT AS mx
+                       FROM o GROUP BY 1)
+            SELECT event_id::BIGINT AS event_id, event_type,
+                   CASE WHEN mx > mn
+                        THEN round((1.0*(c - mn))/(mx - mn), 6) + 0
+                        END AS scaled
+            FROM o JOIN b USING (event_type)
+            ORDER BY event_id
+        """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
         # dedup_minhash / dedup_simhash (sketch-derived), knn_ivf
         # (approximate by construction), multimodal_features (stub
         # decoder), part_supplier_kcore (iterative fixpoint),
-        # blocking_quality (sketch-derived metrics): rows-only checks;
-        # semantics covered by the pytest differential suite.
+        # blocking_quality (sketch-derived metrics), doc_zlib_ratio
+        # (zlib has no SQL equivalent): rows-only checks; semantics
+        # covered by the pytest differential suite.
     }

@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     "event_type_target_encoding",
     "doc_trigram_novelty",
     "docs_length_kruskal",
+    "supplier_late_wilson",
+    "doc_zlib_ratio",
+    "session_bounce_rate",
+    "events_value_minmax_scaled",
     "extract_pages",
     "link_frequencies",
     "entity_linking",

@@ -344,3 +344,33 @@ class TestKcoreAndBlocking:
         # the canonical-url blocking key guarantees exact-dup urls and
         # mirrors land in a shared block: completeness is high
         assert row.pair_completeness >= 0.9
+
+
+class TestZlibRatio:
+    def test_repetitive_text_compresses_harder(self, ray_session, tmp_path):
+        """Monotonicity pin: highly repetitive text must get a lower
+        zlib ratio than high-entropy text of the same length."""
+        import random
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as m
+
+        rng = random.Random(0)
+        noisy = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                        for _ in range(4000))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["spam " * 800, noisy]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["a", "a"])}),
+            str(tmp_path / "documents.parquet"))
+        r = m.queries()["doc_zlib_ratio"](str(tmp_path))
+        if not isinstance(r, pd.DataFrame):
+            r = r.to_pandas()
+        r = r.set_index("doc_id")
+        assert r.loc[1, "zlib_ratio"] < 0.05
+        assert r.loc[2, "zlib_ratio"] > 0.5
+        assert r.loc[1, "zlib_ratio"] < r.loc[2, "zlib_ratio"]
