@@ -10632,19 +10632,61 @@ def part_name_token_pairs(sf_dir: str):
     cols = np_columns(part.map_batches(tok, batch_format="pyarrow"),
                       ["pk", "tok"])
     codes, _ = pd.factorize(cols["tok"])
-    comp = np.unique(codes.astype(np.int64) * (1 << 21)
-                     + cols["pk"].astype(np.int64))
-    grp = comp >> 21
-    starts = np.flatnonzero(np.concatenate([[True], grp[1:] != grp[:-1]]))
-    sizes = np.diff(np.append(starts, len(grp)))
-    i, j = within_group_pairs(starts, sizes)
-    mask = np.int64((1 << 21) - 1)
-    pair = ((comp[i] & mask) << 21) + (comp[j] & mask)
-    up, c = np.unique(pair, return_counts=True)
-    keep = c >= 2
-    up, c = up[keep], c[keep].astype(np.int64)
-    out = pd.DataFrame({"p1": up >> 21, "p2": up & mask,
-                        "common_tokens": c})
+    pk = cols["pk"].astype(np.int64)
+    pkarr = np.unique(pk)
+    P, V = len(pkarr), int(codes.max()) + 1 if len(codes) else 1
+
+    from elevant_ray.stages.util import scale_cutoff
+
+    if V <= 512 and P * V <= 500_000_000 and scale_cutoff(1) > 0:
+        # dense-incidence path: name vocabularies are tiny, so common
+        # counts are ONE blocked BLAS gram A·Aᵀ over the P×V bitmask
+        # matrix — the Θ(Σ posting²) pair enumeration (50M pairs at
+        # sf0.1, measured 83 s) collapses to ~seconds.  Per row block,
+        # the top-100 by (count desc, p1, p2) survives as a
+        # superset-safe candidate set: flat index order IS (p1, p2)
+        # lexicographic order because rows/cols ascend by partkey.
+        A = np.zeros((P, V), np.float32)
+        A[np.searchsorted(pkarr, pk), codes] = 1.0
+        cand = []
+        BLK = max(1, min(P, (64 << 20) // max(P * 4, 1)))
+        for r0 in range(0, P, BLK):
+            r1 = min(r0 + BLK, P)
+            C = np.rint(A[r0:r1] @ A.T).astype(np.int16)
+            gi = np.arange(r0, r1)
+            C[np.arange(P)[None, :] <= gi[:, None]] = 0
+            C[C < 2] = 0
+            flat = C.ravel()
+            if flat.size > 100:
+                kth = np.partition(flat, -100)[-100]
+            else:
+                kth = np.int16(0)
+            if kth >= 2:
+                hi = np.flatnonzero(flat > kth)
+                eq = np.flatnonzero(flat == kth)[:100 - len(hi)]
+                idx = np.concatenate([hi, eq])
+            else:
+                idx = np.flatnonzero(flat >= 2)[:100 * 100]
+            ii, jj = np.divmod(idx, P)
+            cand.append(pd.DataFrame({
+                "p1": pkarr[ii + r0], "p2": pkarr[jj],
+                "common_tokens": flat[idx].astype(np.int64)}))
+        out = pd.concat(cand, ignore_index=True) if cand else \
+            empty.copy()
+    else:
+        comp = np.unique(codes.astype(np.int64) * (1 << 21) + pk)
+        grp = comp >> 21
+        starts = np.flatnonzero(
+            np.concatenate([[True], grp[1:] != grp[:-1]]))
+        sizes = np.diff(np.append(starts, len(grp)))
+        i, j = within_group_pairs(starts, sizes)
+        mask = np.int64((1 << 21) - 1)
+        pair = ((comp[i] & mask) << 21) + (comp[j] & mask)
+        up, c = np.unique(pair, return_counts=True)
+        keep = c >= 2
+        up, c = up[keep], c[keep].astype(np.int64)
+        out = pd.DataFrame({"p1": up >> 21, "p2": up & mask,
+                            "common_tokens": c})
     out = out.sort_values(["common_tokens", "p1", "p2"],
                           ascending=[False, True, True]).head(100)
     return out.reset_index(drop=True)

@@ -28,7 +28,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "cosupply_triangles", "supplier_bfs_hops",
                   "q9_product_profit", "supplier_degree_histogram",
                   "q20_promotion_suppliers", "priority_ship_delay",
-                  "order_basket_rules"]
+                  "order_basket_rules", "part_name_token_pairs",
+                  "supplier_late_wilson", "orders_ship_busdays"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
