@@ -11646,6 +11646,173 @@ def events_value_minmax_scaled(sf_dir: str):
                      "event_id")
 
 
+def customer_abc_class(sf_dir: str):
+    """ABC inventory-style classification of customers by cumulative
+    revenue share: walking customers in (spend desc, custkey) order,
+    class A while the running share ≤ 80%, B while ≤ 95%, else C —
+    with the thresholds as exact integer predicates (100·cum vs
+    80·total), so no float boundary can flip a class.  One
+    partial-pushed exchange; the classification is a driver scan over
+    the dimension-bounded customer set."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "spend": pd.Series([], dtype="float64"),
+                          "abc_class": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["ck"], sum_cols=["c"], combine="driver")
+    ck = agg["ck"].to_numpy(np.int64)
+    c = agg["c"].to_numpy(np.int64)
+    order = np.lexsort((ck, -c))
+    ck, c = ck[order], c[order]
+    cum = np.cumsum(c)
+    tot = int(cum[-1])
+    cls = np.where(100 * cum <= 80 * tot, "A",
+                   np.where(100 * cum <= 95 * tot, "B", "C"))
+    return pd.DataFrame({"c_custkey": ck, "spend": c / 100.0,
+                         "abc_class": cls}) \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+def user_burstiness(sf_dir: str):
+    """Burstiness (Fano factor) of each user's event arrivals: the
+    variance-to-mean ratio of per-hour event counts over the user's
+    OBSERVED span, zero hours included — Poisson arrivals give ≈1,
+    bursty sessions ≫1.  Σk and Σk² come from (user, hour) count
+    partials; the H−n zero bins enter the closure arithmetically
+    (they contribute nothing to Σk²), so nothing is materialized for
+    empty hours."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_hours": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "fano": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        h = us // HOUR_US
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "hmin": pa.array(h, pa.int64()),
+                         "hmax": pa.array(h, pa.int64())})
+
+    per_hour = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["user_id", "h"], count_alias="k", combine="dataset")
+
+    def moments(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "kk": pa.array([], pa.int64()),
+                             "hmin": pa.array([], pa.int64()),
+                             "hmax": pa.array([], pa.int64())})
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "n": b.column("k"),
+                         "kk": pa.array(k * k, pa.int64()),
+                         "hmin": pa.array(h, pa.int64()),
+                         "hmax": pa.array(h, pa.int64())})
+
+    agg = partial_group_agg(per_hour.map_batches(moments,
+                                                 batch_format="pyarrow"),
+                            ["user_id"], sum_cols=["n", "kk"],
+                            min_cols=["hmin"], max_cols=["hmax"],
+                            combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("user_id").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    kk = agg["kk"].to_numpy(np.int64)
+    H = agg["hmax"].to_numpy(np.int64) \
+        - agg["hmin"].to_numpy(np.int64) + 1
+    keep = H >= 2
+    n, kk, H = n[keep], kk[keep], H[keep]
+    uid = agg["user_id"].to_numpy(np.int64)[keep]
+    mean = (1.0 * n) / H
+    var = (kk - (1.0 * n) * n / H) / (H - 1)
+    fano = var / mean
+    return pd.DataFrame({
+        "user_id": uid, "n_hours": H, "n_events": n,
+        "fano": np.sign(fano) * np.floor(np.abs(fano) * 1e6 + 0.5)
+        / 1e6 + 0.0})
+
+
+def events_median_ci(sf_dir: str):
+    """Distribution-free 95% confidence interval for the median of
+    event values: the order statistics at ranks ⌊(n − 1.96·√n)/2⌋ and
+    n + 1 − that — the binomial-argument CI, no resampling.  The rank
+    positions derive from one identical float expression both sides;
+    the order statistics themselves resolve exactly on the cents
+    histogram (no sort of the data)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["value"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "median": pd.Series([], dtype="float64"),
+                          "ci_low": pd.Series([], dtype="float64"),
+                          "ci_high": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["c"], count_alias="k", combine="driver")
+    if h.empty:
+        return empty
+    h = h.sort_values("c").reset_index(drop=True)
+    c = h["c"].to_numpy(np.int64)
+    k = h["k"].to_numpy(np.int64)
+    cum = np.cumsum(k)
+    n = int(cum[-1])
+    lo_rank = int(np.floor((n - 1.96 * np.sqrt(1.0 * n)) / 2.0))
+    if lo_rank < 1 or n < 3:
+        return empty
+    hi_rank = n + 1 - lo_rank
+    med_rank = (n + 1) // 2
+
+    def order_stat(r):
+        return float(c[np.searchsorted(cum, r)]) / 100.0
+
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "median": [order_stat(med_rank)],
+        "ci_low": [order_stat(lo_rank)],
+        "ci_high": [order_stat(hi_rank)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -11825,6 +11992,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_zlib_ratio": doc_zlib_ratio,
         "session_bounce_rate": session_bounce_rate,
         "events_value_minmax_scaled": events_value_minmax_scaled,
+        "customer_abc_class": customer_abc_class,
+        "user_burstiness": user_burstiness,
+        "events_median_ci": events_median_ci,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -14779,6 +14949,56 @@ def oracle_sql() -> dict[str, str]:
                         END AS scaled
             FROM o JOIN b USING (event_type)
             ORDER BY event_id
+        """,
+        "customer_abc_class": """
+            WITH a AS (SELECT o_custkey AS ck,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders GROUP BY 1),
+                 w AS (SELECT ck, c,
+                              CAST(sum(c) OVER (ORDER BY c DESC, ck
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS cum,
+                              (SELECT sum(c) FROM a)::BIGINT AS tot
+                       FROM a)
+            SELECT ck::BIGINT AS c_custkey, c/100.0 AS spend,
+                   CASE WHEN 100*cum <= 80*tot THEN 'A'
+                        WHEN 100*cum <= 95*tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM w ORDER BY c_custkey
+        """,
+        "user_burstiness": """
+            WITH ph AS (SELECT user_id,
+                               (epoch_us(ts)//3600000000)::BIGINT AS h,
+                               count(*)::BIGINT AS k
+                        FROM events GROUP BY 1, 2),
+                 a AS (SELECT user_id, sum(k)::BIGINT AS n,
+                              sum(k*k)::BIGINT AS kk,
+                              (max(h) - min(h) + 1)::BIGINT AS hh
+                       FROM ph GROUP BY 1)
+            SELECT user_id::BIGINT AS user_id, hh AS n_hours,
+                   n AS n_events,
+                   round(((kk - (1.0*n)*n/hh)/(hh - 1))
+                         /((1.0*n)/hh), 6) + 0 AS fano
+            FROM a WHERE hh >= 2 ORDER BY user_id
+        """,
+        "events_median_ci": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 n AS (SELECT count(*)::BIGINT AS n FROM c),
+                 r AS (SELECT n,
+                              CAST(floor((n - 1.96*sqrt(1.0*n))/2.0)
+                                   AS BIGINT) AS lo
+                       FROM n),
+                 w AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                       FROM c)
+            SELECT r.n AS n,
+                   (SELECT c FROM w WHERE rn = (r.n + 1)//2)
+                     /100.0 AS median,
+                   (SELECT c FROM w WHERE rn = r.lo)/100.0 AS ci_low,
+                   (SELECT c FROM w WHERE rn = r.n + 1 - r.lo)
+                     /100.0 AS ci_high
+            FROM r WHERE r.lo >= 1 AND r.n >= 3
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "doc_zlib_ratio",
     "session_bounce_rate",
     "events_value_minmax_scaled",
+    "customer_abc_class",
+    "user_burstiness",
+    "events_median_ci",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
