@@ -30,9 +30,19 @@ from elevant_ray.functions.tokens import DE_STOP, EN_STOP
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import os
+
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # ELEVANT_RAY_READ_BLOCKS forces multi-block reads on tiny test
+    # inputs so per-batch-local assumptions (e.g. in-batch dedup that
+    # must actually be global) can't hide behind a single-block read —
+    # the scale-path conformance suite sets it alongside the
+    # broadcast-cutoff override.
+    blocks = os.environ.get("ELEVANT_RAY_READ_BLOCKS")
+    kw = {"override_num_blocks": int(blocks)} if blocks else {}
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           **kw)
 
 
 def _round_cols(ds, spec: dict):
@@ -9080,10 +9090,13 @@ def docs_weighted_sample(sf_dir: str):
     cum = global_ordered_cumsum(tokds, "doc_id", "w")
     if cum is None:
         return empty
-    W = 0
-    for b in tokds.select_columns(["w"]).iter_batches(
-            batch_format="pyarrow"):
-        W += int(pc.sum(b.column("w")).as_py() or 0)
+    from elevant_ray.stages.util import np_columns
+
+    wparts = np_columns(tokds.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(pc.sum(b.column("w")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow"), ["s"])["s"]
+    W = int(wparts.sum())
     if W == 0:
         return empty
 
@@ -9442,7 +9455,9 @@ def user_value_interp_hourly(sf_dir: str):
     (t₂−t₁) — the identical float expression the oracle's interval
     join evaluates, from integer µs/cents inputs.  One user-keyed
     shuffle; grid points resolve with two searchsorteds per bucket, no
-    per-user Python."""
+    per-user Python.  Headroom: the composite key is users-per-bucket
+    × span-µs, safe while that product stays under 2^63 (≈42k users
+    per bucket on a 7-year corpus — raise `buckets` beyond sf1000)."""
     import numpy as np
     import pandas as pd
 
@@ -9491,9 +9506,10 @@ def user_value_interp_hourly(sf_dir: str):
         # composite-key searchsorted: interval owning each grid point
         BAND = int(us.max() - us.min()) + HOUR_US + 2
         rel = us - us.min() + 1
-        comp = np.int64(pd.factorize(uid)[0]) * BAND + rel
+        codes = np.int64(pd.factorize(uid)[0])
+        comp = codes * BAND + rel
         trel = t - us.min() + 1
-        tcomp = np.int64(pd.factorize(uid)[0])[starts][guser] * BAND + trel
+        tcomp = codes[starts][guser] * BAND + trel
         idx = np.searchsorted(comp, tcomp, side="right") - 1
         t1, t2 = us[idx], us[np.minimum(idx + 1, len(us) - 1)]
         c1, c2 = c[idx], c[np.minimum(idx + 1, len(us) - 1)]
@@ -9981,7 +9997,11 @@ def part_supplier_kcore(sf_dir: str):
 
             cur = sp.map_batches(drop, batch_format="pyarrow")
         else:
-            pu = pdeg = su = sdeg = np.array([], np.int64)
+            # a slow cascade can exceed the round cap; an empty-core
+            # answer here would be silently WRONG, so fail loudly
+            raise RuntimeError(
+                "part_supplier_kcore: peel did not reach a fixpoint "
+                "within 100 rounds; raise the cap for this graph")
 
     pmap = dict(zip(pu.tolist(), pdeg.tolist()))
     smap = dict(zip(su.tolist(), sdeg.tolist()))
@@ -10114,8 +10134,7 @@ def nation_kendall_tau(sf_dir: str):
         xs, ys = x[order], y[order]
         n0 = n * (n - 1) // 2
         n1 = tie_pair_count(xs, assume_sorted=True)
-        n2 = tie_pair_count(np.sort(ys, kind="stable"),
-                            assume_sorted=True)
+        n2 = tie_pair_count(ys)
         # ties in both: run lengths of consecutive equal (x, y) pairs
         # in the lexicographic order
         new = np.concatenate(
@@ -10475,13 +10494,30 @@ def supplier_neighborhood_jaccard(sf_dir: str):
         agg = pair_counts(comp)
         su, sdeg = np.unique(comp & mask, return_counts=True)
     else:
+        # the per-batch np.unique in edges() is only a LOCAL dedup:
+        # both the degree counts and the pair counts need globally
+        # distinct edges, so one shuffle dedupe comes first (the
+        # part_supplier_kcore lesson — per-batch unique overcounts)
+        deduped = _distinct_int(eds, "comp", cutoff=0)
+        import ray.data as rd
+
+        if not hasattr(deduped, "map_batches"):
+            deduped = rd.from_pandas(deduped)
+
+        def re_part(b: pa.Table) -> pa.Table:
+            cv = b.column("comp").to_numpy(zero_copy_only=False)
+            return pa.table({"part": pa.array(cv >> 21, pa.int64()),
+                             "comp": b.column("comp")})
+
+        deduped = deduped.map_batches(re_part, batch_format="pyarrow") \
+            .materialize()
         parts_df = bucketed_group_apply(
-            eds, "part",
+            deduped, "part",
             lambda g: pair_counts(g["comp"].to_numpy(np.int64)))
         agg = partial_group_agg(parts_df, ["pair"], sum_cols=["c"],
                                 combine="driver")
         deg = partial_group_agg(
-            eds.map_batches(
+            deduped.map_batches(
                 lambda b: pa.table({
                     "s": pa.array(
                         b.column("comp").to_numpy(zero_copy_only=False)

@@ -29,7 +29,9 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "q9_product_profit", "supplier_degree_histogram",
                   "q20_promotion_suppliers", "priority_ship_delay",
                   "order_basket_rules", "part_name_token_pairs",
-                  "supplier_late_wilson", "orders_ship_busdays"]
+                  "supplier_late_wilson", "orders_ship_busdays",
+                  "supplier_neighborhood_jaccard",
+                  "docs_weighted_sample", "docs_incremental_new"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
@@ -69,7 +71,11 @@ def test_distributed_fallback_matches_oracle(name, ray_session, ddb,
                                              monkeypatch):
     import __ray_entry__ as m
 
+    # multi-block reads: per-batch-local assumptions (in-batch dedup
+    # that must be global, per-batch partials) can hide behind sf0.001
+    # fitting one block — force 4 so they can't
     monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+    monkeypatch.setenv("ELEVANT_RAY_READ_BLOCKS", "4")
     got = _norm(_run(name))
     want = _norm(ddb.execute(m.oracle_sql()[name]).fetchdf())
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
@@ -81,5 +87,6 @@ def test_distributed_fallback_matches_broadcast_path(name, ray_session,
                                                      monkeypatch):
     default = _norm(_run(name))
     monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+    monkeypatch.setenv("ELEVANT_RAY_READ_BLOCKS", "4")
     fallback = _norm(_run(name))
     pd.testing.assert_frame_equal(fallback, default, check_dtype=False)
