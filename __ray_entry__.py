@@ -11849,6 +11849,236 @@ def events_median_ci(sf_dir: str):
         "ci_high": [order_stat(hi_rank)]})
 
 
+def nation_balance_levene(sf_dir: str):
+    """Brown–Forsythe variance-homogeneity test of customer balances
+    across nations: ANOVA F over |c − group median|, the
+    median-centered (robust) Levene variant.  Group medians come off
+    the grouped cents histogram exactly (percentile_disc, no sort),
+    broadcast into a second scan whose deviation moments close in the
+    identical float expression as the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "f_stat": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"nk": pc.cast(b.column("c_nationkey"),
+                                       pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    med = grouped_quantiles(pre_ds, "c", (0.5,),
+                            group_cols=["nk"]).to_pandas()
+    mmap = {int(r["nk"]): int(r["c"]) for _, r in med.iterrows()
+            if r["q"] == 0.5}
+    mref = ray.put(mmap)
+
+    def dev(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        mm = cached_get(mref)
+        nk = b.column("nk").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        meds = np.array([mm[int(x)] for x in nk], np.int64)
+        z = np.abs(c - meds)
+        return pa.table({"nk": b.column("nk"),
+                         "s": pa.array(z, pa.int64()),
+                         "q": pa.array(z * z, pa.int64())})
+
+    g = partial_group_agg(pre_ds.map_batches(dev,
+                                             batch_format="pyarrow"),
+                          ["nk"], sum_cols=["s", "q"],
+                          count_alias="n", combine="driver")
+    g = g.sort_values("nk").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    q = g["q"].to_numpy(np.int64)
+    k, nn, gg = len(g), int(n.sum()), int(s.sum())
+    if k < 2 or nn <= k:
+        return empty
+    ssb = float(((1.0 * s) * s / n).sum()) - ((1.0 * gg) * gg) / nn
+    ssw = float((1.0 * q - ((1.0 * s) * s) / n).sum())
+    if not ssw > 0:
+        return empty
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    return pd.DataFrame({
+        "k": [np.int64(k)], "n": [np.int64(nn)],
+        "f_stat": [float(np.sign(f) * np.floor(np.abs(f) * 1e6 + 0.5)
+                         / 1e6) + 0.0]})
+
+
+def event_type_entropy_rate(sf_dir: str):
+    """Markov entropy rate of the per-user event-type chain:
+    H(Xₜ₊₁ | Xₜ) = −Σᵢⱼ (nᵢⱼ/N)·log2(nᵢⱼ/nᵢ) over consecutive-event
+    transition counts — how predictable the next action is.  One
+    user-keyed shuffle collects exact transition counts; the ≤|types|²
+    closure is term-identical with the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         partial_group_agg)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"n_transitions": pd.Series([], dtype="int64"),
+                          "entropy_rate": pd.Series([],
+                                                    dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"src": pd.Series([], dtype="object"),
+                                 "dst": pd.Series([], dtype="object")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({"src": t[:-1][same], "dst": t[1:][same]})
+
+    trans = bucketed_group_apply(ds, "user_id", per_bucket)
+    cnt = partial_group_agg(as_arrow(trans), ["src", "dst"],
+                            count_alias="nij", combine="driver")
+    if cnt.empty:
+        return empty
+    cnt = cnt.sort_values(["src", "dst"]).reset_index(drop=True)
+    nij = cnt["nij"].to_numpy(np.int64)
+    ni = cnt.groupby("src")["nij"].transform("sum").to_numpy(np.int64)
+    N = int(nij.sum())
+    terms = -((1.0 * nij) / N) * np.log2((1.0 * nij) / ni)
+    h = float(terms.sum())
+    return pd.DataFrame({
+        "n_transitions": [np.int64(N)],
+        "entropy_rate": [float(np.floor(h * 1e6 + 0.5) / 1e6) + 0.0]})
+
+
+def dup_cluster_size_histogram(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes (docs sharing a
+    normalized-text fingerprint): how much of the corpus is singleton
+    vs duplicated, the dedup-planning report.  Fingerprint-keyed
+    counts reduce through partials; the size histogram is a second
+    bounded rollup."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"cluster_size": pd.Series([], dtype="int64"),
+                          "n_clusters": pd.Series([], dtype="int64"),
+                          "n_docs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def fp(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import md5_fingerprint
+
+        return pa.table({"fingerprint": pa.array(
+            [md5_fingerprint(t) for t in b.column("text").to_pylist()],
+            pa.string())})
+
+    per_fp = partial_group_agg(ds.map_batches(fp,
+                                              batch_format="pyarrow"),
+                               ["fingerprint"], count_alias="sz",
+                               combine="dataset")
+
+    def to_size(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cluster_size": pa.array([], pa.int64())})
+        return pa.table({"cluster_size": pc.cast(b.column("sz"),
+                                                 pa.int64())})
+
+    hist = partial_group_agg(per_fp.map_batches(to_size,
+                                                batch_format="pyarrow"),
+                             ["cluster_size"], count_alias="n_clusters",
+                             combine="driver")
+    hist = hist.sort_values("cluster_size").reset_index(drop=True)
+    cs = hist["cluster_size"].to_numpy(np.int64)
+    ncl = hist["n_clusters"].to_numpy(np.int64)
+    return pd.DataFrame({"cluster_size": cs, "n_clusters": ncl,
+                         "n_docs": cs * ncl})
+
+
+def multimodal_audio_energy(sf_dir: str):
+    """Audio branch of the multimodal plumbing: synthetic audio
+    payloads → windowed RMS energies via the AudioFeatureStage actor
+    pool → per-doc window count and mean energy.  Decode is the
+    documented stub; the actor-pool batching and binary handling are
+    real (rows-only check)."""
+    import numpy as np
+
+    from elevant_ray.stages.multimodal import (AudioFeatureStage,
+                                               synth_media_batch)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    feats = media.map_batches(AudioFeatureStage, concurrency=2,
+                              batch_size=64, batch_format="pyarrow")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        means = [float(np.floor(float(np.mean(e)) * 1e4 + 0.5) / 1e4)
+                 if len(e) else None
+                 for e in b.column("energy").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_windows": pc.cast(b.column("n_windows"),
+                                              pa.int64()),
+                         "mean_energy": pa.array(means, pa.float64())})
+
+    return _det_sort(feats.map_batches(fmt, batch_format="pyarrow"),
+                     "doc_id")
+
+
+def multimodal_frame_sample(sf_dir: str):
+    """Video branch of the multimodal plumbing: synthetic video
+    payloads → every-2nd-frame byte slices (frame_sample_batch) →
+    per-doc sampled-frame count and total sampled bytes.  The payload
+    column is dropped right after slicing (the 100 TB sizing rule in
+    stages/multimodal.py); rows-only check."""
+    import numpy as np
+
+    from elevant_ray.stages.multimodal import (frame_sample_batch,
+                                               synth_media_batch)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    frames = media.map_batches(frame_sample_batch, batch_size=32,
+                               batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        nb = np.array([len(f) for f in b.column("frame").to_pylist()],
+                      np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "one": pa.array(np.ones(len(nb), np.int64)),
+                         "nb": pa.array(nb, pa.int64())})
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(frames.map_batches(stats,
+                                               batch_format="pyarrow"),
+                            ["doc_id"], sum_cols=["one", "nb"],
+                            combine="driver")
+    import pandas as pd
+
+    agg = agg.sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype("int64"),
+        "n_frames_sampled": agg["one"].astype("int64"),
+        "sampled_bytes": agg["nb"].astype("int64")})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12031,6 +12261,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_abc_class": customer_abc_class,
         "user_burstiness": user_burstiness,
         "events_median_ci": events_median_ci,
+        "nation_balance_levene": nation_balance_levene,
+        "event_type_entropy_rate": event_type_entropy_rate,
+        "dup_cluster_size_histogram": dup_cluster_size_histogram,
+        "multimodal_audio_energy": multimodal_audio_energy,
+        "multimodal_frame_sample": multimodal_frame_sample,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -15036,11 +15271,64 @@ def oracle_sql() -> dict[str, str]:
                      /100.0 AS ci_high
             FROM r WHERE r.lo >= 1 AND r.n >= 3
         """,
+        "nation_balance_levene": """
+            WITH c AS (SELECT c_nationkey AS nk,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS c
+                       FROM customer),
+                 m AS (SELECT nk, quantile_disc(c, 0.5)::BIGINT AS med
+                       FROM c GROUP BY 1),
+                 z AS (SELECT c.nk, abs(c.c - med)::BIGINT AS z
+                       FROM c JOIN m USING (nk)),
+                 g AS (SELECT nk, count(*)::BIGINT AS n,
+                              sum(z)::BIGINT AS s, sum(z*z)::BIGINT AS q
+                       FROM z GROUP BY 1),
+                 t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                              sum(s)::BIGINT AS gg
+                       FROM g),
+                 p AS (SELECT k, nn,
+                              sum((1.0*s)*s/n) - ((1.0*gg)*gg)/nn AS ssb,
+                              sum(1.0*q - ((1.0*s)*s)/n) AS ssw
+                       FROM g, t GROUP BY k, nn, gg)
+            SELECT k, nn AS n,
+                   round((ssb/(k-1))/(ssw/(nn-k)), 6) + 0 AS f_stat
+            FROM p WHERE k >= 2 AND nn > k AND ssw > 0
+        """,
+        "event_type_entropy_rate": """
+            WITH w AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+                 c AS (SELECT event_type AS src, nxt AS dst,
+                              count(*)::BIGINT AS nij
+                       FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2),
+                 r AS (SELECT src, sum(nij)::BIGINT AS ni
+                       FROM c GROUP BY 1),
+                 t AS (SELECT sum(nij)::BIGINT AS nn FROM c)
+            SELECT nn AS n_transitions,
+                   round(sum(-((1.0*nij)/nn)
+                             *log2((1.0*nij)/ni)), 6) + 0
+                     AS entropy_rate
+            FROM c JOIN r USING (src), t
+            GROUP BY nn
+        """,
+        "dup_cluster_size_histogram": """
+            WITH f AS (SELECT md5(trim(regexp_replace(lower(text),
+                                                      '\\s+', ' ',
+                                                      'g'))) AS fp
+                       FROM documents),
+                 s AS (SELECT fp, count(*)::BIGINT AS sz
+                       FROM f GROUP BY 1)
+            SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+                   (sz*count(*))::BIGINT AS n_docs
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
         # dedup_minhash / dedup_simhash (sketch-derived), knn_ivf
-        # (approximate by construction), multimodal_features (stub
-        # decoder), part_supplier_kcore (iterative fixpoint),
+        # (approximate by construction), multimodal_features /
+        # multimodal_audio_energy / multimodal_frame_sample (stub
+        # decoders), part_supplier_kcore (iterative fixpoint),
         # blocking_quality (sketch-derived metrics), doc_zlib_ratio
         # (zlib has no SQL equivalent): rows-only checks; semantics
         # covered by the pytest differential suite.

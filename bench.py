@@ -239,6 +239,11 @@ BENCH_QUERIES = [
     "customer_abc_class",
     "user_burstiness",
     "events_median_ci",
+    "nation_balance_levene",
+    "event_type_entropy_rate",
+    "dup_cluster_size_histogram",
+    "multimodal_audio_energy",
+    "multimodal_frame_sample",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
