@@ -12079,6 +12079,170 @@ def multimodal_frame_sample(sf_dir: str):
         "sampled_bytes": agg["nb"].astype("int64")})
 
 
+def curated_shard_write(sf_dir: str):
+    """Sink round-trip under the oracle gate: documents take their
+    token-budget shard assignment (the docs_pack_shards prefix scan),
+    WRITE as shard-partitioned Parquet under /tmp (the resumable
+    layout — one directory per shard, a failed run skips finished
+    partitions), then READ BACK and aggregate per shard.  The returned
+    (shard, n_docs, total_chars) must match the oracle computed from
+    the ORIGINAL table, so a bug in either the writer or the reader
+    breaks the driver's correctness gate."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    empty = pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "total_chars": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    cum = global_ordered_cumsum(ds, "doc_id", "n_chars")
+    if cum is None:
+        return empty
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64())})
+        c = np.asarray(b.column("cum").to_numpy(zero_copy_only=False),
+                       np.int64)
+        n = np.asarray(b.column("n_chars")
+                       .to_numpy(zero_copy_only=False), np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": pa.array(n, pa.int64()),
+                         "shard": pa.array((c - n) // 100_000,
+                                           pa.int64())})
+
+    from elevant_ray.stages.util import as_arrow
+
+    assigned = as_arrow(cum).map_batches(assign, batch_format="pyarrow")
+    out_dir = "/tmp/elevant_ray_out/shards"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    assigned.write_parquet(out_dir, partition_cols=["shard"])
+
+    back = rd.read_parquet(out_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "total_chars": pa.array([], pa.int64())})
+        # hive partitioning reads the partition key back as string
+        sh = np.array([int(s) for s in
+                       b.column("shard").to_pylist()], np.int64)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"shard": pa.array(sh, pa.int64()),
+                      "one": pa.array(np.ones(len(sh), np.int64)),
+                      "n": pa.array(n, pa.int64())})
+        g = t.group_by("shard").aggregate([("one", "sum"), ("n", "sum")])
+        return g.rename_columns(["shard", "n_docs", "total_chars"])
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    final = partial_group_agg(back.map_batches(agg,
+                                               batch_format="pyarrow"),
+                              ["shard"], sum_cols=["n_docs",
+                                                   "total_chars"],
+                              combine="driver")
+    final = final.sort_values("shard").reset_index(drop=True)
+    return pd.DataFrame({
+        "shard": final["shard"].astype("int64"),
+        "n_docs": final["n_docs"].astype("int64"),
+        "total_chars": final["total_chars"].astype("int64")})
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """Bigram language-model scoring with add-one smoothing: each
+    document's Σ ln((c₁₂+1)/(c₁+V)) over its token bigrams, under the
+    corpus's own counts — the next step up from the unigram LM filter.
+    Bigram and unigram count tables broadcast once (vocabulary-
+    bounded); scoring probes them per batch."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "n_bigrams": pd.Series([], dtype="int64"),
+                          "logprob": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def uni_pairs(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        toks = []
+        for t in b.column("text").to_pylist():
+            toks.extend(unigrams(t))
+        return pa.table({"w": pa.array(toks, pa.string())})
+
+    def big_pairs(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        bgs = []
+        for t in b.column("text").to_pylist():
+            ts = unigrams(t)
+            bgs.extend(f"{a} {b_}" for a, b_ in zip(ts, ts[1:]))
+        return pa.table({"bg": pa.array(bgs, pa.string())})
+
+    pre = ds.materialize()
+    uc = partial_group_agg(pre.map_batches(uni_pairs,
+                                           batch_format="pyarrow"),
+                           ["w"], count_alias="c", combine="driver")
+    if uc.empty:
+        return empty
+    bc = partial_group_agg(pre.map_batches(big_pairs,
+                                           batch_format="pyarrow"),
+                           ["bg"], count_alias="c", combine="driver")
+    V = len(uc)
+    umap = dict(zip(uc["w"], uc["c"].astype(int)))
+    bmap = dict(zip(bc["bg"], bc["c"].astype(int))) if not bc.empty \
+        else {}
+    uref, bref = ray.put(umap), ray.put(bmap)
+
+    def score(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+        from elevant_ray.stages.util import cached_get
+
+        um, bm = cached_get(uref), cached_get(bref)
+        ids, nb, lp = [], [], []
+        for doc_id, text in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+            ts = unigrams(text)
+            if len(ts) < 2:
+                continue
+            s = 0.0
+            for a, b_ in zip(ts, ts[1:]):
+                c12 = bm[f"{a} {b_}"]
+                c1 = um[a]
+                s += np.log((1.0 * (c12 + 1)) / (c1 + V))
+            ids.append(doc_id)
+            nb.append(len(ts) - 1)
+            lp.append(float(np.sign(s) * np.floor(abs(s) * 1e4 + 0.5)
+                            / 1e4) + 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "logprob": pa.array(lp, pa.float64())})
+
+    return _det_sort(pre.map_batches(score, batch_format="pyarrow"),
+                     "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12266,6 +12430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
         "multimodal_audio_energy": multimodal_audio_energy,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "curated_shard_write": curated_shard_write,
+        "doc_bigram_logprob": doc_bigram_logprob,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -15322,6 +15488,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
                    (sz*count(*))::BIGINT AS n_docs
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "curated_shard_write": """
+            WITH a AS (SELECT doc_id, n_chars,
+                              ((SUM(n_chars) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                                - n_chars) // 100000)::BIGINT AS shard
+                       FROM documents)
+            SELECT shard, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM a GROUP BY 1 ORDER BY 1
+        """,
+        "doc_bigram_logprob": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                                    '[a-z0-9_]+') AS ts
+                          FROM documents),
+                 big AS (SELECT doc_id,
+                                unnest(list_transform(
+                                    generate_series(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1]))
+                                  AS bg
+                         FROM toks WHERE len(ts) >= 2),
+                 uc AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                         '[a-z0-9_]+'))
+                                 AS w
+                        FROM documents),
+                 u AS (SELECT w, count(*)::BIGINT AS c1
+                       FROM uc GROUP BY 1),
+                 v AS (SELECT count(*)::BIGINT AS v FROM u),
+                 bcn AS (SELECT bg, count(*)::BIGINT AS c12
+                         FROM big GROUP BY 1)
+            SELECT doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(sum(ln((1.0*(c12 + 1))/(c1 + v))), 4) + 0
+                     AS logprob
+            FROM big JOIN bcn USING (bg)
+            JOIN u ON u.w = split_part(bg, ' ', 1), v
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "dup_cluster_size_histogram",
     "multimodal_audio_energy",
     "multimodal_frame_sample",
+    "curated_shard_write",
+    "doc_bigram_logprob",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
