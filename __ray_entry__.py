@@ -12243,6 +12243,200 @@ def doc_bigram_logprob(sf_dir: str):
                      "doc_id")
 
 
+def events_daily_cycle_strength(sf_dir: str):
+    """Strength of the 24-hour cycle in event arrivals: the first
+    Fourier coefficient of the hour-of-day count profile, power =
+    (a² + b²)/N² with a = Σ nₕ·cos(2πh/24), b = Σ nₕ·sin(2πh/24) —
+    the seasonality detector.  Counts are exact; the 24-term
+    trigonometric closure is term-identical with the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["ts"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "cycle_power": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"h": pa.array((us // HOUR_US) % 24, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["h"], count_alias="n", combine="driver")
+    g = g.sort_values("h").reset_index(drop=True)
+    h = g["h"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    N = int(n.sum())
+    ang = 2.0 * np.pi * h / 24.0
+    a = float((n * np.cos(ang)).sum())
+    b = float((n * np.sin(ang)).sum())
+    power = (a * a + b * b) / ((1.0 * N) * N)
+    return pd.DataFrame({
+        "n": [np.int64(N)],
+        "cycle_power": [float(np.floor(power * 1e6 + 0.5) / 1e6)
+                        + 0.0]})
+
+
+def nation_spearman(sf_dir: str):
+    """Spearman rank correlation between customer balance and lifetime
+    spend per nation — Pearson over exact integer MIDRANKS (2·midrank
+    = 2·count-below + tie-size + 1, the Mann-Whitney half-unit trick),
+    so every moment of the rank vectors is an exact int64 and only the
+    final correlation divides.  Completes the rank-statistics family
+    next to Kendall τ-b."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns, partial_group_agg
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64"),
+                          "spearman": pd.Series([], dtype="float64")})
+    if cust.count() == 0:
+        return empty
+
+    def o_pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"),
+                                              pa.int64()),
+                         "y": pa.array(c, pa.int64())})
+
+    spend = partial_group_agg(
+        orders.map_batches(o_pre, batch_format="pyarrow"),
+        ["o_custkey"], sum_cols=["y"], combine="driver")
+
+    def c_pre(b: pa.Table) -> pa.Table:
+        x = np.rint(b.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"c_custkey": pc.cast(b.column("c_custkey"),
+                                              pa.int64()),
+                         "nk": pc.cast(b.column("c_nationkey"),
+                                       pa.int64()),
+                         "x": pa.array(x, pa.int64())})
+
+    cols = np_columns(cust.map_batches(c_pre, batch_format="pyarrow"),
+                      ["c_custkey", "nk", "x"])
+    df = pd.DataFrame(cols).merge(spend, left_on="c_custkey",
+                                  right_on="o_custkey", how="left")
+    df["y"] = np.nan_to_num(df["y"].to_numpy(np.float64)).astype(np.int64)
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+
+    def midranks2(a):
+        # 2·midrank per element: 2·(#smaller) + tie-size + 1
+        order = np.argsort(a, kind="stable")
+        s = a[order]
+        uniq, start = np.unique(s, return_index=True)
+        cnt = np.diff(np.append(start, len(s)))
+        r2u = 2 * start + cnt + 1
+        idx = np.searchsorted(uniq, a)
+        return r2u[idx].astype(np.int64)
+
+    rows = []
+    for nk, grp in df.groupby("nk"):
+        x = grp["x"].to_numpy(np.int64)
+        y = grp["y"].to_numpy(np.int64)
+        n = len(x)
+        if n < 2:
+            continue
+        rx = midranks2(x)
+        ry = midranks2(y)
+        sx, sy = int(rx.sum()), int(ry.sum())
+        sxx = int((rx * rx).sum())
+        syy = int((ry * ry).sum())
+        sxy = int((rx * ry).sum())
+        vx = (1.0 * n) * sxx - (1.0 * sx) * sx
+        vy = (1.0 * n) * syy - (1.0 * sy) * sy
+        if not (vx > 0 and vy > 0):
+            continue
+        rho = ((1.0 * n) * sxy - (1.0 * sx) * sy) \
+            / (np.sqrt(vx) * np.sqrt(vy))
+        rows.append((nation[int(nk)], n,
+                     float(np.sign(rho) * np.floor(np.abs(rho) * 1e6
+                                                   + 0.5) / 1e6) + 0.0))
+    out = pd.DataFrame(rows, columns=["n_name", "n", "spearman"])
+    return out.astype({"n": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def hourly_click_purchase_corr24(sf_dir: str):
+    """Rolling 24-hour cross-correlation between hourly click and
+    purchase counts over the GAP-FILLED hour grid (absent hours count
+    0 — a calendar join, not a row lag): the co-movement monitor.
+    Windowed Σx, Σy, Σx², Σy², Σxy come from prefix-sum differences of
+    exact integer counts; degenerate windows (zero variance) are
+    NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    empty = pd.DataFrame({"hour_us": pd.Series([], dtype="int64"),
+                          "corr24": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.column("event_type")
+        keep = pc.or_(pc.equal(t, pa.scalar("click")),
+                      pc.equal(t, pa.scalar("purchase")))
+        b = b.filter(keep)
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        isx = pc.equal(b.column("event_type"), pa.scalar("click")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"h": pa.array((us // HOUR_US) * HOUR_US,
+                                       pa.int64()),
+                         "x": pa.array(isx, pa.int64()),
+                         "y": pa.array(1 - isx, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["h"], sum_cols=["x", "y"], combine="driver")
+    if g.empty:
+        return empty
+    g = g.sort_values("h").reset_index(drop=True)
+    hs = g["h"].to_numpy(np.int64)
+    grid = np.arange(hs.min(), hs.max() + HOUR_US, HOUR_US)
+    x = np.zeros(len(grid), np.int64)
+    y = np.zeros(len(grid), np.int64)
+    pos = (hs - hs.min()) // HOUR_US
+    x[pos] = g["x"].to_numpy(np.int64)
+    y[pos] = g["y"].to_numpy(np.int64)
+    W = 24
+    if len(grid) < W:
+        return empty
+
+    def win(a):
+        cs = np.concatenate([[0], np.cumsum(a)])
+        return cs[W:] - cs[:-W]
+
+    sx, sy = win(x), win(y)
+    sxx, syy = win(x * x), win(y * y)
+    sxy = win(x * y)
+    vx = (1.0 * W) * sxx - (1.0 * sx) * sx
+    vy = (1.0 * W) * syy - (1.0 * sy) * sy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = ((1.0 * W) * sxy - (1.0 * sx) * sy) \
+            / (np.sqrt(vx) * np.sqrt(vy))
+    ok = (vx > 0) & (vy > 0)
+    r = np.where(ok, np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5)
+                 / 1e6 + 0.0, np.nan)
+    return pd.DataFrame({"hour_us": grid[W - 1:], "corr24": r})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12432,6 +12626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "curated_shard_write": curated_shard_write,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "events_daily_cycle_strength": events_daily_cycle_strength,
+        "nation_spearman": nation_spearman,
+        "hourly_click_purchase_corr24": hourly_click_purchase_corr24,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -15526,6 +15723,97 @@ def oracle_sql() -> dict[str, str]:
             FROM big JOIN bcn USING (bg)
             JOIN u ON u.w = split_part(bg, ' ', 1), v
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_daily_cycle_strength": """
+            WITH g AS (SELECT CAST(hour(ts) AS BIGINT) AS h,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT AS nn,
+                              sum(n*cos(2.0*pi()*h/24.0)) AS a,
+                              sum(n*sin(2.0*pi()*h/24.0)) AS b
+                       FROM g)
+            SELECT nn AS n,
+                   round((a*a + b*b)/((1.0*nn)*nn), 6) + 0
+                     AS cycle_power
+            FROM t WHERE nn > 0
+        """,
+        "nation_spearman": """
+            WITH sp AS (SELECT o_custkey,
+                               sum(CAST(round(o_totalprice*100)
+                                        AS BIGINT))::BIGINT AS y
+                        FROM orders GROUP BY 1),
+                 d AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+                              CAST(round(c_acctbal*100) AS BIGINT) AS x,
+                              coalesce(y, 0)::BIGINT AS y
+                       FROM customer
+                       LEFT JOIN sp ON o_custkey = c_custkey),
+                 r AS (SELECT nk,
+                              (2*(rank() OVER (PARTITION BY nk
+                                    ORDER BY x) - 1)
+                               + count(*) OVER (PARTITION BY nk, x)
+                               + 1)::BIGINT AS rx,
+                              (2*(rank() OVER (PARTITION BY nk
+                                    ORDER BY y) - 1)
+                               + count(*) OVER (PARTITION BY nk, y)
+                               + 1)::BIGINT AS ry
+                       FROM d),
+                 m AS (SELECT nk, count(*)::BIGINT AS n,
+                              sum(rx)::BIGINT AS sx,
+                              sum(ry)::BIGINT AS sy,
+                              sum(rx*rx)::BIGINT AS sxx,
+                              sum(ry*ry)::BIGINT AS syy,
+                              sum(rx*ry)::BIGINT AS sxy
+                       FROM r GROUP BY 1)
+            SELECT n_name, n,
+                   round(((1.0*n)*sxy - (1.0*sx)*sy)
+                         /(sqrt((1.0*n)*sxx - (1.0*sx)*sx)
+                           *sqrt((1.0*n)*syy - (1.0*sy)*sy)), 6) + 0
+                     AS spearman
+            FROM m JOIN nation ON n_nationkey = nk
+            WHERE n >= 2
+              AND (1.0*n)*sxx - (1.0*sx)*sx > 0
+              AND (1.0*n)*syy - (1.0*sy)*sy > 0
+            ORDER BY n_name
+        """,
+        "hourly_click_purchase_corr24": """
+            WITH e AS (SELECT (epoch_us(ts)//3600000000)*3600000000
+                                AS h,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS x,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 g AS (SELECT h, sum(x)::BIGINT AS x,
+                              sum(y)::BIGINT AS y
+                       FROM e GROUP BY 1),
+                 b AS (SELECT min(h) AS mn, max(h) AS mx FROM g),
+                 grid AS (SELECT unnest(generate_series(mn, mx,
+                                                        3600000000))
+                                   AS h
+                          FROM b),
+                 f AS (SELECT grid.h, coalesce(g.x, 0)::BIGINT AS x,
+                              coalesce(g.y, 0)::BIGINT AS y
+                       FROM grid LEFT JOIN g USING (h)),
+                 w AS (SELECT h, count(*) OVER win AS cnt,
+                              CAST(sum(x) OVER win AS BIGINT) AS sx,
+                              CAST(sum(y) OVER win AS BIGINT) AS sy,
+                              CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
+                              CAST(sum(y*y) OVER win AS BIGINT) AS syy,
+                              CAST(sum(x*y) OVER win AS BIGINT) AS sxy
+                       FROM f
+                       WINDOW win AS (ORDER BY h
+                                      ROWS BETWEEN 23 PRECEDING
+                                      AND CURRENT ROW))
+            SELECT h AS hour_us,
+                   CASE WHEN (24.0*sxx - (1.0*sx)*sx) > 0
+                         AND (24.0*syy - (1.0*sy)*sy) > 0
+                        THEN round((24.0*sxy - (1.0*sx)*sy)
+                                   /(sqrt(24.0*sxx - (1.0*sx)*sx)
+                                     *sqrt(24.0*syy - (1.0*sy)*sy)),
+                                   6) + 0
+                        END AS corr24
+            FROM w WHERE cnt = 24 ORDER BY h
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "curated_shard_write",
     "doc_bigram_logprob",
+    "events_daily_cycle_strength",
+    "nation_spearman",
+    "hourly_click_purchase_corr24",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
