@@ -12437,6 +12437,159 @@ def hourly_click_purchase_corr24(sf_dir: str):
     return pd.DataFrame({"hour_us": grid[W - 1:], "corr24": r})
 
 
+def value_decile_type_matrix(sf_dir: str):
+    """Contingency of event types across GLOBAL value deciles: decile
+    cut points come exactly off the cents histogram (percentile_disc
+    at k/10), every event lands in the decile of the highest cutpoint
+    < its value, and the (decile, type) counts reduce through
+    partials — the calibration-table shape joining the quantile and
+    crosstab families."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    empty = pd.DataFrame({"decile": pd.Series([], dtype="int64"),
+                          "event_type": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "c": pa.array(c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    QS = tuple(i / 10 for i in range(1, 10))
+    q = grouped_quantiles(pre_ds, "c", QS).to_pandas()
+    cuts = np.sort(q["c"].to_numpy(np.int64))
+    cref = ray.put(cuts)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        cu = cached_get(cref)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        # decile d: # of cutpoints < value (ties at a cutpoint stay in
+        # the lower decile — matches quantile_disc's right-closedness)
+        d = np.searchsorted(cu, c, side="left")
+        return pa.table({"decile": pa.array(d.astype(np.int64),
+                                            pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    cnt = partial_group_agg(pre_ds.map_batches(bucket,
+                                               batch_format="pyarrow"),
+                            ["decile", "event_type"], count_alias="n",
+                            combine="driver")
+    return cnt.sort_values(["decile", "event_type"]) \
+        .reset_index(drop=True).astype({"decile": "int64",
+                                        "n": "int64"})
+
+
+def customer_recency_weighted_spend(sf_dir: str):
+    """Recency-weighted customer value: each order contributes
+    totalprice·0.99^(days before the corpus's max order date), summed
+    per customer — top-20 (the CLV-style decay score).  The decay
+    exponent is an exact integer day count; only pow and the weighted
+    sum are float (term-identical with the oracle, rounded at 4)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns, partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "n_orders": pd.Series([], dtype="int64"),
+                          "weighted_spend":
+                              pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    mx = int(np_columns(ds.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(b.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64).max())]
+            if b.num_rows else [], pa.int64())}),
+        batch_format="pyarrow"), ["m"])["m"].max())
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        w = (c / 100.0) * np.power(0.99, (mx - d).astype(np.float64))
+        return pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "w": pa.array(w, pa.float64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["ck"], sum_cols=["w"], count_alias="n",
+                            combine="driver")
+    agg = agg.sort_values("ck").reset_index(drop=True)
+    w4 = np.floor(agg["w"].to_numpy(np.float64) * 1e4 + 0.5) / 1e4 + 0.0
+    out = pd.DataFrame({"c_custkey": agg["ck"].astype("int64"),
+                        "n_orders": agg["n"].astype("int64"),
+                        "weighted_spend": w4})
+    return out.sort_values(["weighted_spend", "c_custkey"],
+                           ascending=[False, True]).head(20) \
+        .reset_index(drop=True)
+
+
+def customer_third_order(sf_dir: str):
+    """Each customer's THIRD order (nth-value window, n = 3, by order
+    date then key): its date and price — the milestone-event report.
+    One customer-keyed shuffle; the 3rd row per group falls out of a
+    vectorized position index, no per-customer Python."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "ok": pc.cast(b.column("o_orderkey"),
+                                       pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "third_orderkey": pd.Series([], dtype="int64"),
+            "third_day": pd.Series([], dtype="int64"),
+            "third_price": pd.Series([], dtype="float64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["ck", "d", "ok"], kind="stable")
+        ck = g["ck"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ck[1:] != ck[:-1]]))
+        sizes = np.diff(np.append(starts, len(ck)))
+        has3 = sizes >= 3
+        idx3 = starts[has3] + 2
+        return pd.DataFrame({
+            "c_custkey": ck[idx3],
+            "third_orderkey": g["ok"].to_numpy(np.int64)[idx3],
+            "third_day": g["d"].to_numpy(np.int64)[idx3],
+            "third_price": g["c"].to_numpy(np.int64)[idx3] / 100.0})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "ck", per_bucket)
+    return _det_sort(as_arrow(out), "c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12629,6 +12782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_cycle_strength": events_daily_cycle_strength,
         "nation_spearman": nation_spearman,
         "hourly_click_purchase_corr24": hourly_click_purchase_corr24,
+        "value_decile_type_matrix": value_decile_type_matrix,
+        "customer_recency_weighted_spend": customer_recency_weighted_spend,
+        "customer_third_order": customer_third_order,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -15814,6 +15970,51 @@ def oracle_sql() -> dict[str, str]:
                                    6) + 0
                         END AS corr24
             FROM w WHERE cnt = 24 ORDER BY h
+        """,
+        "value_decile_type_matrix": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 q AS (SELECT quantile_disc(c, [0.1, 0.2, 0.3, 0.4,
+                                                0.5, 0.6, 0.7, 0.8,
+                                                0.9]) AS cuts
+                       FROM c)
+            SELECT len(list_filter(cuts, x -> x < c.c))::BIGINT
+                     AS decile,
+                   event_type, count(*)::BIGINT AS n
+            FROM c, q GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customer_recency_weighted_spend": """
+            WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m
+                        FROM orders),
+                 w AS (SELECT o_custkey AS ck,
+                              (CAST(round(o_totalprice*100)
+                                    AS BIGINT)/100.0)
+                              * power(0.99,
+                                      CAST(m - CAST(o_orderdate AS DATE)
+                                           AS BIGINT)) AS w
+                       FROM orders, mx),
+                 a AS (SELECT ck, count(*)::BIGINT AS n,
+                              sum(w) AS w
+                       FROM w GROUP BY 1)
+            SELECT ck::BIGINT AS c_custkey, n AS n_orders,
+                   round(w, 4) + 0 AS weighted_spend
+            FROM a ORDER BY round(w, 4) DESC, ck LIMIT 20
+        """,
+        "customer_third_order": """
+            WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                              o_totalprice,
+                              row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                                AS rn
+                       FROM orders)
+            SELECT o_custkey::BIGINT AS c_custkey,
+                   o_orderkey::BIGINT AS third_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS third_day,
+                   CAST(round(o_totalprice*100) AS BIGINT)/100.0
+                     AS third_price
+            FROM r WHERE rn = 3 ORDER BY c_custkey
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

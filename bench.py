@@ -249,6 +249,9 @@ BENCH_QUERIES = [
     "events_daily_cycle_strength",
     "nation_spearman",
     "hourly_click_purchase_corr24",
+    "value_decile_type_matrix",
+    "customer_recency_weighted_spend",
+    "customer_third_order",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
