@@ -12590,6 +12590,154 @@ def customer_third_order(sf_dir: str):
     return _det_sort(as_arrow(out), "c_custkey")
 
 
+def events_type_lift_matrix(sf_dir: str):
+    """Association lift between event types at the user level:
+    lift(a, b) = P(user did both)·N / (P(a)·P(b)) from user-type
+    incidence — the market-basket lift matrix over behavior instead of
+    baskets.  Incidence reduces to per-user bitmasks (types are
+    enum-bounded), pair counts are popcount arithmetic on the driver,
+    and the single float division is term-identical with the
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    empty = pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                          "t2": pd.Series([], dtype="object"),
+                          "n_both": pd.Series([], dtype="int64"),
+                          "lift": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    inc = partial_group_agg(ds, ["user_id", "event_type"],
+                            count_alias="c", combine="driver")
+    piv = inc.pivot_table(index="user_id", columns="event_type",
+                          values="c", aggfunc="sum", fill_value=0)
+    types = sorted(piv.columns.tolist())
+    m = (piv[types].to_numpy(np.int64) > 0)
+    N = len(piv)
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            n1 = int(m[:, i].sum())
+            n2 = int(m[:, j].sum())
+            nb = int((m[:, i] & m[:, j]).sum())
+            if n1 == 0 or n2 == 0:
+                continue
+            lift = (1.0 * nb * N) / ((1.0 * n1) * n2)
+            rows.append((types[i], types[j], nb,
+                         float(np.floor(lift * 1e6 + 0.5) / 1e6) + 0.0))
+    return pd.DataFrame(rows, columns=["t1", "t2", "n_both", "lift"]) \
+        .astype({"n_both": "int64"})
+
+
+def customer_order_gap_median(sf_dir: str):
+    """Median inter-order gap (days) per customer with ≥ 3 orders —
+    the reorder-cadence report.  Gaps are exact integer day diffs in
+    (date, key) order; the median is percentile_disc (lower middle)
+    per customer, vectorized inside one customer-keyed shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        return pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "ok": pc.cast(b.column("o_orderkey"),
+                                       pa.int64()),
+                         "d": pa.array(d, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "n_gaps": pd.Series([], dtype="int64"),
+            "median_gap_days": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["ck", "d", "ok"], kind="stable")
+        ck = g["ck"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        same = ck[1:] == ck[:-1]
+        gaps = (d[1:] - d[:-1])[same]
+        guser = ck[1:][same]
+        res = pd.DataFrame({"ck": guser, "gap": gaps})
+        out = []
+        for ckv, grp in res.groupby("ck", sort=False):
+            gv = np.sort(grp["gap"].to_numpy(np.int64))
+            if len(gv) < 2:
+                continue
+            # percentile_disc(0.5): smallest value with cum share ≥ .5
+            med = int(gv[(len(gv) + 1) // 2 - 1])
+            out.append((int(ckv), len(gv), med))
+        return pd.DataFrame(out, columns=["c_custkey", "n_gaps",
+                                          "median_gap_days"]) \
+            .astype({"c_custkey": "int64", "n_gaps": "int64",
+                     "median_gap_days": "int64"}) if out else out_empty
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "ck", per_bucket)
+    return _det_sort(as_arrow(out), "c_custkey")
+
+
+def events_weekend_lift(sf_dir: str):
+    """Weekend-vs-weekday lift of event value: counts, exact-cents
+    means and their ratio (the dow-seasonality sanity check).  Weekend
+    = ISO day ≥ 6, computed as (epoch_day + 3) mod 7 ≥ 5 with Monday
+    aligned to 0 — the same closed-form weekday arithmetic as the
+    business-day query."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"n_weekday": pd.Series([], dtype="int64"),
+                          "n_weekend": pd.Series([], dtype="int64"),
+                          "avg_weekday": pd.Series([], dtype="float64"),
+                          "avg_weekend": pd.Series([], dtype="float64"),
+                          "lift": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        dow = (us // DAY_US + 3) % 7
+        we = (dow >= 5).astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"we": pa.array(we, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["we"], sum_cols=["c"], count_alias="n",
+                          combine="driver")
+    gd = {int(r["we"]): (int(r["n"]), int(r["c"]))
+          for _, r in g.iterrows()}
+    nw, cw = gd.get(0, (0, 0))
+    ne, ce = gd.get(1, (0, 0))
+    if nw == 0 or ne == 0:
+        return empty
+    aw = (1.0 * cw) / nw / 100.0
+    ae = (1.0 * ce) / ne / 100.0
+    lift = ae / aw
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_weekday": [np.int64(nw)],
+                         "n_weekend": [np.int64(ne)],
+                         "avg_weekday": [r6(aw)],
+                         "avg_weekend": [r6(ae)],
+                         "lift": [r6(lift)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12785,6 +12933,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile_type_matrix": value_decile_type_matrix,
         "customer_recency_weighted_spend": customer_recency_weighted_spend,
         "customer_third_order": customer_third_order,
+        "events_type_lift_matrix": events_type_lift_matrix,
+        "customer_order_gap_median": customer_order_gap_median,
+        "events_weekend_lift": events_weekend_lift,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16015,6 +16166,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(o_totalprice*100) AS BIGINT)/100.0
                      AS third_price
             FROM r WHERE rn = 3 ORDER BY c_custkey
+        """,
+        "events_type_lift_matrix": """
+            WITH inc AS (SELECT DISTINCT user_id, event_type
+                         FROM events),
+                 n AS (SELECT count(DISTINCT user_id)::BIGINT AS nn
+                       FROM events),
+                 per AS (SELECT event_type, count(*)::BIGINT AS c
+                         FROM inc GROUP BY 1),
+                 pr AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                               count(*)::BIGINT AS n_both
+                        FROM inc a JOIN inc b
+                          ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+                        GROUP BY 1, 2)
+            SELECT t1, t2, n_both,
+                   round((1.0*n_both*nn)/((1.0*p1.c)*p2.c), 6) + 0
+                     AS lift
+            FROM pr
+            JOIN per p1 ON p1.event_type = t1
+            JOIN per p2 ON p2.event_type = t2, n
+            WHERE p1.c > 0 AND p2.c > 0
+            ORDER BY t1, t2
+        """,
+        "customer_order_gap_median": """
+            WITH g AS (SELECT o_custkey AS ck,
+                              CAST(CAST(o_orderdate AS DATE)
+                                   - lag(CAST(o_orderdate AS DATE))
+                                     OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate,
+                                                    o_orderkey)
+                                   AS BIGINT) AS gap
+                       FROM orders)
+            SELECT ck::BIGINT AS c_custkey, count(*)::BIGINT AS n_gaps,
+                   quantile_disc(gap, 0.5)::BIGINT AS median_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+        """,
+        "events_weekend_lift": """
+            WITH c AS (SELECT CASE WHEN isodow(ts) >= 6
+                                   THEN 1 ELSE 0 END AS we,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 g AS (SELECT we, count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS s
+                       FROM c GROUP BY 1),
+                 p AS (SELECT max(CASE WHEN we = 0 THEN n END) AS nw,
+                              max(CASE WHEN we = 0 THEN s END) AS cw,
+                              max(CASE WHEN we = 1 THEN n END) AS ne,
+                              max(CASE WHEN we = 1 THEN s END) AS ce
+                       FROM g)
+            SELECT nw::BIGINT AS n_weekday, ne::BIGINT AS n_weekend,
+                   round((1.0*cw)/nw/100.0, 6) + 0 AS avg_weekday,
+                   round((1.0*ce)/ne/100.0, 6) + 0 AS avg_weekend,
+                   round(((1.0*ce)/ne/100.0)/((1.0*cw)/nw/100.0), 6)
+                     + 0 AS lift
+            FROM p WHERE nw > 0 AND ne > 0
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     "value_decile_type_matrix",
     "customer_recency_weighted_spend",
     "customer_third_order",
+    "events_type_lift_matrix",
+    "customer_order_gap_median",
+    "events_weekend_lift",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
