@@ -12738,6 +12738,164 @@ def events_weekend_lift(sf_dir: str):
                          "lift": [r6(lift)]})
 
 
+def nation_part_coverage(sf_dir: str):
+    """Revenue concentration per nation: the smallest number of parts
+    covering ≥ 50% of the nation's lineitem revenue (integer predicate
+    2·cum ≥ total — no float threshold), plus the covered share — the
+    per-group coverage-curve search (vocab_coverage_90 generalized to
+    groups).  (nation, part) revenue partials are one exchange; the
+    per-nation walk is a driver lexsort over dimension-bounded rows."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_partkey", "l_extendedprice",
+                  "l_discount"])
+    empty = pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                          "k_parts": pd.Series([], dtype="int64"),
+                          "covered": pd.Series([], dtype="int64"),
+                          "total": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+    supp = {r["s_suppkey"]: r["s_nationkey"]
+            for r in _read(sf_dir, "supplier",
+                           ["s_suppkey", "s_nationkey"]).take_all()}
+    nation = {r["n_nationkey"]: r["n_name"]
+              for r in _read(sf_dir, "nation").take_all()}
+    import ray
+    sref = ray.put(supp)
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        sm = cached_get(sref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nk = np.array([sm[int(s)] for s in sk], np.int64)
+        return pa.table({"nk": pa.array(nk, pa.int64()),
+                         "pk": pc.cast(b.column("l_partkey"),
+                                       pa.int64()),
+                         "rev": pa.array(_rev_cents(b), pa.int64())})
+
+    agg = partial_group_agg(
+        line.map_batches(pre, batch_format="pyarrow"),
+        ["nk", "pk"], sum_cols=["rev"], combine="driver")
+    rows = []
+    for nk, grp in agg.groupby("nk"):
+        r = grp["rev"].to_numpy(np.int64)
+        p = grp["pk"].to_numpy(np.int64)
+        order = np.lexsort((p, -r))
+        r = r[order]
+        cum = np.cumsum(r)
+        tot = int(cum[-1])
+        if tot <= 0:
+            continue
+        k = int(np.argmax(2 * cum >= tot)) + 1
+        rows.append((nation[int(nk)], k, int(cum[k - 1]), tot))
+    out = pd.DataFrame(rows, columns=["n_name", "k_parts", "covered",
+                                      "total"])
+    return out.astype({"k_parts": "int64", "covered": "int64",
+                       "total": "int64"}) \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def orders_1998_filter_pushdown(sf_dir: str):
+    """Predicate pushdown at the READ: the 1998 order count and
+    revenue with the date filter passed INTO read_parquet (row groups
+    outside the range never leave storage — the prune-at-the-read
+    rule), not applied post-scan.  The aggregate itself is one
+    partial-sum pass."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    flt = ((pads.field("o_orderdate")
+            >= pads.scalar(datetime.datetime(1998, 1, 1)))
+           & (pads.field("o_orderdate")
+              < pads.scalar(datetime.datetime(1999, 1, 1))))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"],
+                         filter=flt)
+    empty = pd.DataFrame({"n_orders": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64")})
+
+    from elevant_ray.stages.util import np_columns
+
+    parts = np_columns(ds.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "c": pa.array([int(np.rint(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64).sum()) if b.num_rows else 0],
+                pa.int64())}),
+        batch_format="pyarrow"), ["n", "c"])
+    n = int(parts["n"].sum())
+    if n == 0:
+        return empty
+    return pd.DataFrame({"n_orders": [np.int64(n)],
+                         "revenue": [int(parts["c"].sum()) / 100.0]})
+
+
+def embedding_dispersion(sf_dir: str):
+    """Mean squared pairwise distance of the embedding cloud WITHOUT
+    any pair enumeration: E‖x−y‖² = 2·(mean‖x‖² − ‖mean x‖²), closed
+    from per-component sums — the O(n·d) dispersion diagnostic that
+    replaces an O(n²) distance scan.  float32 → double is exact; sums
+    reduce through per-batch partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "mean_sq_distance":
+                              pd.Series([], dtype="float64")})
+
+    def partials(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "ssq": pa.array([], pa.float64()),
+                             "comp": pa.array([], pa.list_(
+                                 pa.float64()))})
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        d = int(offs[1] - offs[0])
+        m = vals.reshape(-1, d)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "ssq": pa.array([float((m * m).sum())], pa.float64()),
+            "comp": pa.array([m.sum(axis=0).tolist()],
+                             pa.list_(pa.float64()))})
+
+    rows = [b for b in ds.map_batches(
+        partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow")]
+    ns = sum(int(x) for b in rows for x in b.column("n").to_pylist())
+    if ns == 0:
+        return empty
+    ssq = sum(float(x) for b in rows
+              for x in b.column("ssq").to_pylist())
+    comps = [np.array(x) for b in rows
+             for x in b.column("comp").to_pylist()]
+    total = np.sum(np.stack(comps), axis=0)
+    mu = total / ns
+    msd = 2.0 * (ssq / ns - float((mu * mu).sum()))
+    return pd.DataFrame({
+        "n": [np.int64(ns)],
+        "mean_sq_distance": [float(np.floor(msd * 1e6 + 0.5) / 1e6)
+                             + 0.0]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -12936,6 +13094,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_lift_matrix": events_type_lift_matrix,
         "customer_order_gap_median": customer_order_gap_median,
         "events_weekend_lift": events_weekend_lift,
+        "nation_part_coverage": nation_part_coverage,
+        "orders_1998_filter_pushdown": orders_1998_filter_pushdown,
+        "embedding_dispersion": embedding_dispersion,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16222,6 +16383,57 @@ def oracle_sql() -> dict[str, str]:
                    round(((1.0*ce)/ne/100.0)/((1.0*cw)/nw/100.0), 6)
                      + 0 AS lift
             FROM p WHERE nw > 0 AND ne > 0
+        """,
+        "nation_part_coverage": """
+            WITH r AS (SELECT s_nationkey AS nk, l_partkey AS pk,
+                              sum(""" + _REV_C_SQL + """)::BIGINT
+                                AS rev
+                       FROM lineitem
+                       JOIN supplier ON s_suppkey = l_suppkey
+                       GROUP BY 1, 2),
+                 w AS (SELECT nk, rev,
+                              row_number() OVER (PARTITION BY nk
+                                  ORDER BY rev DESC, pk) AS k,
+                              CAST(sum(rev) OVER (PARTITION BY nk
+                                  ORDER BY rev DESC, pk
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS cum,
+                              CAST(sum(rev) OVER (PARTITION BY nk)
+                                   AS BIGINT) AS tot
+                       FROM r)
+            SELECT n_name, min(k)::BIGINT AS k_parts,
+                   min_by(cum, k)::BIGINT AS covered, tot AS total
+            FROM w JOIN nation ON n_nationkey = nk
+            WHERE 2*cum >= tot AND tot > 0
+            GROUP BY n_name, tot ORDER BY n_name
+        """,
+        "orders_1998_filter_pushdown": """
+            SELECT count(*)::BIGINT AS n_orders,
+                   sum(CAST(round(o_totalprice*100) AS BIGINT))
+                     ::BIGINT/100.0 AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            HAVING count(*) > 0
+        """,
+        "embedding_dispersion": """
+            WITH e AS (SELECT embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 n AS (SELECT count(*)::BIGINT AS n FROM e),
+                 s AS (SELECT sum(list_sum(list_transform(v,
+                                  x -> x*x))) AS ssq
+                       FROM e),
+                 x AS (SELECT unnest(v) AS val,
+                              generate_subscripts(v, 1) AS dim
+                       FROM e),
+                 comp AS (SELECT dim, sum(val) AS cs
+                          FROM x GROUP BY 1),
+                 m AS (SELECT sum((cs/n)*(cs/n)) AS musq
+                       FROM comp, n)
+            SELECT n.n AS n,
+                   round(2.0*(ssq/n.n - musq), 6) + 0
+                     AS mean_sq_distance
+            FROM n, s, m WHERE n.n > 0
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

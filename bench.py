@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "events_type_lift_matrix",
     "customer_order_gap_median",
     "events_weekend_lift",
+    "nation_part_coverage",
+    "orders_1998_filter_pushdown",
+    "embedding_dispersion",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
