@@ -12896,6 +12896,132 @@ def embedding_dispersion(sf_dir: str):
                              + 0.0]})
 
 
+def session_path_top10(sf_dir: str):
+    """Top-10 session entry paths: the first (up to) three event types
+    of each 30-minute session joined with '>', ranked by session count
+    (ties → path asc) — sequence-pattern mining lite.  One user-keyed
+    shuffle sessionizes and clips paths vectorized; path counts reduce
+    through partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         partial_group_agg)
+
+    GAP_US = 1_800_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"path": pd.Series([], dtype="object"),
+                          "n_sessions": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"path": pd.Series([], dtype="object")})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        new = np.concatenate(
+            [[True], (uid[1:] != uid[:-1])
+             | (us[1:] - us[:-1] > GAP_US)])
+        sid = np.cumsum(new)
+        t = g["event_type"].to_numpy()
+        res = pd.DataFrame({"sid": sid, "t": t})
+        res["pos"] = res.groupby("sid", sort=False).cumcount()
+        head = res[res["pos"] < 3]
+        paths = head.groupby("sid", sort=False)["t"] \
+            .agg(lambda s: ">".join(s))
+        return pd.DataFrame({"path": paths.to_numpy()})
+
+    sess = bucketed_group_apply(ds.map_batches(pre,
+                                               batch_format="pyarrow"),
+                                "user_id", per_bucket)
+    cnt = partial_group_agg(as_arrow(sess), ["path"],
+                            count_alias="n_sessions", combine="driver")
+    cnt = cnt.sort_values(["n_sessions", "path"],
+                          ascending=[False, True]).head(10)
+    return cnt.reset_index(drop=True).astype({"n_sessions": "int64"})
+
+
+def customer_tercile_migration(sf_dir: str):
+    """Segment-migration matrix: customers active in BOTH 1997 and
+    1998 move between spend terciles (NTILE(3) by (spend desc, key)
+    within each year); the 3×3 transition counts quantify churn
+    between value tiers.  One partial-pushed exchange; tercile
+    assignment is the SQL-NTILE kernel on the driver over the
+    dimension-bounded actives."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import ntile_assign, partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+    empty = pd.DataFrame({"tercile_1997": pd.Series([], dtype="int64"),
+                          "tercile_1998": pd.Series([], dtype="int64"),
+                          "n_customers": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        y = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                      "y": pa.array(y, pa.int64()),
+                      "c": pa.array(c, pa.int64())})
+        keep = pc.or_(pc.equal(t.column("y"),
+                               pa.scalar(1997, pa.int64())),
+                      pc.equal(t.column("y"),
+                               pa.scalar(1998, pa.int64())))
+        return t.filter(keep)
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["ck", "y"], sum_cols=["c"],
+                            combine="driver")
+    if agg.empty:
+        return empty
+    piv = agg.pivot(index="ck", columns="y", values="c")
+    if 1997 not in piv.columns or 1998 not in piv.columns:
+        return empty
+    piv = piv.dropna()
+    if piv.empty:
+        return empty
+    ck = piv.index.to_numpy(np.int64)
+    n = len(ck)
+
+    def terciles(c):
+        c = c.astype(np.int64)
+        order = np.lexsort((ck, -c))
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n)
+        return ntile_assign(np.full(n, n, np.int64), ranks, 3)
+
+    t97 = terciles(piv[1997].to_numpy())
+    t98 = terciles(piv[1998].to_numpy())
+    out = pd.DataFrame({"tercile_1997": t97, "tercile_1998": t98}) \
+        .groupby(["tercile_1997", "tercile_1998"]).size() \
+        .reset_index(name="n_customers")
+    return out.astype({"tercile_1997": "int64",
+                       "tercile_1998": "int64",
+                       "n_customers": "int64"}) \
+        .sort_values(["tercile_1997", "tercile_1998"]) \
+        .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13097,6 +13223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_part_coverage": nation_part_coverage,
         "orders_1998_filter_pushdown": orders_1998_filter_pushdown,
         "embedding_dispersion": embedding_dispersion,
+        "session_path_top10": session_path_top10,
+        "customer_tercile_migration": customer_tercile_migration,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16434,6 +16562,54 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0*(ssq/n.n - musq), 6) + 0
                      AS mean_sq_distance
             FROM n, s, m WHERE n.n > 0
+        """,
+        "session_path_top10": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts)::BIGINT AS us
+                       FROM events),
+                 w AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS pus
+                       FROM e),
+                 f AS (SELECT *, CASE WHEN pus IS NULL
+                                        OR us - pus > 1800000000
+                                      THEN 1 ELSE 0 END AS new
+                       FROM w),
+                 s AS (SELECT *, CAST(sum(new) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS sid
+                       FROM f),
+                 p AS (SELECT user_id, sid,
+                              array_to_string(
+                                  (list(event_type
+                                        ORDER BY us, event_id))[1:3],
+                                  '>') AS path
+                       FROM s GROUP BY 1, 2)
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path LIMIT 10
+        """,
+        "customer_tercile_migration": """
+            WITH s AS (SELECT o_custkey AS ck,
+                              year(o_orderdate)::BIGINT AS y,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders
+                       WHERE year(o_orderdate) IN (1997, 1998)
+                       GROUP BY 1, 2),
+                 b AS (SELECT a.ck, a.c AS c97, z.c AS c98
+                       FROM s a JOIN s z ON a.ck = z.ck
+                       WHERE a.y = 1997 AND z.y = 1998),
+                 t AS (SELECT ck,
+                              ntile(3) OVER (ORDER BY c97 DESC, ck)
+                                ::BIGINT AS t97,
+                              ntile(3) OVER (ORDER BY c98 DESC, ck)
+                                ::BIGINT AS t98
+                       FROM b)
+            SELECT t97 AS tercile_1997, t98 AS tercile_1998,
+                   count(*)::BIGINT AS n_customers
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

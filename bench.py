@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "nation_part_coverage",
     "orders_1998_filter_pushdown",
     "embedding_dispersion",
+    "session_path_top10",
+    "customer_tercile_migration",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
