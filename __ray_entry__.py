@@ -13022,6 +13022,138 @@ def customer_tercile_migration(sf_dir: str):
         .reset_index(drop=True)
 
 
+def daily_revenue_trailing30(sf_dir: str):
+    """Trailing-30-day revenue per calendar day over the gap-filled
+    day grid (a calendar window, not a 30-ROW window — missing days
+    widen nothing).  Exact cents via prefix-sum differences; emitted
+    from the 30th grid day on."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                          "revenue_30d": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["day"], sum_cols=["c"], combine="driver")
+    agg = agg.sort_values("day").reset_index(drop=True)
+    days = agg["day"].to_numpy(np.int64)
+    grid = np.arange(days.min(), days.max() + 1)
+    c = np.zeros(len(grid), np.int64)
+    c[days - days.min()] = agg["c"].to_numpy(np.int64)
+    W = 30
+    if len(grid) < W:
+        return empty
+    cs = np.concatenate([[0], np.cumsum(c)])
+    win = cs[W:] - cs[:-W]
+    return pd.DataFrame({"day": grid[W - 1:],
+                         "revenue_30d": win / 100.0})
+
+
+def part_brand_size_median_price(sf_dir: str):
+    """Exact median retail price per (brand, size) cell — the two-key
+    grouped percentile_disc through the histogram-quantile stage (no
+    sort, the only exchange moves the (brand, size, cents) histogram)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    empty = pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                          "p_size": pd.Series([], dtype="int64"),
+                          "median_price": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("p_retailprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"p_brand": b.column("p_brand"),
+                         "p_size": pc.cast(b.column("p_size"),
+                                           pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    q = grouped_quantiles(ds.map_batches(pre, batch_format="pyarrow"),
+                          "c", (0.5,),
+                          group_cols=["p_brand", "p_size"]).to_pandas()
+    q = q[q["q"] == 0.5]
+    out = pd.DataFrame({"p_brand": q["p_brand"],
+                        "p_size": q["p_size"].astype("int64"),
+                        "median_price": q["c"].astype(np.int64) / 100.0})
+    return out.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+
+def user_active_coverage(sf_dir: str):
+    """Interval-union coverage per user: total microseconds covered by
+    the union of [ts, ts+30 min) activity windows — overlapping
+    windows merge (the islands-and-gaps union, exact integer µs).
+    Inside one keyed shuffle: island starts where a window begins past
+    the running max end; per-island spans sum vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
+
+    WIN_US = 1_800_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "event_id": b.column("event_id"),
+                         "us": pa.array(us, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_islands": pd.Series([], dtype="int64"),
+            "covered_us": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out_empty
+        g = g.sort_values(["user_id", "us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        s = g["us"].to_numpy(np.int64)
+        e = s + WIN_US
+        # running max end per user; a new island starts when the
+        # window begins at/after it
+        emax = pd.Series(e).groupby(uid, sort=False).cummax() \
+            .to_numpy(np.int64)
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        new = first | (s >= np.concatenate([[0], emax[:-1]]))
+        isl = np.cumsum(new)
+        res = pd.DataFrame({"uid": uid, "isl": isl, "s": s, "e": e})
+        per_isl = res.groupby("isl", sort=False).agg(
+            uid=("uid", "first"), start=("s", "min"), end=("e", "max"))
+        span = per_isl["end"].to_numpy(np.int64) \
+            - per_isl["start"].to_numpy(np.int64)
+        out = pd.DataFrame({"user_id": per_isl["uid"].to_numpy(np.int64),
+                            "span": span})
+        agg = out.groupby("user_id", sort=False).agg(
+            n_islands=("span", "size"), covered_us=("span", "sum"))
+        return agg.reset_index().astype({"n_islands": "int64",
+                                         "covered_us": "int64"})
+
+    out = bucketed_group_apply(ds.map_batches(pre, batch_format="pyarrow"),
+                               "user_id", per_bucket)
+    return _det_sort(as_arrow(out), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13225,6 +13357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dispersion": embedding_dispersion,
         "session_path_top10": session_path_top10,
         "customer_tercile_migration": customer_tercile_migration,
+        "daily_revenue_trailing30": daily_revenue_trailing30,
+        "part_brand_size_median_price": part_brand_size_median_price,
+        "user_active_coverage": user_active_coverage,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16610,6 +16745,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT t97 AS tercile_1997, t98 AS tercile_1998,
                    count(*)::BIGINT AS n_customers
             FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "daily_revenue_trailing30": """
+            WITH a AS (SELECT CAST(CAST(o_orderdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders GROUP BY 1),
+                 b AS (SELECT min(day) AS mn, max(day) AS mx FROM a),
+                 grid AS (SELECT unnest(generate_series(mn, mx, 1))
+                                   AS day
+                          FROM b),
+                 f AS (SELECT grid.day, coalesce(a.c, 0)::BIGINT AS c
+                       FROM grid LEFT JOIN a USING (day)),
+                 w AS (SELECT day, count(*) OVER win AS cnt,
+                              CAST(sum(c) OVER win AS BIGINT) AS s
+                       FROM f
+                       WINDOW win AS (ORDER BY day
+                                      ROWS BETWEEN 29 PRECEDING
+                                      AND CURRENT ROW))
+            SELECT day, s/100.0 AS revenue_30d
+            FROM w WHERE cnt = 30 ORDER BY day
+        """,
+        "part_brand_size_median_price": """
+            SELECT p_brand, p_size::BIGINT AS p_size,
+                   quantile_disc(CAST(round(p_retailprice*100)
+                                      AS BIGINT), 0.5)::BIGINT/100.0
+                     AS median_price
+            FROM part GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_active_coverage": """
+            WITH e AS (SELECT user_id, event_id,
+                              epoch_us(ts)::BIGINT AS s,
+                              epoch_us(ts)::BIGINT + 1800000000 AS en
+                       FROM events),
+                 w AS (SELECT *, max(en) OVER (PARTITION BY user_id
+                                  ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+                       FROM e),
+                 f AS (SELECT user_id, s, en, event_id,
+                              CASE WHEN pmax IS NULL OR s >= pmax
+                                   THEN 1 ELSE 0 END AS new
+                       FROM w),
+                 i AS (SELECT user_id, s, en,
+                              CAST(sum(new) OVER (PARTITION BY user_id
+                                  ORDER BY s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS isl
+                       FROM f),
+                 g AS (SELECT user_id, isl,
+                              (max(en) - min(s))::BIGINT AS span
+                       FROM i GROUP BY 1, 2)
+            SELECT user_id::BIGINT AS user_id,
+                   count(*)::BIGINT AS n_islands,
+                   sum(span)::BIGINT AS covered_us
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "embedding_dispersion",
     "session_path_top10",
     "customer_tercile_migration",
+    "daily_revenue_trailing30",
+    "part_brand_size_median_price",
+    "user_active_coverage",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
