@@ -13154,6 +13154,95 @@ def user_active_coverage(sf_dir: str):
     return _det_sort(as_arrow(out), "user_id")
 
 
+def user_stickiness(sf_dir: str):
+    """DAU/MAU stickiness: mean daily active users over the observed
+    span divided by total distinct users — the engagement-density KPI.
+    Distinct (day, user) incidence reduces through partials; the
+    closure is three exact integers and one division."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"n_days": pd.Series([], dtype="int64"),
+                          "mau": pd.Series([], dtype="int64"),
+                          "avg_dau": pd.Series([], dtype="float64"),
+                          "stickiness": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"day": pa.array(us // DAY_US, pa.int64()),
+                         "user_id": pc.cast(b.column("user_id"),
+                                            pa.int64())})
+
+    du = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                           ["day", "user_id"], count_alias="c",
+                           combine="driver")
+    n_days = int(du["day"].nunique())
+    mau = int(du["user_id"].nunique())
+    dau_sum = len(du)  # distinct (day, user) pairs
+    avg_dau = (1.0 * dau_sum) / n_days
+    stick = avg_dau / mau
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_days": [np.int64(n_days)],
+                         "mau": [np.int64(mau)],
+                         "avg_dau": [r6(avg_dau)],
+                         "stickiness": [r6(stick)]})
+
+
+def error_burst_peak(sf_dir: str):
+    """Peak error burst: the maximum number of 'error' events in any
+    sliding 60-minute window at minute resolution, plus the earliest
+    window start that attains it — the incident-detection scan.
+    Per-minute error counts reduce through partials; the sliding
+    window is a prefix-sum difference over the gap-filled minute grid
+    (bounded by the corpus span)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    MIN_US = 60_000_000
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    empty = pd.DataFrame({"peak_errors": pd.Series([], dtype="int64"),
+                          "window_start_us":
+                              pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"),
+                              pa.scalar("error")))
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"m": pa.array(us // MIN_US, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["m"], count_alias="n", combine="driver")
+    if g.empty:
+        return empty
+    g = g.sort_values("m").reset_index(drop=True)
+    ms = g["m"].to_numpy(np.int64)
+    grid = np.arange(ms.min(), ms.max() + 1)
+    c = np.zeros(len(grid), np.int64)
+    c[ms - ms.min()] = g["n"].to_numpy(np.int64)
+    W = min(60, len(grid))
+    cs = np.concatenate([[0], np.cumsum(c)])
+    win = cs[W:] - cs[:-W] if len(grid) >= W else cs[-1:]
+    peak = int(win.max())
+    pos = int(np.argmax(win))  # earliest window with the peak
+    start = int(grid[pos]) * MIN_US
+    return pd.DataFrame({"peak_errors": [np.int64(peak)],
+                         "window_start_us": [np.int64(start)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13360,6 +13449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_trailing30": daily_revenue_trailing30,
         "part_brand_size_median_price": part_brand_size_median_price,
         "user_active_coverage": user_active_coverage,
+        "user_stickiness": user_stickiness,
+        "error_burst_peak": error_burst_peak,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16802,6 +16893,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_islands,
                    sum(span)::BIGINT AS covered_us
             FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "user_stickiness": """
+            WITH du AS (SELECT DISTINCT
+                               (epoch_us(ts)//86400000000)::BIGINT
+                                 AS day,
+                               user_id
+                        FROM events),
+                 a AS (SELECT count(DISTINCT day)::BIGINT AS nd,
+                              count(DISTINCT user_id)::BIGINT AS mau,
+                              count(*)::BIGINT AS ds
+                       FROM du)
+            SELECT nd AS n_days, mau,
+                   round((1.0*ds)/nd, 6) + 0 AS avg_dau,
+                   round(((1.0*ds)/nd)/mau, 6) + 0 AS stickiness
+            FROM a WHERE nd > 0
+        """,
+        "error_burst_peak": """
+            WITH e AS (SELECT (epoch_us(ts)//60000000)::BIGINT AS m
+                       FROM events WHERE event_type = 'error'),
+                 g AS (SELECT m, count(*)::BIGINT AS n
+                       FROM e GROUP BY 1),
+                 b AS (SELECT min(m) AS mn, max(m) AS mx FROM g),
+                 grid AS (SELECT unnest(generate_series(mn, mx, 1))
+                                   AS m
+                          FROM b),
+                 f AS (SELECT grid.m, coalesce(g.n, 0)::BIGINT AS n
+                       FROM grid LEFT JOIN g USING (m)),
+                 w AS (SELECT m, count(*) OVER win AS cnt,
+                              CAST(sum(n) OVER win AS BIGINT) AS s
+                       FROM f
+                       WINDOW win AS (ORDER BY m
+                                      ROWS BETWEEN 59 PRECEDING
+                                      AND CURRENT ROW)),
+                 p AS (SELECT s, m - 59 AS start_m
+                       FROM w WHERE cnt = 60)
+            SELECT s AS peak_errors,
+                   (start_m*60000000)::BIGINT AS window_start_us
+            FROM p WHERE s = (SELECT max(s) FROM p)
+            ORDER BY start_m LIMIT 1
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "daily_revenue_trailing30",
     "part_brand_size_median_price",
     "user_active_coverage",
+    "user_stickiness",
+    "error_burst_peak",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
