@@ -13243,6 +13243,127 @@ def error_burst_peak(sf_dir: str):
                          "window_start_us": [np.int64(start)]})
 
 
+def orders_empirical_rule(sf_dir: str):
+    """Empirical-rule check on order totals: the share of orders
+    within μ±1σ and μ±2σ (sample σ from exact integer moments) — the
+    normality sanity report.  Two passes: one for moments, one
+    counting against the broadcast float bounds (both sides evaluate
+    the identical bound expressions, so the integer counts match
+    exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "share_1sigma": pd.Series([], dtype="float64"),
+                          "share_2sigma":
+                              pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        # whole-dollar domain: Σc² on cents would pass 2^63 by sf0.01
+        v = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({"k": pa.array(np.zeros(len(c), np.int64)),
+                         "s": pa.array(c, pa.int64()),
+                         "q": pa.array(c * c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    m = partial_group_agg(pre_ds, ["k"], sum_cols=["s", "q"],
+                          count_alias="n", combine="driver")
+    n = int(m["n"].iloc[0])
+    s = int(m["s"].iloc[0])
+    q = int(m["q"].iloc[0])
+    if n < 2:
+        return empty
+    mu = (1.0 * s) / n
+    sigma = np.sqrt((q - (1.0 * s) * s / n) / (n - 1))
+    bounds = ray.put((mu - sigma, mu + sigma,
+                      mu - 2.0 * sigma, mu + 2.0 * sigma))
+
+    def cnt(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        lo1, hi1, lo2, hi2 = cached_get(bounds)
+        c = b.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "c1": pa.array([int(((c >= lo1) & (c <= hi1)).sum())],
+                           pa.int64()),
+            "c2": pa.array([int(((c >= lo2) & (c <= hi2)).sum())],
+                           pa.int64())})
+
+    from elevant_ray.stages.util import np_columns
+
+    parts = np_columns(pre_ds.map_batches(cnt, batch_format="pyarrow"),
+                       ["c1", "c2"])
+    c1 = int(parts["c1"].sum())
+    c2 = int(parts["c2"].sum())
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "share_1sigma": [r6((1.0 * c1) / n)],
+                         "share_2sigma": [r6((1.0 * c2) / n)]})
+
+
+def events_value_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counts on event values: Q1/Q3 exact off the
+    cents histogram (percentile_disc), fences at ±1.5·IQR, and the
+    below/above counts from one more pass against the broadcast float
+    fences — the boxplot-rule screen (complements the 3×MAD
+    detector)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from elevant_ray.stages.quantiles import grouped_quantiles
+    from elevant_ray.stages.util import np_columns
+
+    ds = _read(sf_dir, "events", ["value"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "n_low": pd.Series([], dtype="int64"),
+                          "n_high": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    q = grouped_quantiles(pre_ds, "c", (0.25, 0.75)).to_pandas()
+    qs = {r["q"]: int(r["c"]) for _, r in q.iterrows()}
+    q1, q3 = qs[0.25], qs[0.75]
+    iqr = q3 - q1
+    lo = q1 - 1.5 * iqr
+    hi = q3 + 1.5 * iqr
+    bref = ray.put((lo, hi))
+
+    def cnt(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+
+        lo_, hi_ = cached_get(bref)
+        c = b.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "nl": pa.array([int((c < lo_).sum())], pa.int64()),
+            "nh": pa.array([int((c > hi_).sum())], pa.int64())})
+
+    parts = np_columns(pre_ds.map_batches(cnt, batch_format="pyarrow"),
+                       ["n", "nl", "nh"])
+    return pd.DataFrame({
+        "n": [np.int64(int(parts["n"].sum()))],
+        "n_low": [np.int64(int(parts["nl"].sum()))],
+        "n_high": [np.int64(int(parts["nh"].sum()))]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13451,6 +13572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_coverage": user_active_coverage,
         "user_stickiness": user_stickiness,
         "error_burst_peak": error_burst_peak,
+        "orders_empirical_rule": orders_empirical_rule,
+        "events_value_iqr_outliers": events_value_iqr_outliers,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -16932,6 +17055,41 @@ def oracle_sql() -> dict[str, str]:
                    (start_m*60000000)::BIGINT AS window_start_us
             FROM p WHERE s = (SELECT max(s) FROM p)
             ORDER BY start_m LIMIT 1
+        """,
+        "orders_empirical_rule": """
+            WITH c AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS c
+                       FROM orders),
+                 m AS (SELECT count(*)::BIGINT AS n,
+                              sum(c)::BIGINT AS s,
+                              sum(c*c)::BIGINT AS q
+                       FROM c),
+                 b AS (SELECT n,
+                              (1.0*s)/n AS mu,
+                              sqrt((q - (1.0*s)*s/n)/(n - 1)) AS sg
+                       FROM m WHERE n >= 2)
+            SELECT n,
+                   round((1.0*(SELECT count(*) FROM c, b
+                               WHERE c >= mu - sg AND c <= mu + sg))
+                         /n, 6) + 0 AS share_1sigma,
+                   round((1.0*(SELECT count(*) FROM c, b
+                               WHERE c >= mu - 2.0*sg
+                                 AND c <= mu + 2.0*sg))
+                         /n, 6) + 0 AS share_2sigma
+            FROM b
+        """,
+        "events_value_iqr_outliers": """
+            WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 q AS (SELECT quantile_disc(c, 0.25)::BIGINT AS q1,
+                              quantile_disc(c, 0.75)::BIGINT AS q3,
+                              count(*)::BIGINT AS n
+                       FROM c)
+            SELECT n,
+                   (SELECT count(*) FROM c, q
+                    WHERE c < q1 - 1.5*(q3 - q1))::BIGINT AS n_low,
+                   (SELECT count(*) FROM c, q
+                    WHERE c > q3 + 1.5*(q3 - q1))::BIGINT AS n_high
+            FROM q WHERE n > 0
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "user_active_coverage",
     "user_stickiness",
     "error_burst_peak",
+    "orders_empirical_rule",
+    "events_value_iqr_outliers",
     "extract_pages",
     "link_frequencies",
     "entity_linking",
