@@ -13364,6 +13364,118 @@ def events_value_iqr_outliers(sf_dir: str):
         "n_high": [np.int64(int(parts["nh"].sum()))]})
 
 
+def source_jsd_matrix(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between ALL sources' unigram
+    distributions — the full corpus-mixture distance matrix (the
+    two-language JSD generalized to every source pair).  One scan
+    emits (token, source) count partials; each pair's closure runs the
+    identical guarded log2 term as the oracle over the shared
+    vocabulary."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    empty = pd.DataFrame({"s1": pd.Series([], dtype="object"),
+                          "s2": pd.Series([], dtype="object"),
+                          "jsd": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.functions.tokens import unigrams
+
+        srcs, toks = [], []
+        for src, text in zip(b.column("source").to_pylist(),
+                             b.column("text").to_pylist()):
+            ts = unigrams(text)
+            srcs.extend([src] * len(ts))
+            toks.extend(ts)
+        return pa.table({"s": pa.array(srcs, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    h = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["s", "token"], count_alias="c",
+                          combine="driver")
+    if h.empty:
+        return empty
+    piv = h.pivot_table(index="token", columns="s", values="c",
+                        aggfunc="sum", fill_value=0).sort_index()
+    srcs = sorted(piv.columns.tolist())
+    tots = {s: int(piv[s].sum()) for s in srcs}
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            s1, s2 = srcs[i], srcs[j]
+            a = piv[s1].to_numpy(np.int64)
+            b = piv[s2].to_numpy(np.int64)
+            keep = (a > 0) | (b > 0)
+            a, b = a[keep], b[keep]
+            A, B = tots[s1], tots[s2]
+            if A == 0 or B == 0:
+                continue
+            pa_ = (1.0 * a) / A
+            pb_ = (1.0 * b) / B
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(a > 0,
+                              0.5 * pa_ * np.log2(2.0 * pa_
+                                                  / (pa_ + pb_)), 0.0)
+                tb = np.where(b > 0,
+                              0.5 * pb_ * np.log2(2.0 * pb_
+                                                  / (pa_ + pb_)), 0.0)
+            jsd = float((ta + tb).sum())
+            rows.append((s1, s2,
+                         float(np.floor(jsd * 1e6 + 0.5) / 1e6) + 0.0))
+    return pd.DataFrame(rows, columns=["s1", "s2", "jsd"])
+
+
+def orders_quarter_index(sf_dir: str):
+    """Quarterly revenue indexed to the first quarter = 100 — the
+    chained index-number report.  Quarterly sums are exact cents; the
+    index is one float ratio per quarter (identical expression both
+    sides)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"year": pd.Series([], dtype="int64"),
+                          "quarter": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "index100": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[M]")
+        m = d.astype(np.int64)  # months since epoch
+        y = m // 12 + 1970
+        q = (m % 12) // 3 + 1
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"year": pa.array(y, pa.int64()),
+                         "quarter": pa.array(q, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["year", "quarter"], sum_cols=["c"],
+                            combine="driver")
+    agg = agg.sort_values(["year", "quarter"]).reset_index(drop=True)
+    c = agg["c"].to_numpy(np.int64)
+    base = int(c[0])
+    if base <= 0:
+        return empty
+    idx = 100.0 * c / base
+    return pd.DataFrame({
+        "year": agg["year"].astype("int64"),
+        "quarter": agg["quarter"].astype("int64"),
+        "revenue": c / 100.0,
+        "index100": np.floor(idx * 1e6 + 0.5) / 1e6 + 0.0})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13574,6 +13686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_burst_peak": error_burst_peak,
         "orders_empirical_rule": orders_empirical_rule,
         "events_value_iqr_outliers": events_value_iqr_outliers,
+        "source_jsd_matrix": source_jsd_matrix,
+        "orders_quarter_index": orders_quarter_index,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -17090,6 +17204,58 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM c, q
                     WHERE c > q3 + 1.5*(q3 - q1))::BIGINT AS n_high
             FROM q WHERE n > 0
+        """,
+        "source_jsd_matrix": """
+            WITH tok AS (SELECT source AS s,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[a-z0-9_]+'))
+                                  AS token
+                         FROM documents),
+                 h AS (SELECT s, token, count(*)::BIGINT AS c
+                       FROM tok GROUP BY 1, 2),
+                 t AS (SELECT s, sum(c)::BIGINT AS tc
+                       FROM h GROUP BY 1),
+                 pairs AS (SELECT a.s AS s1, a.tc AS ta,
+                                  b.s AS s2, b.tc AS tb
+                           FROM t a JOIN t b ON a.s < b.s
+                           WHERE a.tc > 0 AND b.tc > 0),
+                 vocab AS (SELECT DISTINCT token FROM h),
+                 u AS (SELECT p.s1, p.s2, p.ta, p.tb, v.token,
+                              coalesce(h1.c, 0)::BIGINT AS a,
+                              coalesce(h2.c, 0)::BIGINT AS b
+                       FROM pairs p
+                       CROSS JOIN vocab v
+                       LEFT JOIN h h1 ON h1.s = p.s1
+                                     AND h1.token = v.token
+                       LEFT JOIN h h2 ON h2.s = p.s2
+                                     AND h2.token = v.token
+                       WHERE coalesce(h1.c, 0) > 0
+                          OR coalesce(h2.c, 0) > 0)
+            SELECT s1, s2,
+                   round(sum(
+                       CASE WHEN a > 0
+                            THEN 0.5*((1.0*a)/ta)
+                                 *log2(2.0*((1.0*a)/ta)
+                                       /((1.0*a)/ta + (1.0*b)/tb))
+                            ELSE 0 END
+                     + CASE WHEN b > 0
+                            THEN 0.5*((1.0*b)/tb)
+                                 *log2(2.0*((1.0*b)/tb)
+                                       /((1.0*a)/ta + (1.0*b)/tb))
+                            ELSE 0 END), 6) + 0 AS jsd
+            FROM u GROUP BY s1, s2 ORDER BY s1, s2
+        """,
+        "orders_quarter_index": """
+            WITH q AS (SELECT year(o_orderdate)::BIGINT AS year,
+                              quarter(o_orderdate)::BIGINT AS quarter,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT))::BIGINT AS c
+                       FROM orders GROUP BY 1, 2),
+                 b AS (SELECT c AS base FROM q
+                       ORDER BY year, quarter LIMIT 1)
+            SELECT year, quarter, c/100.0 AS revenue,
+                   round(100.0*c/base, 6) + 0 AS index100
+            FROM q, b WHERE base > 0 ORDER BY year, quarter
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
