@@ -13476,6 +13476,159 @@ def orders_quarter_index(sf_dir: str):
         "index100": np.floor(idx * 1e6 + 0.5) / 1e6 + 0.0})
 
 
+def events_cumulative_users(sf_dir: str):
+    """Cumulative distinct-user curve: for each day with at least one
+    first-time user, how many users have EVER been seen up to and
+    including that day, plus that day's first-time count.
+    COUNT(DISTINCT) OVER an unbounded-preceding
+    frame collapses to per-user min-day (one user-keyed exchange)
+    followed by a calendar-bounded day count + driver prefix sum; the
+    oracle recomputes it from the definition (a correlated distinct
+    count per day), not from the first-day identity."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[us]"),
+        "new_users": pd.Series([], dtype="int64"),
+        "cum_users": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "day": pa.array(days, pa.int64())})
+
+    first = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["user_id"], min_cols=["day"])
+    per_day = partial_group_agg(first, ["day"], count_alias="new_users",
+                                combine="driver")
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    nu = per_day["new_users"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "day": per_day["day"].to_numpy(np.int64)
+            .astype("datetime64[D]").astype("datetime64[us]"),
+        "new_users": nu,
+        "cum_users": np.cumsum(nu)})
+
+
+def orders_changepoint(sf_dir: str):
+    """Single change-point detection on the daily-revenue series: the
+    split day maximizing the between-segment sum of squares (binary
+    segmentation's first step).  Daily sums are exact cents from one
+    partial-agg scan; the ≤calendar-bounded argmax runs on the driver
+    with Python-int prefix sums, and the BSS ordering key is the SAME
+    double expression the oracle sorts by (HUGEINT squares → double
+    division), so the argmax and its tie-break (earliest day) agree
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({
+        "split_day": pd.Series([], dtype="datetime64[us]"),
+        "n_before": pd.Series([], dtype="int64"),
+        "n_after": pd.Series([], dtype="int64"),
+        "mean_before": pd.Series([], dtype="float64"),
+        "mean_after": pd.Series([], dtype="float64"),
+        "bss": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        days = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    cents = [int(x) for x in daily["c"].to_numpy(np.int64)]
+    n = len(cents)
+    if n < 2:
+        return empty
+    total = sum(cents)
+    # exact Python-int prefix sums; BSS ordering key evaluated as the
+    # identical double expression the oracle uses (exact-int square →
+    # correctly-rounded double → double division → double add)
+    best = None
+    s1 = 0
+    for k in range(n - 1):
+        s1 += cents[k]
+        n1 = k + 1
+        s2 = total - s1
+        n2 = n - n1
+        key = float(s1 * s1) / n1 + float(s2 * s2) / n2
+        if best is None or key > best[0]:
+            best = (key, k, s1, n1, s2, n2)
+    key, k, s1, n1, s2, n2 = best
+    bss = (key - float(total * total) / n) / 10000.0
+    rnd6 = lambda x: float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6) \
+        + 0.0
+    return pd.DataFrame({
+        "split_day": np.array([days[k]], dtype="datetime64[D]")
+            .astype("datetime64[us]"),
+        "n_before": [np.int64(n1)], "n_after": [np.int64(n2)],
+        "mean_before": [rnd6(1.0 * s1 / n1 / 100.0)],
+        "mean_after": [rnd6(1.0 * s2 / n2 / 100.0)],
+        "bss": [rnd6(bss)]})
+
+
+def docs_cramers_v(sf_dir: str):
+    """Scalar chi-square independence statistic + Cramér's V effect
+    size for the lang × source contingency table.  Cell contributions
+    are the same per-cell double arithmetic as docs_lang_source_chi2;
+    the cross-cell summation — normally forbidden (float order) — is
+    made deterministic by folding in sorted (lang, source) order on
+    BOTH sides (the oracle uses an ORDER BY aggregate)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    cells = partial_group_agg(
+        ds.map_batches(lambda b: b.select(["lang", "source"]),
+                       batch_format="pyarrow"),
+        ["lang", "source"], count_alias="observed", combine="driver")
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "chi2": pd.Series([], dtype="float64"),
+                          "cramers_v": pd.Series([], dtype="float64")})
+    if cells.empty:
+        return empty
+    cells = cells.sort_values(["lang", "source"]).reset_index(drop=True)
+    n = int(cells["observed"].sum())
+    row_tot = cells.groupby("lang")["observed"].transform("sum").to_numpy(
+        np.int64)
+    col_tot = cells.groupby("source")["observed"].transform("sum").to_numpy(
+        np.int64)
+    o = cells["observed"].to_numpy(np.int64)
+    expected = row_tot.astype(np.float64) * col_tot / n
+    contrib = (o - expected) ** 2 / expected
+    chi2 = 0.0
+    for x in contrib:          # sequential fold in (lang, source) order
+        chi2 += float(x)
+    r = cells["lang"].nunique()
+    c = cells["source"].nunique()
+    dof = min(r, c) - 1
+    v = float(np.sqrt(chi2 / (n * dof))) if dof > 0 else float("nan")
+    rnd6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n": [np.int64(n)], "chi2": [rnd6(chi2)],
+                         "cramers_v": [rnd6(v) if v == v else v]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13688,6 +13841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_iqr_outliers": events_value_iqr_outliers,
         "source_jsd_matrix": source_jsd_matrix,
         "orders_quarter_index": orders_quarter_index,
+        "events_cumulative_users": events_cumulative_users,
+        "orders_changepoint": orders_changepoint,
+        "docs_cramers_v": docs_cramers_v,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -17256,6 +17412,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT year, quarter, c/100.0 AS revenue,
                    round(100.0*c/base, 6) + 0 AS index100
             FROM q, b WHERE base > 0 ORDER BY year, quarter
+        """,
+        "events_cumulative_users": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                          FROM events),
+                 c AS (SELECT day,
+                              (SELECT count(DISTINCT user_id) FROM events
+                               WHERE ts < day + INTERVAL 1 DAY)::BIGINT
+                                AS cum_users
+                       FROM days),
+                 w AS (SELECT day,
+                              (cum_users
+                               - coalesce(lag(cum_users)
+                                            OVER (ORDER BY day), 0))
+                                ::BIGINT AS new_users,
+                              cum_users
+                       FROM c)
+            SELECT * FROM w WHERE new_users > 0 ORDER BY day
+        """,
+        "orders_changepoint": """
+            WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                              sum(CAST(round(o_totalprice*100) AS BIGINT))
+                                ::BIGINT AS c
+                       FROM orders GROUP BY 1),
+                 p AS (SELECT day, c,
+                              sum(c) OVER (ORDER BY day)::BIGINT AS s1,
+                              row_number() OVER (ORDER BY day)::BIGINT
+                                AS n1
+                       FROM d),
+                 t AS (SELECT sum(c)::BIGINT AS S,
+                              count(*)::BIGINT AS N FROM d),
+                 k AS (SELECT day, s1, n1, S - s1 AS s2, N - n1 AS n2,
+                              S, N
+                       FROM p, t WHERE n1 < N)
+            SELECT day AS split_day, n1 AS n_before, n2 AS n_after,
+                   round((1.0*s1)/n1/100.0, 6) + 0 AS mean_before,
+                   round((1.0*s2)/n2/100.0, 6) + 0 AS mean_after,
+                   round(((s1::HUGEINT*s1)/n1 + (s2::HUGEINT*s2)/n2
+                          - (S::HUGEINT*S)/N)/10000.0, 6) + 0 AS bss
+            FROM k
+            ORDER BY (s1::HUGEINT*s1)/n1 + (s2::HUGEINT*s2)/n2 DESC, day
+            LIMIT 1
+        """,
+        "docs_cramers_v": """
+            WITH h AS (SELECT lang, source, count(*)::BIGINT AS o
+                       FROM documents GROUP BY 1, 2),
+                 m AS (SELECT *,
+                              sum(o) OVER (PARTITION BY lang)::BIGINT
+                                AS rt,
+                              sum(o) OVER (PARTITION BY source)::BIGINT
+                                AS ct,
+                              sum(o) OVER ()::BIGINT AS n
+                       FROM h),
+                 s AS (SELECT any_value(n) AS n,
+                              sum((o - (1.0*rt)*ct/n)
+                                  * (o - (1.0*rt)*ct/n)
+                                  / ((1.0*rt)*ct/n)
+                                  ORDER BY lang, source) AS chi2,
+                              least(count(DISTINCT lang),
+                                    count(DISTINCT source)) - 1 AS dof
+                       FROM m)
+            SELECT n::BIGINT AS n, round(chi2, 6) + 0 AS chi2,
+                   CASE WHEN dof > 0
+                        THEN round(sqrt(chi2/(n*dof)), 6) + 0
+                        ELSE NULL END AS cramers_v
+            FROM s
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
