@@ -13629,6 +13629,118 @@ def docs_cramers_v(sf_dir: str):
                          "cramers_v": [rnd6(v) if v == v else v]})
 
 
+def events_type_trend(sf_dir: str):
+    """Per-event-type linear trend of monthly volume: OLS slope of
+    count-per-month against a 0-based month index, per type.  Both the
+    x (month ordinal) and y (count) moments are exact int64 sums, so
+    the slope is ONE double division of exact integers on both sides —
+    no float accumulation anywhere.  The monthly rollup is one
+    partial-agg scan; slopes are computed per type on the driver
+    (type × calendar bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype="object"),
+        "n_months": pd.Series([], dtype="int64"),
+        "slope_per_month": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[M]").astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "month": pa.array(m, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["event_type", "month"], count_alias="y",
+                          combine="driver")
+    rows = []
+    for et, sub in g.groupby("event_type", sort=True):
+        # 0-based month index relative to the GLOBAL min month, so the
+        # oracle can derive the identical x without per-type offsets
+        x = sub["month"].to_numpy(np.int64) - int(g["month"].min())
+        y = sub["y"].to_numpy(np.int64)
+        n = len(sub)
+        sx = int(x.sum()); sy = int(y.sum())
+        sxy = int((x * y).sum()); sxx = int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) if den != 0 else float("nan")
+        rows.append((et, n,
+                     float(np.sign(slope)
+                           * np.floor(abs(slope) * 1e6 + 0.5) / 1e6) + 0.0
+                     if slope == slope else slope))
+    return pd.DataFrame(rows, columns=["event_type", "n_months",
+                                       "slope_per_month"])
+
+
+def events_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curve: users grouped by first-active
+    month, cumulative total event value per (cohort_month,
+    month_offset) — the companion of events_cohort_matrix with exact
+    cents sums instead of headcounts.  The per-user first-month join
+    happens inside the same user-keyed buckets as the monthly value
+    partials (one exchange); the calendar²-bounded cells cumsum on the
+    driver in exact int64 cents."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    empty = pd.DataFrame({
+        "cohort_month": pd.Series([], dtype="datetime64[us]"),
+        "month_offset": pd.Series([], dtype="int64"),
+        "value_total": pd.Series([], dtype="float64"),
+        "value_cum": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[M]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "month": pa.array(m, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a user co-locate here: first month + offsets in
+        # one pass, reduced to per-(cohort, offset) partials
+        first = df.groupby("user_id")["month"].transform("min")
+        out = pd.DataFrame({
+            "cohort_month": first,
+            "month_offset": df["month"].to_numpy(np.int64)
+                - first.to_numpy(np.int64),
+            "c": df["c"]})
+        return (out.groupby(["cohort_month", "month_offset"],
+                            as_index=False)["c"].sum())
+
+    cells = partial_group_agg(
+        bucketed_group_apply(
+            ds.map_batches(pre, batch_format="pyarrow"), "user_id",
+            per_user),
+        ["cohort_month", "month_offset"], sum_cols=["c"],
+        combine="driver")
+    cells = cells.sort_values(["cohort_month", "month_offset"]) \
+        .reset_index(drop=True)
+    c = cells["c"].to_numpy(np.int64)
+    cum = cells.groupby("cohort_month")["c"].cumsum().to_numpy(np.int64)
+    return pd.DataFrame({
+        "cohort_month": cells["cohort_month"].to_numpy(np.int64)
+            .astype("datetime64[M]").astype("datetime64[us]"),
+        "month_offset": cells["month_offset"].astype("int64"),
+        "value_total": c / 100.0,
+        "value_cum": cum / 100.0})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -13844,6 +13956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_users": events_cumulative_users,
         "orders_changepoint": orders_changepoint,
         "docs_cramers_v": docs_cramers_v,
+        "events_type_trend": events_type_trend,
+        "events_cohort_ltv": events_cohort_ltv,
         "supplier_pctile": supplier_pctile,
         "lineitem_regr": lineitem_regr,
         "nation_acctbal_geomean": nation_acctbal_geomean,
@@ -17477,6 +17591,46 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(sqrt(chi2/(n*dof)), 6) + 0
                         ELSE NULL END AS cramers_v
             FROM s
+        """,
+        "events_type_trend": """
+            WITH g AS (SELECT event_type,
+                              date_diff('month',
+                                        (SELECT date_trunc('month',
+                                                           min(ts))
+                                         FROM events),
+                                        date_trunc('month', ts))::BIGINT
+                                AS x,
+                              count(*)::BIGINT AS y
+                       FROM events GROUP BY 1, 2),
+                 m AS (SELECT event_type, count(*)::BIGINT AS n,
+                              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                              sum(x*y)::BIGINT AS sxy,
+                              sum(x*x)::BIGINT AS sxx
+                       FROM g GROUP BY 1)
+            SELECT event_type, n AS n_months,
+                   CASE WHEN n*sxx - sx*sx <> 0
+                        THEN round((1.0*(n*sxy - sx*sy))
+                                   / (n*sxx - sx*sx), 6) + 0
+                        ELSE NULL END AS slope_per_month
+            FROM m ORDER BY event_type
+        """,
+        "events_cohort_ltv": """
+            WITH e AS (SELECT user_id, date_trunc('month', ts) AS m,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 f AS (SELECT user_id, min(m) AS cm FROM e GROUP BY 1),
+                 cell AS (SELECT cm AS cohort_month,
+                                 date_diff('month', cm, m)::BIGINT
+                                   AS month_offset,
+                                 sum(c)::BIGINT AS cc
+                          FROM e JOIN f USING (user_id)
+                          GROUP BY 1, 2)
+            SELECT cohort_month, month_offset,
+                   cc/100.0 AS value_total,
+                   (sum(cc) OVER (PARTITION BY cohort_month
+                                  ORDER BY month_offset))/100.0
+                     AS value_cum
+            FROM cell ORDER BY cohort_month, month_offset
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
