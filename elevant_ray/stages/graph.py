@@ -445,3 +445,32 @@ def dense_cooccurrence_adjacency(comp, max_nodes: int = 4096,
             A[np.ix_(s, s)] = True
     np.fill_diagonal(A, False)
     return nodes, A
+
+
+def dense_cooccurrence_counts(comp, max_nodes: int = 4096,
+                              max_groups: int = 200_000):
+    """Dense co-occurrence COUNT gram of the bipartite codes: G[i, j] =
+    number of groups containing both node i and node j — the
+    market-basket pair-count matrix without materializing the pair
+    list (on near-complete graphs the flat i/j arrays alone cost
+    seconds of memory bandwidth; the per-group np.ix_ scatter-add
+    touches only the n²-bounded gram).  Returns ``(nodes, G)`` with a
+    cleared diagonal, or ``None`` beyond the dense bounds (callers
+    fall back to the within_group_pairs path)."""
+    import numpy as np
+
+    mask = np.int64((1 << PAIR_BITS) - 1)
+    comp = np.unique(comp)
+    supp = comp & mask
+    nodes = np.unique(supp)
+    starts, sizes = group_starts_sizes(comp >> PAIR_BITS)
+    if len(nodes) > max_nodes or len(starts) > max_groups:
+        return None
+    scode = np.searchsorted(nodes, supp)
+    G = np.zeros((len(nodes), len(nodes)), np.int64)
+    for st, sz in zip(starts.tolist(), sizes.tolist()):
+        if sz >= 2:
+            s = scode[st:st + sz]
+            G[np.ix_(s, s)] += 1
+    np.fill_diagonal(G, 0)
+    return nodes, G

@@ -211,3 +211,43 @@ def test_oph_bin_match_rate_tracks_jaccard():
     sa, sb = minhash_signatures_batch([a, b], num_perm=128)
     est = float(np.mean(sa == sb))
     assert abs(est - j) < 0.15, (est, j)
+
+
+# ---- dense co-occurrence count gram vs pair enumeration ----
+
+def test_dense_cooccurrence_counts_matches_enumeration():
+    from elevant_ray.stages.graph import (
+        PAIR_BITS, dense_cooccurrence_counts, group_starts_sizes,
+    )
+    from elevant_ray.stages.util import within_group_pairs
+
+    rng = np.random.default_rng(7)
+    groups = rng.integers(0, 40, size=600, dtype=np.int64)
+    nodes_raw = rng.integers(0, 25, size=600, dtype=np.int64)
+    comp = np.unique((groups << PAIR_BITS) + nodes_raw)
+
+    dense = dense_cooccurrence_counts(comp)
+    assert dense is not None
+    nodes, G = dense
+    assert (G == G.T).all() and (np.diag(G) == 0).all()
+
+    # enumeration oracle: within_group_pairs + unique pair counts
+    mask = np.int64((1 << PAIR_BITS) - 1)
+    starts, sizes = group_starts_sizes(comp >> PAIR_BITS)
+    i, j = within_group_pairs(starts, sizes)
+    pair = ((comp[i] & mask) << PAIR_BITS) + (comp[j] & mask)
+    up, c = np.unique(pair, return_counts=True)
+
+    iu, ju = np.nonzero(np.triu(G, k=1))
+    got = dict(zip(((nodes[iu] << PAIR_BITS) + nodes[ju]).tolist(),
+                   G[iu, ju].tolist()))
+    assert got == dict(zip(up.tolist(), c.tolist()))
+
+
+def test_dense_cooccurrence_counts_respects_bounds():
+    from elevant_ray.stages.graph import PAIR_BITS, dense_cooccurrence_counts
+
+    comp = np.array([(1 << PAIR_BITS) + 5, (1 << PAIR_BITS) + 9],
+                    dtype=np.int64)
+    assert dense_cooccurrence_counts(comp, max_nodes=1) is None
+    assert dense_cooccurrence_counts(comp, max_groups=0) is None
