@@ -6400,8 +6400,31 @@ def supplier_bfs_hops(sf_dir: str):
         return out.astype({"s_suppkey": "int64", "hops": "int64"})
 
     if eds.size_bytes() <= scale_cutoff(256 << 20):
-        pairs = supplier_pairs(
-            np_columns(eds, ["comp"])["comp"].astype(np.int64))
+        comp_all = np_columns(eds, ["comp"])["comp"].astype(np.int64)
+        from elevant_ray.stages.graph import dense_cooccurrence_adjacency
+
+        dense = dense_cooccurrence_adjacency(comp_all)
+        if dense is not None:
+            # dimension-bounded node set: boolean-matrix BFS, no pair
+            # list (Θ(pairs) i/j arrays dominate on near-complete
+            # graphs; each level is one masked row-OR here)
+            nodes, A = dense
+            si = int(np.searchsorted(nodes, seed))
+            hops = np.full(len(nodes), -1, np.int64)
+            hops[si] = 0
+            frontier = np.zeros(len(nodes), bool)
+            frontier[si] = True
+            for level in range(1, 21):
+                nxt = A[frontier].any(axis=0) & (hops < 0)
+                if not nxt.any():
+                    break
+                hops[nxt] = level
+                frontier = nxt
+            keep = hops >= 0
+            return pd.DataFrame({
+                "s_suppkey": nodes[keep].astype("int64"),
+                "hops": hops[keep]})
+        pairs = supplier_pairs(comp_all)
         u = np.concatenate([pairs >> 21, pairs & mask])
         v = np.concatenate([pairs & mask, pairs >> 21])
         order = np.argsort(u, kind="stable")
