@@ -13778,6 +13778,235 @@ def events_cohort_ltv(sf_dir: str):
         "value_cum": cum / 100.0})
 
 
+def part_name_damerau(sf_dir: str):
+    """Transposition-aware pairwise string scoring: all part pairs
+    sharing a brand, kept at unrestricted Damerau-Levenshtein ≤ 4
+    (scoring.damerau_levenshtein is DuckDB-identical, differentially
+    tested).  Same one-bucket-shuffle blocking as part_name_similarity;
+    the DP memoizes over distinct name pairs, so the Python-level cost
+    is O(vocab²) regardless of pair count."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.scoring import damerau_pairs
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"])
+    empty = pd.DataFrame({"p_brand": pd.Series([], dtype="object"),
+                          "pk1": pd.Series([], dtype="int64"),
+                          "pk2": pd.Series([], dtype="int64"),
+                          "dl": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for brand, gg in g.groupby("p_brand"):
+            gg = gg.sort_values("p_partkey")
+            pk = gg["p_partkey"].to_numpy()
+            nm = gg["p_name"].to_numpy(dtype=object)
+            i, j = np.triu_indices(len(pk), k=1)
+            dl = damerau_pairs(nm[i], nm[j])
+            m = dl <= 4
+            outs.append(pd.DataFrame({
+                "p_brand": brand, "pk1": pk[i][m], "pk2": pk[j][m],
+                "dl": dl[m]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return _det_sort(bucketed_group_apply(ds, "p_brand", per_bucket),
+                     ["p_brand", "pk1", "pk2"])
+
+
+def user_seq_pattern(sf_dir: str):
+    """Sequence-pattern matching over per-user ordered event histories:
+    encode each user's (ts, event_id)-ordered event types as a string
+    of initials and flag users whose lifetime matches
+    view→…→error→…→purchase ('v.*e.*p').  One user-keyed bucket
+    shuffle; inside the bucket the sequence build is a grouped join and
+    the regex is one vectorized pandas str.contains over ≤ users-in-
+    bucket strings — never a per-event Python loop."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "hit": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        c = g["event_type"].str[0]
+        seq = c.groupby(g["user_id"]).agg("".join)
+        return pd.DataFrame({
+            "user_id": seq.index.to_numpy("int64"),
+            "n_events": seq.str.len().to_numpy("int64"),
+            "hit": seq.str.contains("v.*e.*p", regex=True)
+                   .to_numpy("int64")})
+
+    return _det_sort(bucketed_group_apply(ds, "user_id", per_bucket),
+                     "user_id")
+
+
+def error_next_purchase_asof(sf_dir: str):
+    """FORWARD as-of join (time-to-resolution): each error event joined
+    to the same user's earliest purchase strictly after it (NULL if
+    none).  One user-keyed bucket shuffle; inside the bucket one global
+    composite-key searchsorted (user band × µs offset) answers every
+    error's probe against the sorted purchase array — the mirror image
+    of the backward as-of in stages/asof.py."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "next_purchase_ts": pd.Series([], dtype="datetime64[us]")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        if not len(g):
+            return empty
+        codes = pd.factorize(g["user_id"])[0].astype(np.int64)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rel = us - us.min() + 1
+        band = int(rel.max()) + 2
+        comp = codes * band + rel
+        is_pur = (g["event_type"] == "purchase").to_numpy()
+        pcomp = comp[is_pur]
+        pus = us[is_pur]
+        err = (g["event_type"] == "error").to_numpy()
+        # first purchase with comp strictly greater ⇒ strictly-later ts
+        # (comp ties ⇔ same user AND same µs, which 'right' skips)
+        idx = np.searchsorted(pcomp, comp[err], side="right")
+        ok = idx < len(pcomp)
+        same = np.zeros(err.sum(), bool)
+        same[ok] = (pcomp[idx[ok]] // band) == (comp[err][ok] // band)
+        nxt = np.full(err.sum(), np.iinfo(np.int64).min, np.int64)
+        nxt[same] = pus[idx[same]]
+        return pd.DataFrame({
+            "event_id": g.loc[err, "event_id"].to_numpy("int64"),
+            "user_id": g.loc[err, "user_id"].to_numpy("int64"),
+            "ts": g.loc[err, "ts"].to_numpy("datetime64[us]"),
+            "next_purchase_ts": pd.Series(
+                nxt.view("datetime64[us]")).mask(~same)})
+
+    return _ts_us(_det_sort(bucketed_group_apply(ds, "user_id",
+                                                 per_bucket),
+                            "event_id"),
+                  ["ts", "next_purchase_ts"])
+
+
+def customer_order_overlap_pairs(sf_dir: str):
+    """Variable-length interval self-join: each order spans
+    [orderdate, orderdate + (orderkey % 20 + 1) days]; per customer,
+    the count of overlapping order pairs.  One custkey bucket shuffle;
+    within the bucket ONE composite-key searchsorted counts, for every
+    interval, the later-starting same-customer intervals it overlaps
+    (sorted by start, pair i<j overlaps ⟺ start_j ≤ end_i) — O(k log k)
+    per customer, no pair materialization."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    empty = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                          "n_orders": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable").reset_index(drop=True)
+        if not len(g):
+            return empty
+        codes = pd.factorize(g["o_custkey"])[0].astype(np.int64)
+        day = g["o_orderdate"].to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        length = g["o_orderkey"].to_numpy(np.int64) % 20 + 1
+        rel = day - day.min() + 1
+        band = int(rel.max()) + 22  # end = start + ≤20 stays in band
+        comp_s = codes * band + rel
+        comp_e = comp_s + length
+        # every row before global index i (earlier bands + same-band
+        # earlier starts) satisfies comp_s ≤ comp_e_i, and no later
+        # band does (end stays inside the band), so ss − i − 1 counts
+        # exactly the same-customer later-starting overlaps
+        later = np.searchsorted(comp_s, comp_e, side="right") \
+            - np.arange(len(g)) - 1
+        out = pd.DataFrame({"o_custkey": g["o_custkey"],
+                            "one": np.ones(len(g), np.int64),
+                            "p": later})
+        return (out.groupby("o_custkey", as_index=False)
+                .agg(n_orders=("one", "sum"), n_pairs=("p", "sum")))
+
+    res = bucketed_group_apply(ds, "o_custkey", per_bucket)
+    out = _det_sort(res, "o_custkey")
+    if isinstance(out, pa.Table):
+        return pa.table({
+            "o_custkey": pc.cast(out.column("o_custkey"), pa.int64()),
+            "n_orders": pc.cast(out.column("n_orders"), pa.int64()),
+            "n_pairs": pc.cast(out.column("n_pairs"), pa.int64())})
+    return out
+
+
+def embedding_dim_argmax(sf_dir: str):
+    """Positional argmax over a list<float> column: for each embedding
+    dimension, the maximum component value and the smallest vec_id
+    attaining it.  Each batch reshapes the flat values buffer and emits
+    one dim-bounded (max, argmin-id-at-max) partial — pure comparisons,
+    so float equality against the oracle is exact; the combine is a
+    tiny driver reduction over batches × dims rows."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                          "max_val": pd.Series([], dtype="float64"),
+                          "vec_id": pd.Series([], dtype="int64")})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if ds.count() == 0:
+        return empty
+
+    BIG = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding").combine_chunks()
+        n = len(arr)
+        v = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(v) // n
+        X = v.reshape(n, d)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mx = X.max(axis=0)
+        amin = np.where(X == mx[None, :], ids[:, None], BIG).min(axis=0)
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "mx": pa.array(mx),
+                         "aid": pa.array(amin, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    gmax = parts.groupby("dim")["mx"].transform("max")
+    top = parts[parts["mx"] == gmax]
+    out = (top.groupby("dim", as_index=False)
+           .agg(max_val=("mx", "max"), vec_id=("aid", "min"))
+           .sort_values("dim").reset_index(drop=True))
+    return out.astype({"dim": "int64", "max_val": "float64",
+                       "vec_id": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -14000,6 +14229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_acctbal_geomean": nation_acctbal_geomean,
         "orders_month_seasonality": orders_month_seasonality,
         "part_name_similarity": part_name_similarity,
+        "part_name_damerau": part_name_damerau,
+        "user_seq_pattern": user_seq_pattern,
+        "error_next_purchase_asof": error_next_purchase_asof,
+        "customer_order_overlap_pairs": customer_order_overlap_pairs,
+        "embedding_dim_argmax": embedding_dim_argmax,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -17668,6 +17902,61 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY month_offset))/100.0
                      AS value_cum
             FROM cell ORDER BY cohort_month, month_offset
+        """,
+        "part_name_damerau": """
+            SELECT a.p_brand AS p_brand, a.p_partkey AS pk1,
+                   b.p_partkey AS pk2,
+                   damerau_levenshtein(a.p_name, b.p_name)::BIGINT AS dl
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
+            ORDER BY 1, 2, 3
+        """,
+        "user_seq_pattern": """
+            WITH s AS (SELECT user_id,
+                              string_agg(substr(event_type, 1, 1), ''
+                                         ORDER BY ts, event_id) AS seq,
+                              count(*)::BIGINT AS n_events
+                       FROM events GROUP BY user_id)
+            SELECT user_id, n_events,
+                   CAST(regexp_matches(seq, 'v.*e.*p') AS BIGINT) AS hit
+            FROM s ORDER BY user_id
+        """,
+        "error_next_purchase_asof": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   min(p.ts) AS next_purchase_ts
+            FROM events e LEFT JOIN events p
+              ON p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts > e.ts
+            WHERE e.event_type = 'error'
+            GROUP BY 1, 2, 3 ORDER BY e.event_id
+        """,
+        "customer_order_overlap_pairs": """
+            WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate AS s,
+                              o_orderdate + to_days(CAST(
+                                  o_orderkey % 20 + 1 AS INTEGER)) AS e
+                       FROM orders),
+                 p AS (SELECT a.o_custkey AS ck, count(*)::BIGINT AS np
+                       FROM o a JOIN o b
+                         ON a.o_custkey = b.o_custkey
+                            AND a.o_orderkey < b.o_orderkey
+                            AND a.s <= b.e AND b.s <= a.e
+                       GROUP BY 1)
+            SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                   COALESCE(np, 0)::BIGINT AS n_pairs
+            FROM orders LEFT JOIN p ON o_custkey = ck
+            GROUP BY o_custkey, np ORDER BY o_custkey
+        """,
+        "embedding_dim_argmax": """
+            WITH u AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS v
+                       FROM embeddings),
+                 m AS (SELECT dim, max(v) AS mx FROM u GROUP BY dim)
+            SELECT u.dim::BIGINT AS dim, CAST(m.mx AS DOUBLE) AS max_val,
+                   min(u.vec_id) AS vec_id
+            FROM u JOIN m ON u.dim = m.dim AND u.v = m.mx
+            GROUP BY u.dim, m.mx ORDER BY dim
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -120,6 +120,70 @@ def score_name_pairs(names1, names2):
     return ulev[inv], ujac[inv]
 
 
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner: a
+    transposition's two characters may be bridged by later edits) —
+    semantics-identical to DuckDB ``damerau_levenshtein``
+    (differentially tested).  Note this is the TRUE DL metric, not the
+    cheaper optimal-string-alignment: dl('CA','ABC') == 2."""
+    if s1 == s2:
+        return 0
+    a = np.frombuffer(s1.encode("utf-32-le"), np.uint32).astype(np.int64)
+    b = np.frombuffer(s2.encode("utf-32-le"), np.uint32).astype(np.int64)
+    n, m = len(a), len(b)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    inf = n + m
+    # M[i+1][j+1] == d[i][j] of the classic recurrence; row/col 0 are
+    # the d[-1][*] sentinel band that makes the transposition term safe
+    M = np.empty((n + 2, m + 2), np.int64)
+    M[0, :] = inf
+    M[:, 0] = inf
+    M[1, 1:] = np.arange(m + 1)
+    M[1:, 1] = np.arange(n + 1)
+    da: dict = {}
+    for i in range(1, n + 1):
+        db = 0
+        ai = a[i - 1]
+        row = M[i + 1]
+        prev = M[i]
+        for j in range(1, m + 1):
+            k = da.get(b[j - 1], 0)
+            lj = db
+            if ai == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            row[j + 1] = min(prev[j] + cost,
+                             row[j] + 1,
+                             prev[j + 1] + 1,
+                             M[k, lj] + (i - k - 1) + 1 + (j - lj - 1))
+        da[ai] = i
+    return int(M[n + 1, m + 1])
+
+
+def damerau_pairs(names1, names2) -> np.ndarray:
+    """Batched unrestricted Damerau-Levenshtein over paired name
+    arrays, memoized by distinct pair (same factorize/unique
+    scaffolding as score_name_pairs — the DP runs O(distinct pairs)
+    times regardless of input pair count)."""
+    import pandas as pd
+
+    if len(names1) == 0:
+        return np.empty(0, np.int64)
+    codes, uniques = pd.factorize(np.concatenate([names1, names2]))
+    k = len(uniques)
+    pair = codes[:len(names1)].astype(np.int64) * k + codes[len(names1):]
+    upair, inv = np.unique(pair, return_inverse=True)
+    ud = np.empty(len(upair), np.int64)
+    for idx, code in enumerate(upair.tolist()):
+        ud[idx] = damerau_levenshtein(uniques[code // k], uniques[code % k])
+    return ud[inv]
+
+
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     """Jaro-Winkler string similarity (standard public formulation)."""
     if s1 == s2:

@@ -87,3 +87,35 @@ def test_levenshtein_and_charset_jaccard_match_duckdb():
         if a and b:  # DuckDB jaccard rejects empty strings
             jac = con.execute("SELECT jaccard(?, ?)", [a, b]).fetchone()[0]
             assert abs(charset_jaccard(a, b) - jac) < 1e-15, (a, b)
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """The transposition-aware metric must be the TRUE (unrestricted)
+    Damerau-Levenshtein — DuckDB's variant, where dl('CA','ABC') == 2,
+    not the optimal-string-alignment 3 (part_name_damerau relies on
+    it)."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from elevant_ray.stages.scoring import damerau_levenshtein, damerau_pairs
+
+    con = duckdb.connect()
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("", "abc") == 3
+    rng = random.Random(19082026)
+    pairs = [("".join(rng.choices("abcd", k=rng.randint(0, 12))),
+              "".join(rng.choices("abcd", k=rng.randint(0, 12))))
+             for _ in range(200)]
+    for a, b in pairs:
+        ref = con.execute("SELECT damerau_levenshtein(?, ?)",
+                          [a, b]).fetchone()[0]
+        assert damerau_levenshtein(a, b) == ref, (a, b)
+    # the memoized batch wrapper must agree elementwise
+    n1 = np.array([a for a, _ in pairs], dtype=object)
+    n2 = np.array([b for _, b in pairs], dtype=object)
+    got = damerau_pairs(n1, n2)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == damerau_levenshtein(a, b)
