@@ -14007,6 +14007,213 @@ def embedding_dim_argmax(sf_dir: str):
                        "vec_id": "int64"})
 
 
+def customer_spend_index_first(sf_dir: str):
+    """first_value() window: each order's price as a ratio to the SAME
+    customer's first-ever order price (growth index to baseline).  One
+    custkey bucket shuffle; inside the bucket the per-customer first is
+    a grouped transform over the (date, key)-sorted frame — no per-key
+    Python."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                          "o_custkey": pd.Series([], dtype="int64"),
+                          "spend_index": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        first = g.groupby("o_custkey")["o_totalprice"].transform("first")
+        r = g["o_totalprice"].to_numpy() / first.to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy("int64"),
+            "o_custkey": g["o_custkey"].to_numpy("int64"),
+            # same double quotient as the oracle ⇒ identical SQL ROUND
+            # via the sign-aware floor (half away from zero)
+            "spend_index": np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5)
+                / 1e6})
+
+    return _det_sort(bucketed_group_apply(ds, "o_custkey", per_bucket),
+                     "o_orderkey")
+
+
+def events_weekend_type_mi(sf_dir: str):
+    """Mutual-information decomposition of the event_type × weekend
+    contingency table: per-cell MI contributions (n/N)·log2(nN/(nt·nw))
+    from one partial-aggregated count pass.  Cells are emitted
+    individually (never float-summed across rows) so the oracle's
+    single-expression float arithmetic is reproduced term by term."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "wk": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "mi_contrib": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        wk = ((d + 3) % 7 >= 5).astype(np.int64)  # == isodow(ts) >= 6
+        return pa.table({"event_type": b.column("event_type"),
+                         "wk": pa.array(wk, pa.int64()),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    c = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["event_type", "wk"], sum_cols=["one"],
+                          combine="driver")
+    c.columns = ["event_type", "wk", "n"]
+    c = c.sort_values(["event_type", "wk"]).reset_index(drop=True)
+    n = c["n"].to_numpy(np.int64)
+    nn = int(n.sum())
+    nt = c.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    nw = c.groupby("wk")["n"].transform("sum").to_numpy(np.int64)
+    mi = (1.0 * n / nn) * np.log2((1.0 * n * nn) / (1.0 * nt * nw))
+    c["mi_contrib"] = np.sign(mi) * np.floor(np.abs(mi) * 1e6 + 0.5) \
+        / 1e6 + 0.0
+    return c.astype({"wk": "int64", "n": "int64"})
+
+
+def embedding_neighbor_dot(sf_dir: str):
+    """lead() window over a vector column: dot product of each
+    embedding with the NEXT vector in vec_id order.  No global sort —
+    vec_ids hash into contiguous range buckets, each bucket computes
+    its internal consecutive dots after one co-locating shuffle
+    (float64 row-shift product), and the ≤256 cross-bucket seams are
+    stitched on the driver from per-bucket boundary rows (min/max
+    vec_id WITH vectors) reduced out of the same pass."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import key_range_buckets
+
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "next_vec_id": pd.Series([], dtype="int64"),
+                          "dot": pd.Series([], dtype="float64")})
+    from elevant_ray.stages.util import scale_cutoff
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .materialize()
+
+    def rnd(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    if ds.size_bytes() <= scale_cutoff(256 << 20):
+        # neighbor pairs of a small table close on the driver in one
+        # sorted pass; the range-bucket path below is the 100 TB plan
+        df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        if len(df) < 2:
+            return empty
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy("int64")[:-1],
+            "next_vec_id": df["vec_id"].to_numpy("int64")[1:],
+            "dot": rnd((X[:-1] * X[1:]).sum(axis=1))})
+
+    rng = key_range_buckets(ds, "vec_id", 256)
+    if rng is None:
+        return empty
+    lo, width = rng
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        k = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "rbkt", pa.array((k - lo) // width, pa.int64()))
+
+    def internal(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        if len(g) < 2:
+            return empty
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        d = (X[:-1] * X[1:]).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy("int64")[:-1],
+            "next_vec_id": g["vec_id"].to_numpy("int64")[1:],
+            "dot": rnd(d)})
+
+    bk = ds.map_batches(add_bkt, batch_format="pyarrow")
+    inner = (bk.groupby("rbkt")
+             .map_groups(internal, batch_format="pandas").to_pandas())
+
+    def boundary(b: pa.Table) -> pa.Table:
+        df = b.select(["rbkt", "vec_id", "embedding"]).to_pandas()
+        lo_r = df.loc[df.groupby("rbkt")["vec_id"].idxmin()]
+        hi_r = df.loc[df.groupby("rbkt")["vec_id"].idxmax()]
+        lo_r = lo_r.assign(which=0)
+        hi_r = hi_r.assign(which=1)
+        return pa.Table.from_pandas(pd.concat([lo_r, hi_r]),
+                                    preserve_index=False)
+
+    bd = bk.map_batches(boundary, batch_format="pyarrow").to_pandas()
+    firsts = bd[bd["which"] == 0].loc[
+        lambda d: d.groupby("rbkt")["vec_id"].idxmin()] \
+        .sort_values("rbkt")
+    lasts = bd[bd["which"] == 1].loc[
+        lambda d: d.groupby("rbkt")["vec_id"].idxmax()] \
+        .sort_values("rbkt")
+    seams = []
+    fl = firsts.reset_index(drop=True)
+    la = lasts.reset_index(drop=True)
+    for i in range(len(la) - 1):
+        a = la.iloc[i]
+        b = fl.iloc[i + 1]
+        d = float((np.asarray(a["embedding"], np.float64)
+                   * np.asarray(b["embedding"], np.float64)).sum())
+        seams.append((int(a["vec_id"]), int(b["vec_id"]), float(rnd(d))))
+    out = pd.concat(
+        [inner, pd.DataFrame(seams, columns=["vec_id", "next_vec_id",
+                                             "dot"])],
+        ignore_index=True)
+    if out.empty:
+        return empty
+    return (out.sort_values("vec_id").reset_index(drop=True)
+            .astype({"vec_id": "int64", "next_vec_id": "int64"}))
+
+
+def orders_price_page2(sf_dir: str):
+    """Deep pagination over a global order (rows ranked 101–200 by
+    price desc, key asc): each batch keeps its local top-200 — a
+    superset-safe partial, since a row outside every batch top-200
+    cannot be in the global top-200 — and the driver re-ranks the
+    ≤ batches × 200 survivors exactly.  No global sort."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                          "o_orderkey": pd.Series([], dtype="int64"),
+                          "o_totalprice": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="stable")
+        return pa.Table.from_pandas(df.head(200), preserve_index=False)
+
+    surv = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True], kind="stable")
+            .reset_index(drop=True))
+    page = surv.iloc[100:200].reset_index(drop=True)
+    return pd.DataFrame({
+        "rank": np.arange(101, 101 + len(page), dtype=np.int64),
+        "o_orderkey": page["o_orderkey"].to_numpy("int64"),
+        "o_totalprice": page["o_totalprice"].to_numpy("float64")})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -14234,6 +14441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_next_purchase_asof": error_next_purchase_asof,
         "customer_order_overlap_pairs": customer_order_overlap_pairs,
         "embedding_dim_argmax": embedding_dim_argmax,
+        "customer_spend_index_first": customer_spend_index_first,
+        "events_weekend_type_mi": events_weekend_type_mi,
+        "embedding_neighbor_dot": embedding_neighbor_dot,
+        "orders_price_page2": orders_price_page2,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -17957,6 +18168,51 @@ def oracle_sql() -> dict[str, str]:
                    min(u.vec_id) AS vec_id
             FROM u JOIN m ON u.dim = m.dim AND u.v = m.mx
             GROUP BY u.dim, m.mx ORDER BY dim
+        """,
+        "customer_spend_index_first": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice / first_value(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), 6) AS spend_index
+            FROM orders ORDER BY o_orderkey
+        """,
+        "events_weekend_type_mi": """
+            WITH c AS (SELECT event_type,
+                              CAST(isodow(ts) >= 6 AS BIGINT) AS wk,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+                 t AS (SELECT event_type, sum(n)::BIGINT AS nt
+                       FROM c GROUP BY 1),
+                 w AS (SELECT wk, sum(n)::BIGINT AS nw FROM c GROUP BY 1),
+                 g AS (SELECT sum(n)::BIGINT AS nn FROM c)
+            SELECT c.event_type, c.wk, c.n,
+                   round((1.0 * c.n / g.nn)
+                         * log2((1.0 * c.n * g.nn) / (1.0 * t.nt * w.nw)),
+                         6) + 0 AS mi_contrib
+            FROM c JOIN t USING (event_type) JOIN w USING (wk)
+                 CROSS JOIN g
+            ORDER BY c.event_type, c.wk
+        """,
+        "embedding_neighbor_dot": """
+            WITH s AS (SELECT vec_id, embedding,
+                              lead(vec_id) OVER (ORDER BY vec_id) AS nid,
+                              lead(embedding) OVER (ORDER BY vec_id)
+                                AS nemb
+                       FROM embeddings)
+            SELECT vec_id, nid AS next_vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(nemb AS DOUBLE[])), 6)
+                     AS dot
+            FROM s WHERE nid IS NOT NULL ORDER BY vec_id
+        """,
+        "orders_price_page2": """
+            SELECT * FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY o_totalprice DESC, o_orderkey)
+                           AS BIGINT) AS rank,
+                       o_orderkey, o_totalprice
+                FROM orders)
+            WHERE rank > 100 AND rank <= 200 ORDER BY rank
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -31,7 +31,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "order_basket_rules", "part_name_token_pairs",
                   "supplier_late_wilson", "orders_ship_busdays",
                   "supplier_neighborhood_jaccard",
-                  "docs_weighted_sample", "docs_incremental_new"]
+                  "docs_weighted_sample", "docs_incremental_new",
+                  "embedding_neighbor_dot"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
