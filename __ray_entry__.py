@@ -14214,6 +14214,234 @@ def orders_price_page2(sf_dir: str):
         "o_totalprice": page["o_totalprice"].to_numpy("float64")})
 
 
+def docs_source_checksum(sf_dir: str):
+    """Order-independent integrity checksum per source: XOR of each
+    text's 64-bit md5 tail (DuckDB ``md5_number_lower`` semantics —
+    little-endian lower 8 digest bytes, bit-identical, differentially
+    anchored by the oracle) plus the row count.  XOR partials are
+    associative and commutative, so each batch reduces to ≤ sources
+    rows and the driver combine is exact regardless of batch order —
+    the audit primitive for verifying a 100 TB copy without moving
+    data."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "checksum": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        tx = b.column("text").to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                            "little") for t in tx),
+            np.uint64, len(tx)).view(np.int64)
+        df = pd.DataFrame({"source": b.column("source").to_pylist(),
+                           "h": h})
+        g = df.groupby("source")["h"].agg(
+            x=lambda s: np.bitwise_xor.reduce(s.to_numpy()), n="size")
+        return pa.table({"source": pa.array(g.index, pa.string()),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source").agg(
+        x=("x", lambda s: np.bitwise_xor.reduce(s.to_numpy(np.int64))),
+        n_docs=("n", "sum")).sort_index().reset_index()
+    out["checksum"] = [f"{v:016X}" for v in
+                       out["x"].to_numpy(np.int64).view(np.uint64)]
+    return out[["source", "checksum", "n_docs"]].astype(
+        {"n_docs": "int64"})
+
+
+def sessions_peak_concurrency(sf_dir: str):
+    """Sweep-line max concurrency: sessionize every user (30-min gap,
+    same islands as events_sessions), then find the peak number of
+    simultaneously-active sessions and the earliest µs attaining it.
+    Interval endpoints reduce to ±1 deltas grouped per (µs, side) —
+    starts sort before ends at equal time, so closed-interval overlap
+    is counted — and the running sum closes on the driver under the
+    cutoff or through the distributed prefix-scan primitive beyond
+    it."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import (bucketed_group_apply, np_columns,
+                                         partial_group_agg, scale_cutoff)
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    empty = pd.DataFrame({"peak": pd.Series([], dtype="int64"),
+                          "peak_t_us": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new = (gaps.isna() | (gaps > 1800)).astype("int64")
+        sid = new.groupby(g["user_id"]).cumsum()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        iv = (pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "sid": sid.to_numpy(), "us": us})
+              .groupby(["user_id", "sid"])["us"].agg(["min", "max"]))
+        st = iv["min"].to_numpy(np.int64)
+        en = iv["max"].to_numpy(np.int64)
+        # side 0 = session start (+1), side 1 = end (−1): starts sort
+        # first at equal µs ⇒ closed-interval concurrency
+        return pd.DataFrame({
+            "t": np.concatenate([st, en]),
+            "side": np.concatenate([np.zeros(len(st), np.int64),
+                                    np.ones(len(en), np.int64)]),
+            "d": np.concatenate([np.ones(len(st), np.int64),
+                                 np.full(len(en), -1, np.int64)])})
+
+    deltas = bucketed_group_apply(ds, "user_id", per_bucket)
+    if ds.size_bytes() <= scale_cutoff(16 << 30):
+        df = partial_group_agg(deltas, ["t", "side"], sum_cols=["d"],
+                               combine="driver")
+        df = df.sort_values(["t", "side"]).reset_index(drop=True)
+        cum = df["d"].to_numpy(np.int64).cumsum()
+        peak = int(cum.max())
+        at = (df["side"].to_numpy(np.int64) == 0) & (cum == peak)
+        return pd.DataFrame({
+            "peak": np.array([peak], np.int64),
+            "peak_t_us": np.array([int(df["t"].to_numpy()[at].min())],
+                                  np.int64)})
+
+    from elevant_ray.stages.util import global_ordered_cumsum
+    import ray.data as rd
+
+    grp = partial_group_agg(deltas, ["t", "side"], sum_cols=["d"],
+                            combine="dataset")
+    if not hasattr(grp, "map_batches"):
+        grp = rd.from_pandas(grp)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("side").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(t * 2 + s, pa.int64()),
+                         "d": pc.cast(b.column("d"), pa.int64())})
+
+    cs = global_ordered_cumsum(grp.map_batches(keyed,
+                                               batch_format="pyarrow"),
+                               "k", "d")
+    arr = np_columns(cs, ["k", "cum"])
+    k = arr["k"].astype(np.int64)
+    cum = arr["cum"].astype(np.int64)
+    peak = int(cum.max())
+    at = (k % 2 == 0) & (cum == peak)
+    return pd.DataFrame({"peak": np.array([peak], np.int64),
+                         "peak_t_us": np.array([int((k[at] // 2).min())],
+                                               np.int64)})
+
+
+def supplier_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient of the supplier co-supply graph:
+    3·triangles / wedges, wedges = Σ deg·(deg−1)/2 over co-supply
+    degrees.  The triangle count reuses the cosupply_triangles plan
+    (dense-adjacency matmul / wedge co-group, scale-gated there); the
+    degree pass dedupes part-supplier edges once and counts distinct
+    co-suppliers per node."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.graph import (bipartite_codes_batch,
+                                          cooccurrence_pairs,
+                                          dense_cooccurrence_adjacency)
+    from elevant_ray.stages.util import (bucketed_group_apply, np_columns,
+                                         partial_group_agg, scale_cutoff,
+                                         within_group_pairs)
+
+    empty = pd.DataFrame({"n_tri": pd.Series([], dtype="int64"),
+                          "n_wedges": pd.Series([], dtype="int64"),
+                          "clustering_coeff": pd.Series([],
+                                                        dtype="float64")})
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    if line.count() == 0:
+        return empty
+
+    tri = int(pd.DataFrame(cosupply_triangles(sf_dir))
+              ["n_triangles"].iloc[0])
+
+    mask = np.int64((1 << 21) - 1)
+    eds = line.map_batches(
+        lambda b: bipartite_codes_batch(b, "l_partkey", "l_suppkey"),
+        batch_format="pyarrow").materialize()
+
+    if eds.size_bytes() <= scale_cutoff(256 << 20):
+        comp = np.unique(np_columns(eds, ["comp"])["comp"]
+                         .astype(np.int64))
+        dense = dense_cooccurrence_adjacency(comp)
+        if dense is not None:
+            _, A = dense
+            deg = A.sum(axis=0).astype(np.int64)
+        else:
+            pairs = cooccurrence_pairs(comp)
+            _, deg = np.unique(
+                np.concatenate([pairs >> 21, pairs & mask]),
+                return_counts=True)
+            deg = deg.astype(np.int64)
+    else:
+        # globally dedupe (part, supp) edges, expand to distinct
+        # co-supply pairs per part bucket, dedupe pairs, count
+        # endpoint occurrences (the neighborhood-jaccard lesson:
+        # per-batch unique is only a local dedup)
+        deduped = _distinct_int(eds, "comp", cutoff=0)
+        import ray.data as rd
+
+        if not hasattr(deduped, "map_batches"):
+            deduped = rd.from_pandas(deduped)
+
+        def re_part(b: pa.Table) -> pa.Table:
+            cv = b.column("comp").to_numpy(zero_copy_only=False)
+            return pa.table({"part": pa.array(cv >> 21, pa.int64()),
+                             "comp": b.column("comp")})
+
+        def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            comp = np.unique(g["comp"].to_numpy(np.int64))
+            part = comp >> 21
+            starts = np.flatnonzero(
+                np.concatenate([[True], part[1:] != part[:-1]]))
+            sizes = np.diff(np.append(starts, len(part)))
+            i, j = within_group_pairs(starts, sizes)
+            pair = np.unique(((comp[i] & mask) << 21) + (comp[j] & mask))
+            return pd.DataFrame({"pair": pair})
+
+        pr = bucketed_group_apply(
+            deduped.map_batches(re_part, batch_format="pyarrow"),
+            "part", part_pairs)
+        upairs = _distinct_int(pr, "pair", cutoff=0)
+        if not hasattr(upairs, "map_batches"):
+            upairs = rd.from_pandas(upairs)
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            pv = b.column("pair").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"s": pa.array(
+                np.concatenate([pv >> 21, pv & mask]), pa.int64())})
+
+        dd = partial_group_agg(
+            upairs.map_batches(endpoints, batch_format="pyarrow"),
+            ["s"], count_alias="d", combine="driver")
+        deg = dd["d"].to_numpy(np.int64)
+
+    wedges = int((deg * (deg - 1) // 2).sum())
+    if wedges == 0:
+        return empty
+    cc = 3.0 * tri / wedges
+    return pd.DataFrame({
+        "n_tri": np.array([tri], np.int64),
+        "n_wedges": np.array([wedges], np.int64),
+        "clustering_coeff": np.array(
+            [np.sign(cc) * np.floor(abs(cc) * 1e6 + 0.5) / 1e6])})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -14445,6 +14673,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekend_type_mi": events_weekend_type_mi,
         "embedding_neighbor_dot": embedding_neighbor_dot,
         "orders_price_page2": orders_price_page2,
+        "docs_source_checksum": docs_source_checksum,
+        "sessions_peak_concurrency": sessions_peak_concurrency,
+        "supplier_clustering_coeff": supplier_clustering_coeff,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -18213,6 +18444,68 @@ def oracle_sql() -> dict[str, str]:
                        o_orderkey, o_totalprice
                 FROM orders)
             WHERE rank > 100 AND rank <= 200 ORDER BY rank
+        """,
+        "docs_source_checksum": """
+            SELECT source,
+                   lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
+                     AS checksum,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "sessions_peak_concurrency": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts)
+                                        - epoch_us(lag(ts) OVER w)
+                                        > 1800000000
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+                 s AS (SELECT user_id, ts,
+                              sum(new_s) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM e),
+                 iv AS (SELECT user_id, sid, min(epoch_us(ts)) AS st,
+                               max(epoch_us(ts)) AS en
+                        FROM s GROUP BY 1, 2),
+                 d AS (SELECT st AS t, 0 AS side, 1 AS dd FROM iv
+                       UNION ALL
+                       SELECT en, 1, -1 FROM iv),
+                 g AS (SELECT t, side, sum(dd) AS dd FROM d
+                       GROUP BY 1, 2),
+                 c AS (SELECT t, side,
+                              sum(dd) OVER (ORDER BY t, side
+                                            ROWS UNBOUNDED PRECEDING)
+                                AS conc
+                       FROM g)
+            SELECT max(conc)::BIGINT AS peak,
+                   (SELECT min(t) FROM c
+                    WHERE side = 0
+                      AND conc = (SELECT max(conc) FROM c))::BIGINT
+                     AS peak_t_us
+            FROM c HAVING max(conc) IS NOT NULL
+        """,
+        "supplier_clustering_coeff": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                        FROM lineitem),
+                 e AS (SELECT DISTINCT a.s AS x, b.s AS y
+                       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+                 d AS (SELECT node, count(*)::BIGINT AS deg
+                       FROM (SELECT x AS node FROM e
+                             UNION ALL SELECT y FROM e)
+                       GROUP BY 1),
+                 w AS (SELECT sum(deg * (deg - 1) / 2)::BIGINT AS wedges
+                       FROM d),
+                 t AS (SELECT count(*)::BIGINT AS tri
+                       FROM e e1
+                       JOIN e e2 ON e2.x = e1.y
+                       JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+            SELECT t.tri AS n_tri, w.wedges AS n_wedges,
+                   round(3.0 * t.tri / w.wedges, 6) AS clustering_coeff
+            FROM t, w WHERE w.wedges > 0
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -32,7 +32,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "supplier_late_wilson", "orders_ship_busdays",
                   "supplier_neighborhood_jaccard",
                   "docs_weighted_sample", "docs_incremental_new",
-                  "embedding_neighbor_dot"]
+                  "embedding_neighbor_dot", "sessions_peak_concurrency",
+                  "supplier_clustering_coeff"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
