@@ -14442,6 +14442,191 @@ def supplier_clustering_coeff(sf_dir: str):
             [np.sign(cc) * np.floor(abs(cc) * 1e6 + 0.5) / 1e6])})
 
 
+def customer_max_drawdown(sf_dir: str):
+    """Window composition — running max then aggregate over its
+    residual: per customer, the largest drop of an order's price below
+    the running price peak in (orderdate, orderkey) order.  One custkey
+    bucket shuffle; cummax and the residual are grouped vectorized
+    transforms in exact integer cents."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                          "max_drawdown": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        run = (pd.Series(cents).groupby(g["o_custkey"].to_numpy())
+               .cummax().to_numpy(np.int64))
+        dd = pd.DataFrame({"o_custkey": g["o_custkey"].to_numpy("int64"),
+                           "d": run - cents})
+        out = dd.groupby("o_custkey", as_index=False)["d"].max()
+        return pd.DataFrame({
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "max_drawdown": out["d"].to_numpy(np.int64) / 100.0})
+
+    return _det_sort(bucketed_group_apply(ds, "o_custkey", per_bucket),
+                     "o_custkey")
+
+
+def embedding_top_pairs(sf_dir: str):
+    """All-pairs similarity search: the global top-20 embedding pairs
+    by dot product (vec_id1 < vec_id2), ranked on the ROUNDED score
+    with id tie-breaks so the oracle's ORDER BY matches exactly.  Each
+    (row-block × column-block) tile is one float64 BLAS gram matmul
+    emitting only its local top-20 — a superset-safe partial — and the
+    driver re-ranks ≤ tiles × 20 survivors.  No pair list ever
+    materializes."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import np_columns, scale_cutoff
+
+    empty = pd.DataFrame({"vec_id1": pd.Series([], dtype="int64"),
+                          "vec_id2": pd.Series([], dtype="int64"),
+                          "dot": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .materialize()
+    if ds.count() == 0:
+        return empty
+
+    def rnd(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def topk_of(ids1, X1, ids2, X2, same: bool) -> pd.DataFrame:
+        G = X1 @ X2.T
+        if same:
+            iu = np.triu_indices(len(ids1), k=1)
+            i, j, d = iu[0], iu[1], G[iu]
+        else:
+            i, j = np.unravel_index(np.arange(G.size), G.shape)
+            d = G.ravel()
+        d = rnd(d)
+        a, b = ids1[i], ids2[j]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        order = np.lexsort((hi, lo, -d))[:20]
+        return pd.DataFrame({"vec_id1": lo[order], "vec_id2": hi[order],
+                             "dot": d[order]})
+
+    if ds.size_bytes() <= scale_cutoff(64 << 20):
+        df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        out = topk_of(ids, X, ids, X, True)
+    else:
+        # tile the gram: broadcast the (sorted) full matrix once via
+        # ray.put, stream row-blocks against it, keep per-tile top-20
+        import ray
+
+        df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        xref = ray.put(X)
+        iref = ray.put(ids)
+
+        @ray.remote
+        def tile(r0, r1):
+            XX = ray.get(xref)
+            II = ray.get(iref)
+            G = XX[r0:r1] @ XX.T
+            rows, cols = G.shape
+            # keep only j > i (upper triangle of the full gram)
+            gi = np.repeat(np.arange(rows, dtype=np.int64) + r0, cols)
+            gj = np.tile(np.arange(cols, dtype=np.int64), rows)
+            m = gj > gi
+            d = rnd(G.ravel()[m])
+            lo = II[gi[m]]
+            hi = II[gj[m]]
+            order = np.lexsort((hi, lo, -d))[:20]
+            return pd.DataFrame({"vec_id1": lo[order],
+                                 "vec_id2": hi[order], "dot": d[order]})
+
+        step = max(1, (1 << 25) // max(1, X.shape[0]))
+        futs = [tile.remote(r, min(r + step, len(ids)))
+                for r in range(0, len(ids), step)]
+        out = pd.concat(ray.get(futs), ignore_index=True)
+
+    out = (out.sort_values(["dot", "vec_id1", "vec_id2"],
+                           ascending=[False, True, True], kind="stable")
+           .head(20).reset_index(drop=True))
+    return out.astype({"vec_id1": "int64", "vec_id2": "int64"})
+
+
+def docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source fidelity: write the documents table to
+    line-delimited JSON with Ray's write_json, re-read it with
+    read_json, and aggregate the re-read rows (per-source count, char
+    total, and order-independent md5-tail XOR checksum).  The oracle
+    computes the same aggregate from the original parquet — equality
+    proves the JSON round-trip is lossless, including unicode and
+    embedded newlines."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "total_chars": pd.Series([], dtype="int64"),
+                          "checksum": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+
+    out_dir = f"/tmp/elevant_ray_jsonl_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_json(out_dir)
+    try:
+        back = rd.read_json(out_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            tx = b.column("text").to_pylist()
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                                "little") for t in tx),
+                np.uint64, len(tx)).view(np.int64)
+            df = pd.DataFrame({
+                "source": b.column("source").to_pylist(),
+                "h": h,
+                "nc": b.column("n_chars").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)})
+            g = df.groupby("source").agg(
+                x=("h", lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64))),
+                n=("h", "size"), tc=("nc", "sum"))
+            return pa.table({"source": pa.array(g.index, pa.string()),
+                             "x": pa.array(g["x"].to_numpy(np.int64)),
+                             "n": pa.array(g["n"].to_numpy(np.int64)),
+                             "tc": pa.array(g["tc"].to_numpy(np.int64))})
+
+        parts = back.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = parts.groupby("source").agg(
+        x=("x", lambda s: np.bitwise_xor.reduce(s.to_numpy(np.int64))),
+        n_docs=("n", "sum"), total_chars=("tc", "sum")) \
+        .sort_index().reset_index()
+    out["checksum"] = [f"{v:016X}" for v in
+                       out["x"].to_numpy(np.int64).view(np.uint64)]
+    return out[["source", "n_docs", "total_chars", "checksum"]].astype(
+        {"n_docs": "int64", "total_chars": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -14676,6 +14861,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_checksum": docs_source_checksum,
         "sessions_peak_concurrency": sessions_peak_concurrency,
         "supplier_clustering_coeff": supplier_clustering_coeff,
+        "customer_max_drawdown": customer_max_drawdown,
+        "embedding_top_pairs": embedding_top_pairs,
+        "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -18506,6 +18694,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.tri AS n_tri, w.wedges AS n_wedges,
                    round(3.0 * t.tri / w.wedges, 6) AS clustering_coeff
             FROM t, w WHERE w.wedges > 0
+        """,
+        "customer_max_drawdown": """
+            WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+                 r AS (SELECT o_custkey,
+                              max(cents) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) - cents AS d
+                       FROM c)
+            SELECT o_custkey, max(d) / 100.0 AS max_drawdown
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_top_pairs": """
+            WITH p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+                              round(list_dot_product(
+                                  CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6)
+                                AS dot
+                       FROM embeddings a
+                       JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT vec_id1, vec_id2, dot FROM p
+            ORDER BY dot DESC, vec_id1, vec_id2 LIMIT 20
+        """,
+        "docs_jsonl_roundtrip": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
+                     AS checksum
+            FROM documents GROUP BY source ORDER BY source
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

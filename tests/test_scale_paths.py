@@ -33,7 +33,7 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "supplier_neighborhood_jaccard",
                   "docs_weighted_sample", "docs_incremental_new",
                   "embedding_neighbor_dot", "sessions_peak_concurrency",
-                  "supplier_clustering_coeff"]
+                  "supplier_clustering_coeff", "embedding_top_pairs"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
 
 
