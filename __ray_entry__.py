@@ -14105,6 +14105,8 @@ def embedding_neighbor_dot(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
         .materialize()
+    if ds.count() == 0:
+        return empty
 
     def rnd(x):
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
