@@ -14629,6 +14629,198 @@ def docs_jsonl_roundtrip(sf_dir: str):
         {"n_docs": "int64", "total_chars": "int64"})
 
 
+def docs_cdc_diff(sf_dir: str):
+    """Change-data-capture diff: compare the current documents table
+    against a deterministically synthesized prior state (text perturbed
+    at doc_id%10==7, rows doc_id%9==4 absent, extra -doc_id rows at
+    doc_id%11==5) and classify every key as insert / update / delete /
+    unchanged.  Both sides reduce to (doc_id, 64-bit md5 tail) inside
+    one map pass, so the diff join moves fingerprints, never text; the
+    classification closes in a key-bucketed co-group."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"op": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def fp(texts):
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                            "little") for t in texts),
+            np.uint64, len(texts)).view(np.int64)
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tx = b.column("text").to_pylist()
+        new_h = fp(tx)
+        st_tx = [t + "X" if i % 10 == 7 else t
+                 for i, t in zip(ids.tolist(), tx)]
+        st_h = fp(st_tx)
+        keep = ids % 9 != 4
+        extra = ids % 11 == 5
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids, ids[keep], -ids[extra]]), pa.int64()),
+            "h": pa.array(np.concatenate(
+                [new_h, st_h[keep], st_h[extra]]), pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(ids), np.int64),
+                 np.ones(int(keep.sum()), np.int64),
+                 np.ones(int(extra.sum()), np.int64)]), pa.int64())})
+
+    rows = ds.map_batches(both_sides, batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        # align the two sides by sorted searchsorted — never through a
+        # nullable merge, which would upcast the 64-bit hashes to
+        # float64 and lose the bits that distinguish near-collisions
+        new = g[g["side"] == 0].sort_values("doc_id")
+        st = g[g["side"] == 1].sort_values("doc_id")
+        nid = new["doc_id"].to_numpy(np.int64)
+        nh = new["h"].to_numpy(np.int64)
+        sid = st["doc_id"].to_numpy(np.int64)
+        sh = st["h"].to_numpy(np.int64)
+        pos = np.searchsorted(sid, nid)
+        safe = np.minimum(pos, max(len(sid) - 1, 0))
+        in_st = (pos < len(sid)) & (len(sid) > 0) \
+            & (sid[safe] == nid) if len(sid) else np.zeros(len(nid), bool)
+        eq = nh[in_st] == sh[pos[in_st]]
+        pos2 = np.searchsorted(nid, sid)
+        safe2 = np.minimum(pos2, max(len(nid) - 1, 0))
+        in_new = (pos2 < len(nid)) & (len(nid) > 0) \
+            & (nid[safe2] == sid) if len(nid) else np.zeros(len(sid),
+                                                            bool)
+        counts = {"insert": int((~in_st).sum()),
+                  "delete": int((~in_new).sum()),
+                  "unchanged": int(eq.sum()),
+                  "update": int((~eq).sum())}
+        ops = [k for k, v in counts.items() if v > 0]
+        return pd.DataFrame({"op": ops,
+                             "n": np.array([counts[k] for k in ops],
+                                           np.int64)})
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    out = partial_group_agg(
+        bucketed_group_apply(rows, "doc_id", classify),
+        ["op"], sum_cols=["n"], combine="driver")
+    out = out.sort_values("op").reset_index(drop=True)
+    return out.astype({"n": "int64"})
+
+
+def char_pair_top(sf_dir: str):
+    """Byte-pair (BPE merge-candidate) counting: the 20 most frequent
+    adjacent lowercase-letter pairs across the corpus.  Each batch
+    views its concatenated text as uint8, forms a[:-1]·256+a[1:] pair
+    codes, masks non-[a-z] participants, and bincounts into one
+    676-row partial — the per-batch work is three numpy kernels, no
+    Python per char."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["text"])
+    empty = pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                          "n": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        # '\n' separators stop pairs from bridging documents
+        blob = "\n".join(b.column("text").to_pylist()).encode(
+            "utf-8", "surrogatepass")
+        a = np.frombuffer(blob, np.uint8)
+        if len(a) < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ok = (a >= 97) & (a <= 122)
+        m = ok[:-1] & ok[1:]
+        code = (a[:-1][m].astype(np.int64) - 97) * 26 \
+            + (a[1:][m].astype(np.int64) - 97)
+        cnt = np.bincount(code, minlength=676).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    agg = partial_group_agg(ds.map_batches(partial,
+                                           batch_format="pyarrow"),
+                            ["code"], sum_cols=["n"], combine="driver")
+    agg = agg.sort_values(["n", "code"],
+                          ascending=[False, True]).head(20)
+    code = agg["code"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "pair": [chr(97 + c // 26) + chr(97 + c % 26) for c in code],
+        "n": agg["n"].to_numpy(np.int64)}).reset_index(drop=True)
+
+
+def name_match_pr_curve(sf_dir: str):
+    """Entity-resolution PR curve with an exact oracle: within-brand
+    part pairs, gold = charset-Jaccard ≥ 0.8, predicted = edit distance
+    ≤ t for t in 1..4; per threshold TP/FP/FN and precision/recall.
+    Both metrics are DuckDB-identical kernels, so the whole evaluation
+    — the flagship scorer's quality readout — is SQL-checkable; pair
+    scoring is memoized per distinct name pair inside brand buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.scoring import score_name_pairs
+    from elevant_ray.stages.util import (bucketed_group_apply,
+                                         partial_group_agg)
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"])
+    empty = pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                          "tp": pd.Series([], dtype="int64"),
+                          "fp": pd.Series([], dtype="int64"),
+                          "fn": pd.Series([], dtype="int64"),
+                          "precision": pd.Series([], dtype="float64"),
+                          "recall": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gg in g.groupby("p_brand"):
+            gg = gg.sort_values("p_partkey")
+            nm = gg["p_name"].to_numpy(dtype=object)
+            i, j = np.triu_indices(len(nm), k=1)
+            lev, jac = score_name_pairs(nm[i], nm[j])
+            gold = jac >= 0.8
+            for t in range(1, 5):
+                pred = lev <= t
+                rows.append((t, int((pred & gold).sum()),
+                             int((pred & ~gold).sum()),
+                             int((~pred & gold).sum())))
+        return pd.DataFrame(rows, columns=["t", "tp", "fp", "fn"])
+
+    agg = partial_group_agg(
+        bucketed_group_apply(ds, "p_brand", per_bucket),
+        ["t"], sum_cols=["tp", "fp", "fn"], combine="driver")
+    agg = agg.sort_values("t").reset_index(drop=True)
+    tp = agg["tp"].to_numpy(np.int64)
+    fp = agg["fp"].to_numpy(np.int64)
+    fn = agg["fn"].to_numpy(np.int64)
+
+    def rnd(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    with np.errstate(invalid="ignore"):
+        prec = np.where(tp + fp > 0, rnd(1.0 * tp / (tp + fp)),
+                        np.nan)
+        rec = np.where(tp + fn > 0, rnd(1.0 * tp / (tp + fn)), np.nan)
+    return pd.DataFrame({"t": agg["t"].astype("int64"),
+                         "tp": tp, "fp": fp, "fn": fn,
+                         "precision": prec + 0.0, "recall": rec + 0.0})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -14866,6 +15058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_max_drawdown": customer_max_drawdown,
         "embedding_top_pairs": embedding_top_pairs,
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+        "docs_cdc_diff": docs_cdc_diff,
+        "char_pair_top": char_pair_top,
+        "name_match_pr_curve": name_match_pr_curve,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -18728,6 +18923,61 @@ def oracle_sql() -> dict[str, str]:
                    lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
                      AS checksum
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "docs_cdc_diff": """
+            WITH newt AS (SELECT doc_id, md5_number_lower(text) AS h
+                          FROM documents),
+                 st AS (SELECT doc_id,
+                               md5_number_lower(CASE WHEN doc_id % 10 = 7
+                                   THEN text || 'X' ELSE text END) AS h
+                        FROM documents WHERE doc_id % 9 <> 4
+                        UNION ALL
+                        SELECT -doc_id,
+                               md5_number_lower(CASE WHEN doc_id % 10 = 7
+                                   THEN text || 'X' ELSE text END)
+                        FROM documents WHERE doc_id % 11 = 5),
+                 j AS (SELECT CASE WHEN s.doc_id IS NULL THEN 'insert'
+                                   WHEN n.doc_id IS NULL THEN 'delete'
+                                   WHEN n.h = s.h THEN 'unchanged'
+                                   ELSE 'update' END AS op
+                       FROM newt n FULL JOIN st s
+                         ON n.doc_id = s.doc_id)
+            SELECT op, count(*)::BIGINT AS n FROM j
+            GROUP BY op ORDER BY op
+        """,
+        "char_pair_top": """
+            WITH p AS (SELECT unnest(list_transform(
+                           generate_series(1, length(text) - 1),
+                           i -> substr(text, i, 2))) AS pair
+                       FROM documents),
+                 c AS (SELECT pair, count(*)::BIGINT AS n FROM p
+                       WHERE regexp_matches(pair, '^[a-z]{2}$')
+                       GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20
+        """,
+        "name_match_pr_curve": """
+            WITH pr AS (SELECT levenshtein(a.p_name, b.p_name) AS lev,
+                               jaccard(a.p_name, b.p_name) AS jac
+                        FROM part a JOIN part b
+                          ON a.p_brand = b.p_brand
+                             AND a.p_partkey < b.p_partkey),
+                 th AS (SELECT unnest([1, 2, 3, 4]) AS t),
+                 m AS (SELECT th.t,
+                              sum(CASE WHEN lev <= th.t AND jac >= 0.8
+                                       THEN 1 ELSE 0 END)::BIGINT AS tp,
+                              sum(CASE WHEN lev <= th.t AND jac < 0.8
+                                       THEN 1 ELSE 0 END)::BIGINT AS fp,
+                              sum(CASE WHEN lev > th.t AND jac >= 0.8
+                                       THEN 1 ELSE 0 END)::BIGINT AS fn
+                       FROM pr CROSS JOIN th GROUP BY th.t)
+            SELECT t::BIGINT AS t, tp, fp, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(1.0 * tp / (tp + fp), 6) + 0
+                        END AS "precision",
+                   CASE WHEN tp + fn > 0
+                        THEN round(1.0 * tp / (tp + fn), 6) + 0
+                        END AS recall
+            FROM m ORDER BY t
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
