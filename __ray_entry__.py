@@ -14516,6 +14516,12 @@ def embedding_top_pairs(sf_dir: str):
         a, b = ids1[i], ids2[j]
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
+        if len(d) > 20:
+            # O(n) prefilter: keep everything tied-or-above the 20th
+            # largest rounded score, then lexsort only the survivors
+            thr = np.partition(d, len(d) - 20)[len(d) - 20]
+            keep = d >= thr
+            d, lo, hi = d[keep], lo[keep], hi[keep]
         order = np.lexsort((hi, lo, -d))[:20]
         return pd.DataFrame({"vec_id1": lo[order], "vec_id2": hi[order],
                              "dot": d[order]})

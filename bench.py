@@ -271,6 +271,24 @@ BENCH_QUERIES = [
     "link_frequencies",
     "entity_linking",
     "linkage_clusters",
+    "part_name_damerau",
+    "user_seq_pattern",
+    "error_next_purchase_asof",
+    "customer_order_overlap_pairs",
+    "embedding_dim_argmax",
+    "customer_spend_index_first",
+    "events_weekend_type_mi",
+    "embedding_neighbor_dot",
+    "orders_price_page2",
+    "docs_source_checksum",
+    "sessions_peak_concurrency",
+    "supplier_clustering_coeff",
+    "customer_max_drawdown",
+    "embedding_top_pairs",
+    "docs_jsonl_roundtrip",
+    "docs_cdc_diff",
+    "char_pair_top",
+    "name_match_pr_curve",
 ]
 
 FLAGSHIP = "linkage_clusters"
