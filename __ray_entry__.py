@@ -14827,6 +14827,202 @@ def name_match_pr_curve(sf_dir: str):
                          "precision": prec + 0.0, "recall": rec + 0.0})
 
 
+_PATTERNS = [("digits", "[0-9]{3,}"),
+             ("url", "https?://"),
+             ("shout", "[A-Z]{4,}"),
+             ("punct_run", "[!?.]{2,}")]
+
+
+def docs_pattern_matrix(sf_dir: str):
+    """Multi-pattern content audit: per (pattern, lang), how many docs
+    match each of four compiled regexes (PII-ish digits, URLs,
+    shouting, doubled words).  One scan; every pattern is a vectorized
+    RE2 pc.count_substring_regex over the batch — four C++ kernel
+    passes, zero Python per row — feeding a tiny (4 × langs) partial
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    empty = pd.DataFrame({"pattern": pd.Series([], dtype="object"),
+                          "lang": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "n_hits": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        outs = []
+        for name, pat in _PATTERNS:
+            c = pc.count_substring_regex(b.column("text"),
+                                         pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            outs.append(pd.DataFrame({
+                "pattern": name,
+                "lang": b.column("lang").to_pylist(),
+                "m": (c > 0).astype(np.int64), "h": c}))
+        df = pd.concat(outs, ignore_index=True)
+        g = df.groupby(["pattern", "lang"], as_index=False).agg(
+            m=("m", "sum"), h=("h", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = partial_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pattern", "lang"], sum_cols=["m", "h"], combine="driver")
+    out.columns = ["pattern", "lang", "n_docs", "n_hits"]
+    return (out.sort_values(["pattern", "lang"]).reset_index(drop=True)
+            .astype({"n_docs": "int64", "n_hits": "int64"}))
+
+
+def embedding_label_cohesion(sf_dir: str):
+    """Two-pass vector analytics: per label, the mean dot product of
+    members with their label centroid (cluster cohesion).  Pass 1
+    reduces to label-bounded (Σx, n) partials; the centroids broadcast
+    back into pass 2, where each batch dots its rows against its
+    labels' centroids — classic broadcast-rejoin, no shuffle of the
+    vectors themselves."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "cohesion": pd.Series([], dtype="float64")})
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"]) \
+        .materialize()
+    if ds.count() == 0:
+        return empty
+
+    def sums(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = b.column("embedding").combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        X = v.reshape(len(arr), -1)
+        ul, inv = np.unique(lab, return_inverse=True)
+        S = np.zeros((len(ul), X.shape[1]))
+        np.add.at(S, inv, X)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"label": pa.array(np.repeat(ul, X.shape[1]),
+                                           pa.int64()),
+                         "dim": pa.array(np.tile(
+                             np.arange(X.shape[1], dtype=np.int64),
+                             len(ul)), pa.int64()),
+                         "s": pa.array(S.ravel()),
+                         "n": pa.array(np.repeat(n, X.shape[1]),
+                                       pa.int64())})
+
+    parts = ds.map_batches(sums, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")).reset_index()
+    labels = np.sort(g["label"].unique()).astype(np.int64)
+    dmax = int(g["dim"].max()) + 1
+    C = np.zeros((len(labels), dmax))
+    li = np.searchsorted(labels, g["label"].to_numpy(np.int64))
+    C[li, g["dim"].to_numpy(np.int64)] = (g["s"].to_numpy()
+                                          / g["n"].to_numpy())
+    counts = (g[g["dim"] == 0].set_index("label")["n"]
+              .reindex(labels).to_numpy(np.int64))
+
+    import ray
+
+    cref = ray.put(C)
+    lref = ray.put(labels)
+
+    def dots(b: pa.Table) -> pa.Table:
+        CC = ray.get(cref)
+        LL = ray.get(lref)
+        lab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = b.column("embedding").combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        X = v.reshape(len(arr), -1)
+        d = (X * CC[np.searchsorted(LL, lab)]).sum(axis=1)
+        df = pd.DataFrame({"label": lab, "d": d})
+        gg = df.groupby("label", as_index=False)["d"].sum()
+        return pa.Table.from_pandas(gg, preserve_index=False)
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    dsum = partial_group_agg(
+        ds.map_batches(dots, batch_format="pyarrow"),
+        ["label"], sum_cols=["d"], combine="driver")
+    dsum = dsum.sort_values("label").reset_index(drop=True)
+    coh = dsum["d"].to_numpy() / counts
+    return pd.DataFrame({
+        "label": labels,
+        "n": counts,
+        "cohesion": np.sign(coh) * np.floor(np.abs(coh) * 1e6 + 0.5)
+            / 1e6})
+
+
+def docs_csv_roundtrip(sf_dir: str):
+    """CSV sink + source fidelity (the JSONL round-trip's sibling for
+    the delimited-text format): write documents with Ray's write_csv,
+    re-read with read_csv, and re-aggregate per-source count, char
+    total and md5-tail XOR checksum — quoting must survive embedded
+    commas, quotes and newlines for the checksums to match the
+    parquet-side oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "total_chars": pd.Series([], dtype="int64"),
+                          "checksum": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+
+    out_dir = f"/tmp/elevant_ray_csv_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_csv(out_dir)
+    try:
+        back = rd.read_csv(out_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            tx = b.column("text").to_pylist()
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                                "little") for t in tx),
+                np.uint64, len(tx)).view(np.int64)
+            df = pd.DataFrame({
+                "source": b.column("source").to_pylist(),
+                "h": h,
+                "nc": b.column("n_chars").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)})
+            g = df.groupby("source").agg(
+                x=("h", lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64))),
+                n=("h", "size"), tc=("nc", "sum"))
+            return pa.table({"source": pa.array(g.index, pa.string()),
+                             "x": pa.array(g["x"].to_numpy(np.int64)),
+                             "n": pa.array(g["n"].to_numpy(np.int64)),
+                             "tc": pa.array(g["tc"].to_numpy(np.int64))})
+
+        parts = back.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = parts.groupby("source").agg(
+        x=("x", lambda s: np.bitwise_xor.reduce(s.to_numpy(np.int64))),
+        n_docs=("n", "sum"), total_chars=("tc", "sum")) \
+        .sort_index().reset_index()
+    out["checksum"] = [f"{v:016X}" for v in
+                       out["x"].to_numpy(np.int64).view(np.uint64)]
+    return out[["source", "n_docs", "total_chars", "checksum"]].astype(
+        {"n_docs": "int64", "total_chars": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -15067,6 +15263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_diff": docs_cdc_diff,
         "char_pair_top": char_pair_top,
         "name_match_pr_curve": name_match_pr_curve,
+        "docs_pattern_matrix": docs_pattern_matrix,
+        "embedding_label_cohesion": embedding_label_cohesion,
+        "docs_csv_roundtrip": docs_csv_roundtrip,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -18984,6 +19183,61 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(1.0 * tp / (tp + fn), 6) + 0
                         END AS recall
             FROM m ORDER BY t
+        """,
+        "docs_pattern_matrix": """
+            WITH m AS (
+                SELECT 'digits' AS pattern, lang,
+                       CAST(length(regexp_extract_all(
+                           text, '[0-9]{3,}')) > 0 AS BIGINT) AS m,
+                       length(regexp_extract_all(
+                           text, '[0-9]{3,}'))::BIGINT AS h
+                FROM documents
+                UNION ALL
+                SELECT 'url', lang,
+                       CAST(length(regexp_extract_all(
+                           text, 'https?://')) > 0 AS BIGINT),
+                       length(regexp_extract_all(
+                           text, 'https?://'))::BIGINT
+                FROM documents
+                UNION ALL
+                SELECT 'shout', lang,
+                       CAST(length(regexp_extract_all(
+                           text, '[A-Z]{4,}')) > 0 AS BIGINT),
+                       length(regexp_extract_all(
+                           text, '[A-Z]{4,}'))::BIGINT
+                FROM documents
+                UNION ALL
+                SELECT 'punct_run', lang,
+                       CAST(length(regexp_extract_all(
+                           text, '[!?.]{2,}')) > 0 AS BIGINT),
+                       length(regexp_extract_all(
+                           text, '[!?.]{2,}'))::BIGINT
+                FROM documents)
+            SELECT pattern, lang, sum(m)::BIGINT AS n_docs,
+                   sum(h)::BIGINT AS n_hits
+            FROM m GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "embedding_label_cohesion": """
+            WITH u AS (SELECT vec_id, label,
+                              generate_subscripts(embedding, 1) AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+                 c AS (SELECT label, dim, sum(v) / count(*) AS m
+                       FROM u GROUP BY 1, 2),
+                 d AS (SELECT u.vec_id, u.label, sum(u.v * c.m) AS dot
+                       FROM u JOIN c
+                         ON u.label = c.label AND u.dim = c.dim
+                       GROUP BY 1, 2)
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+                   round(sum(dot) / count(*), 6) + 0 AS cohesion
+            FROM d GROUP BY label ORDER BY label
+        """,
+        "docs_csv_roundtrip": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
+                     AS checksum
+            FROM documents GROUP BY source ORDER BY source
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -289,6 +289,9 @@ BENCH_QUERIES = [
     "docs_cdc_diff",
     "char_pair_top",
     "name_match_pr_curve",
+    "docs_pattern_matrix",
+    "embedding_label_cohesion",
+    "docs_csv_roundtrip",
 ]
 
 FLAGSHIP = "linkage_clusters"
