@@ -15023,6 +15023,124 @@ def docs_csv_roundtrip(sf_dir: str):
         {"n_docs": "int64", "total_chars": "int64"})
 
 
+def part_name_prefix_overlap(sf_dir: str):
+    """Ordered-neighbor string analytics: histogram of the longest
+    common prefix between each part name and the NEXT name in (name,
+    partkey) order — the sortedness-exploiting kernel behind prefix
+    compression and SSTable index sizing.  The engine sorts the
+    bounded distinct-name vocabulary on the driver (names repeat
+    heavily), computes LCPs in one padded uint32 matrix comparison,
+    and weights each adjacent distinct pair by its row multiplicity
+    from a distributed count aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    empty = pd.DataFrame({"lcp": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    cnt = partial_group_agg(ds, ["p_name"], count_alias="n",
+                            combine="driver")
+    cnt = cnt.sort_values("p_name", kind="stable").reset_index(drop=True)
+    names = cnt["p_name"].to_numpy(dtype=object)
+    mult = cnt["n"].to_numpy(np.int64)
+    total = int(mult.sum())
+    if total < 2:
+        return empty
+
+    # neighbor pairs in the GLOBAL (name, partkey) row order: equal
+    # names are adjacent (LCP = len(name)); across distinct names the
+    # boundary pair's LCP is that of the two distinct strings
+    width = max(len(n) for n in names)
+    M = np.zeros((len(names), width), np.uint32)
+    for i, n in enumerate(names):
+        a = np.frombuffer(n.encode("utf-32-le"), np.uint32)
+        M[i, :len(a)] = a
+    eqlen = np.minimum(
+        np.array([len(n) for n in names[:-1]], np.int64),
+        np.array([len(n) for n in names[1:]], np.int64))
+    neq = M[:-1] != M[1:]
+    first_neq = np.where(neq.any(axis=1), neq.argmax(axis=1), width)
+    lcp_adj = np.minimum(first_neq, eqlen)
+    lens = np.array([len(n) for n in names], np.int64)
+    # within-name runs contribute (mult-1) pairs at LCP = len(name)
+    lcps = np.concatenate([np.repeat(lens, mult - 1), lcp_adj])
+    u, c = np.unique(lcps, return_counts=True)
+    return pd.DataFrame({"lcp": u.astype("int64"),
+                         "n_pairs": c.astype("int64")})
+
+
+def vocab_growth_curve(sf_dir: str):
+    """Vocabulary growth (Heaps-law curve): cumulative distinct token
+    count after each tenth of the corpus in doc_id order.  One
+    token-keyed aggregate finds each token's FIRST document (min
+    doc_id); the calendar of 10 checkpoints then cumsums a bounded
+    histogram on the driver — the whole curve costs one shuffle over
+    (token, min-doc) partials, never a re-scan per checkpoint."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"decile": pd.Series([], dtype="int64"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "vocab": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    import re
+
+    TOK = re.compile(r"[a-z0-9_]+")
+
+    def toks(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_t, out_d = [], []
+        for i, t in zip(ids.tolist(),
+                        pc.utf8_lower(b.column("text")).to_pylist()):
+            ts = set(TOK.findall(t))
+            out_t.extend(ts)
+            out_d.extend([i] * len(ts))
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    firsts = partial_group_agg(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["token"], min_cols=["doc_id"], combine="driver")
+    firsts.columns = ["token", "first_doc"]
+
+    mx = partial_group_agg(
+        ds.map_batches(lambda b: pa.table(
+            {"one": pa.array(np.ones(b.num_rows, np.int64)),
+             "doc_id": b.column("doc_id")}), batch_format="pyarrow"),
+        ["one"], max_cols=["doc_id"], combine="driver")
+    max_id = int(mx["doc_id"].iloc[0])
+
+    fd = firsts["first_doc"].to_numpy(np.int64)
+    bkt = (fd * 10) // (max_id + 1)
+    vocab_per = np.bincount(bkt, minlength=10).astype(np.int64)
+    # docs per decile from a second bounded histogram
+    dcount = partial_group_agg(
+        ds.map_batches(lambda b: pa.table(
+            {"decile": pa.array(
+                (b.column("doc_id").to_numpy(zero_copy_only=False)
+                 .astype(np.int64) * 10) // (max_id + 1), pa.int64()),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["decile"], sum_cols=["one"], combine="driver")
+    nd = np.zeros(10, np.int64)
+    nd[dcount["decile"].to_numpy(np.int64)] = \
+        dcount["one"].to_numpy(np.int64)
+    return pd.DataFrame({"decile": np.arange(1, 11, dtype=np.int64),
+                         "n_docs": nd.cumsum(),
+                         "vocab": vocab_per.cumsum()})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -15266,6 +15384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pattern_matrix": docs_pattern_matrix,
         "embedding_label_cohesion": embedding_label_cohesion,
         "docs_csv_roundtrip": docs_csv_roundtrip,
+        "part_name_prefix_overlap": part_name_prefix_overlap,
+        "vocab_growth_curve": vocab_growth_curve,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -19238,6 +19358,41 @@ def oracle_sql() -> dict[str, str]:
                    lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
                      AS checksum
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "part_name_prefix_overlap": """
+            WITH s AS (SELECT p_name AS a,
+                              lead(p_name) OVER (
+                                  ORDER BY p_name, p_partkey) AS b
+                       FROM part),
+                 l AS (SELECT COALESCE(list_sum(list_transform(
+                           generate_series(1, least(length(a),
+                                                    length(b))),
+                           i -> CAST(substr(a, 1, i) = substr(b, 1, i)
+                                     AS BIGINT))), 0)::BIGINT AS lcp
+                       FROM s WHERE b IS NOT NULL)
+            SELECT lcp, count(*)::BIGINT AS n_pairs FROM l
+            GROUP BY lcp ORDER BY lcp
+        """,
+        "vocab_growth_curve": """
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+                 tk AS (SELECT unnest(regexp_extract_all(
+                            lower(text), '[a-z0-9_]+')) AS token, doc_id
+                        FROM documents),
+                 f AS (SELECT token, min(doc_id) AS fd FROM tk
+                       GROUP BY token),
+                 v AS (SELECT (fd * 10) // (m + 1) AS b,
+                              count(*)::BIGINT AS nv
+                       FROM f, mx GROUP BY 1),
+                 dd AS (SELECT (doc_id * 10) // (m + 1) AS b,
+                               count(*)::BIGINT AS ndoc
+                        FROM documents, mx GROUP BY 1),
+                 sp AS (SELECT unnest(generate_series(0, 9)) AS b)
+            SELECT (sp.b + 1)::BIGINT AS decile,
+                   (SELECT COALESCE(sum(ndoc), 0) FROM dd
+                    WHERE dd.b <= sp.b)::BIGINT AS n_docs,
+                   (SELECT COALESCE(sum(nv), 0) FROM v
+                    WHERE v.b <= sp.b)::BIGINT AS vocab
+            FROM sp ORDER BY decile
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "docs_pattern_matrix",
     "embedding_label_cohesion",
     "docs_csv_roundtrip",
+    "part_name_prefix_overlap",
+    "vocab_growth_curve",
 ]
 
 FLAGSHIP = "linkage_clusters"
