@@ -15141,6 +15141,134 @@ def vocab_growth_curve(sf_dir: str):
                          "vocab": vocab_per.cumsum()})
 
 
+def user_type_rle_top(sf_dir: str):
+    """Run-length encoding of per-user event-type sequences: top-10
+    (event_type, run_length) shapes by frequency — the session-replay
+    compression / repetition-pattern primitive.  One user-keyed bucket
+    shuffle; runs fall out of one vectorized boundary scan over the
+    (user, ts, event_id)-sorted bucket (no per-run Python), reduced to
+    (type, len) partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "run_len": pd.Series([], dtype="int64"),
+                          "n_runs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t, types = pd.factorize(g["event_type"])
+        start = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (t[1:] != t[:-1])])
+        si = np.flatnonzero(start)
+        ln = np.diff(np.append(si, len(g)))
+        df = pd.DataFrame({"event_type": types[t[si]],
+                           "run_len": ln.astype(np.int64)})
+        return (df.groupby(["event_type", "run_len"], as_index=False)
+                .size().rename(columns={"size": "n_runs"}))
+
+    agg = partial_group_agg(
+        bucketed_group_apply(ds, "user_id", per_bucket),
+        ["event_type", "run_len"], sum_cols=["n_runs"],
+        combine="driver")
+    agg = agg.sort_values(["n_runs", "event_type", "run_len"],
+                          ascending=[False, True, True],
+                          kind="stable").head(10).reset_index(drop=True)
+    return agg.astype({"run_len": "int64", "n_runs": "int64"})
+
+
+def docs_k_anonymity(sf_dir: str):
+    """k-anonymity audit over quasi-identifiers: how many (lang,
+    source, length-bucket) equivalence classes have fewer than 5
+    members, and how many documents sit in them — the privacy gate a
+    training-data release pipeline runs before publishing.  One
+    bounded partial aggregate (langs × sources × 20 buckets cells); the
+    audit row closes on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    empty = pd.DataFrame({"n_classes": pd.Series([], dtype="int64"),
+                          "n_risky_classes": pd.Series([], dtype="int64"),
+                          "n_risky_docs": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        nb = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // 100
+        return pa.table({"lang": b.column("lang"),
+                         "source": b.column("source"),
+                         "bucket": pa.array(nb, pa.int64()),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    cells = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["lang", "source", "bucket"], sum_cols=["one"], combine="driver")
+    n = cells["one"].to_numpy(np.int64)
+    risky = n < 5
+    return pd.DataFrame({
+        "n_classes": np.array([len(n)], np.int64),
+        "n_risky_classes": np.array([int(risky.sum())], np.int64),
+        "n_risky_docs": np.array([int(n[risky].sum())], np.int64)})
+
+
+def daily_revenue_forecast_mape(sf_dir: str):
+    """Forecast backtest: seasonal-naive prediction (each day's revenue
+    predicted by the revenue 7 days earlier on the observed-day grid)
+    and its absolute percentage error per day.  Daily totals are a
+    calendar-bounded partial aggregate in exact cents; the lag-7 join
+    and APE close on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                          "revenue": pd.Series([], dtype="float64"),
+                          "predicted": pd.Series([], dtype="float64"),
+                          "ape": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    c = daily["c"].to_numpy(np.int64)
+    if len(c) <= 7:
+        return empty
+    rev = c[7:]
+    pred = c[:-7]
+    ape = np.abs(rev - pred) / rev
+    ape = np.sign(ape) * np.floor(np.abs(ape) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        "day": daily["day"].to_numpy(np.int64)[7:]
+            .astype("datetime64[D]").astype("datetime64[us]"),
+        "revenue": rev / 100.0,
+        "predicted": pred / 100.0,
+        "ape": ape})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -15386,6 +15514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": docs_csv_roundtrip,
         "part_name_prefix_overlap": part_name_prefix_overlap,
         "vocab_growth_curve": vocab_growth_curve,
+        "user_type_rle_top": user_type_rle_top,
+        "docs_k_anonymity": docs_k_anonymity,
+        "daily_revenue_forecast_mape": daily_revenue_forecast_mape,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -19393,6 +19524,45 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COALESCE(sum(nv), 0) FROM v
                     WHERE v.b <= sp.b)::BIGINT AS vocab
             FROM sp ORDER BY decile
+        """,
+        "user_type_rle_top": """
+            WITH s AS (SELECT user_id, event_type,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              row_number() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rt
+                       FROM events),
+                 r AS (SELECT event_type, count(*)::BIGINT AS run_len
+                       FROM s GROUP BY user_id, event_type, rn - rt),
+                 c AS (SELECT event_type, run_len,
+                              count(*)::BIGINT AS n_runs
+                       FROM r GROUP BY 1, 2)
+            SELECT event_type, run_len, n_runs FROM c
+            ORDER BY n_runs DESC, event_type, run_len LIMIT 10
+        """,
+        "docs_k_anonymity": """
+            WITH c AS (SELECT lang, source, n_chars // 100 AS bucket,
+                              count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1, 2, 3)
+            SELECT count(*)::BIGINT AS n_classes,
+                   sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_risky_classes,
+                   COALESCE(sum(n) FILTER (WHERE n < 5), 0)::BIGINT
+                     AS n_risky_docs
+            FROM c
+        """,
+        "daily_revenue_forecast_mape": """
+            WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 l AS (SELECT day, c, lag(c, 7) OVER (ORDER BY day) AS p
+                       FROM d)
+            SELECT day, c / 100.0 AS revenue, p / 100.0 AS predicted,
+                   round(abs(c - p) / c, 6) AS ape
+            FROM l WHERE p IS NOT NULL ORDER BY day
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -294,6 +294,9 @@ BENCH_QUERIES = [
     "docs_csv_roundtrip",
     "part_name_prefix_overlap",
     "vocab_growth_curve",
+    "user_type_rle_top",
+    "docs_k_anonymity",
+    "daily_revenue_forecast_mape",
 ]
 
 FLAGSHIP = "linkage_clusters"
