@@ -15269,6 +15269,268 @@ def daily_revenue_forecast_mape(sf_dir: str):
         "ape": ape})
 
 
+def events_welch_ttest(sf_dir: str):
+    """Welch two-sample t-test of event value, weekend vs weekday:
+    t statistic, Welch–Satterthwaite degrees of freedom and Cohen's d.
+    Moments are exact integer cents (Python-int sums on the engine
+    side, HUGEINT in the oracle) closed into a float expression tree
+    mirrored term-for-term in the SQL, so both sides are bit-identical
+    before the final rounding.  One bounded partial aggregate."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"n_weekday": pd.Series([], dtype="int64"),
+                          "n_weekend": pd.Series([], dtype="int64"),
+                          "t_stat": pd.Series([], dtype="float64"),
+                          "df": pd.Series([], dtype="float64"),
+                          "cohens_d": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        we = ((us // DAY_US + 3) % 7 >= 5).astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"we": pa.array(we, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "c2": pa.array(c * c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["we"], sum_cols=["c", "c2"], count_alias="n",
+                          combine="driver")
+    gd = {int(r["we"]): (int(r["n"]), int(r["c"]), int(r["c2"]))
+          for _, r in g.iterrows()}
+    n1, s1, q1 = gd.get(0, (0, 0, 0))
+    n2, s2, q2 = gd.get(1, (0, 0, 0))
+    if n1 < 2 or n2 < 2:
+        return empty
+    m1 = (1.0 * s1) / n1 / 100.0
+    m2 = (1.0 * s2) / n2 / 100.0
+    v1 = (1.0 * (n1 * q1 - s1 * s1)) / ((1.0 * n1) * (n1 - 1.0)) / 10000.0
+    v2 = (1.0 * (n2 * q2 - s2 * s2)) / ((1.0 * n2) * (n2 - 1.0)) / 10000.0
+    se1 = v1 / n1
+    se2 = v2 / n2
+    ss = se1 + se2
+    t = (m1 - m2) / math.sqrt(ss)
+    dfw = (ss * ss) / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    d = (m1 - m2) / math.sqrt(
+        ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    r6 = lambda x: float(
+        np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_weekday": [np.int64(n1)],
+                         "n_weekend": [np.int64(n2)],
+                         "t_stat": [r6(t)], "df": [r6(dfw)],
+                         "cohens_d": [r6(d)]})
+
+
+def purchase_rate_ztest(sf_dir: str):
+    """Two-proportion z-test: is the share of purchase events different
+    on weekends vs weekdays?  Pooled-variance z from exact conditional
+    counts (one bounded partial aggregate), float tree mirrored in the
+    oracle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    empty = pd.DataFrame({"n_weekday": pd.Series([], dtype="int64"),
+                          "n_weekend": pd.Series([], dtype="int64"),
+                          "k_weekday": pd.Series([], dtype="int64"),
+                          "k_weekend": pd.Series([], dtype="int64"),
+                          "rate_weekday": pd.Series([], dtype="float64"),
+                          "rate_weekend": pd.Series([], dtype="float64"),
+                          "z_score": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        we = ((us // DAY_US + 3) % 7 >= 5).astype(np.int64)
+        k = pc.equal(b.column("event_type"), pa.scalar("purchase"))
+        return pa.table({"we": pa.array(we, pa.int64()),
+                         "k": pc.cast(k, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["we"], sum_cols=["k"], count_alias="n",
+                          combine="driver")
+    gd = {int(r["we"]): (int(r["n"]), int(r["k"]))
+          for _, r in g.iterrows()}
+    n1, k1 = gd.get(0, (0, 0))
+    n2, k2 = gd.get(1, (0, 0))
+    if n1 == 0 or n2 == 0:
+        return empty
+    p1 = (1.0 * k1) / n1
+    p2 = (1.0 * k2) / n2
+    p = (1.0 * (k1 + k2)) / (n1 + n2)
+    if p <= 0.0 or p >= 1.0:
+        return empty
+    z = (p1 - p2) / math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+    r6 = lambda x: float(
+        np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_weekday": [np.int64(n1)],
+                         "n_weekend": [np.int64(n2)],
+                         "k_weekday": [np.int64(k1)],
+                         "k_weekend": [np.int64(k2)],
+                         "rate_weekday": [r6(p1)],
+                         "rate_weekend": [r6(p2)],
+                         "z_score": [r6(z)]})
+
+
+def daily_revenue_autocorr7(sf_dir: str):
+    """Lag-7 autocorrelation of daily revenue: Pearson r over (day,
+    day+7) pairs where both days are observed.  Daily totals are one
+    bounded partial aggregate in exact cents; the lag join is a
+    searchsorted probe on the calendar-bounded driver series, and the
+    correlation closes in exact integer moments (Python int / HUGEINT)
+    with a mirrored float tree."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"n_pairs": pd.Series([], dtype="int64"),
+                          "autocorr": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    idx = np.searchsorted(days, days - 7)
+    idx = np.clip(idx, 0, len(days) - 1)
+    ok = days[idx] == days - 7
+    x = c[idx[ok]].astype(object)
+    y = c[ok].astype(object)
+    n = int(ok.sum())
+    if n < 2:
+        return empty
+    sx, sy = x.sum(), y.sum()
+    sxy = (x * y).sum()
+    sxx = (x * x).sum()
+    syy = (y * y).sum()
+    vn = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return empty
+    r = (1.0 * vn) / math.sqrt((1.0 * vx) * (1.0 * vy))
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_pairs": [np.int64(n)], "autocorr": [r6(r)]})
+
+
+def orders_benford(sf_dir: str):
+    """Benford's-law audit: leading-digit distribution of order price
+    cents vs the log-law expectation — the fraud/data-quality screen.
+    The leading digit falls out of a vectorized floor-divide loop (≤12
+    rounds); counts are one 9-cell partial aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    empty = pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64"),
+                          "benford": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        c = c[c > 0]
+        while c.size and c.max() >= 10:
+            big = c >= 10
+            c[big] //= 10
+        return pa.table({"digit": pa.array(c, pa.int64()),
+                         "one": pa.array(np.ones(c.size, np.int64))})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["digit"], sum_cols=["one"], combine="driver")
+    if g.empty:
+        return empty
+    g = g.sort_values("digit").reset_index(drop=True)
+    n = g["one"].to_numpy(np.int64)
+    tot = int(n.sum())
+    d = g["digit"].to_numpy(np.float64)
+    share = (1.0 * n) / tot
+    benford = np.log(1.0 + 1.0 / d) / np.log(10.0)
+    r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"digit": g["digit"].astype("int64"),
+                         "n": g["one"].astype("int64"),
+                         "share": r6(share), "benford": r6(benford)})
+
+
+def customer_spend_gini(sf_dir: str):
+    """Gini coefficient of customer lifetime spend — the inequality /
+    concentration audit.  Per-customer totals are one dimension-bounded
+    partial aggregate in exact cents; the rank-weighted sum closes on
+    the driver in exact Python-int arithmetic (HUGEINT in the oracle)
+    with the classic 2·Σi·xᵢ formula, tie-order-invariant because tied
+    spends contribute identically under any permutation."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"n_customers": pd.Series([], dtype="int64"),
+                          "gini": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"cust": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "x": pa.array(c, pa.int64())})
+
+    per = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["cust"], sum_cols=["x"], combine="driver")
+    order = np.lexsort((per["cust"].to_numpy(np.int64),
+                        per["x"].to_numpy(np.int64)))
+    x = per["x"].to_numpy(np.int64)[order].astype(object)
+    n = len(x)
+    t = x.sum()
+    if n == 0 or t <= 0:
+        return empty
+    i = np.arange(1, n + 1, dtype=object)
+    num = 2 * (i * x).sum() - (n + 1) * t
+    g = (1.0 * num) / ((1.0 * n) * (1.0 * t))
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_customers": [np.int64(n)], "gini": [r6(g)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -15517,6 +15779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_rle_top": user_type_rle_top,
         "docs_k_anonymity": docs_k_anonymity,
         "daily_revenue_forecast_mape": daily_revenue_forecast_mape,
+        "events_welch_ttest": events_welch_ttest,
+        "purchase_rate_ztest": purchase_rate_ztest,
+        "daily_revenue_autocorr7": daily_revenue_autocorr7,
+        "orders_benford": orders_benford,
+        "customer_spend_gini": customer_spend_gini,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -19563,6 +19830,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, c / 100.0 AS revenue, p / 100.0 AS predicted,
                    round(abs(c - p) / c, 6) AS ape
             FROM l WHERE p IS NOT NULL ORDER BY day
+        """,
+        "events_welch_ttest": """
+            WITH c AS (SELECT CASE WHEN isodow(ts) >= 6
+                                   THEN 1 ELSE 0 END AS we,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 g AS (SELECT we, count(*)::BIGINT AS n,
+                              sum(CAST(c AS HUGEINT)) AS s,
+                              sum(CAST(c AS HUGEINT)*c) AS q
+                       FROM c GROUP BY 1),
+                 p AS (SELECT max(CASE WHEN we=0 THEN n END) AS n1,
+                              max(CASE WHEN we=0 THEN s END) AS s1,
+                              max(CASE WHEN we=0 THEN q END) AS q1,
+                              max(CASE WHEN we=1 THEN n END) AS n2,
+                              max(CASE WHEN we=1 THEN s END) AS s2,
+                              max(CASE WHEN we=1 THEN q END) AS q2
+                       FROM g),
+                 f AS (SELECT n1, n2,
+                              (1.0*s1)/n1/100.0 AS m1,
+                              (1.0*s2)/n2/100.0 AS m2,
+                              CAST(n1*q1 - s1*s1 AS DOUBLE)
+                                / ((1.0*n1)*(n1-1.0)) / 10000.0 AS v1,
+                              CAST(n2*q2 - s2*s2 AS DOUBLE)
+                                / ((1.0*n2)*(n2-1.0)) / 10000.0 AS v2
+                       FROM p WHERE n1 >= 2 AND n2 >= 2),
+                 e AS (SELECT n1, n2, m1, m2, v1, v2,
+                              v1/n1 AS se1, v2/n2 AS se2,
+                              v1/n1 + v2/n2 AS ss
+                       FROM f)
+            SELECT n1 AS n_weekday, n2 AS n_weekend,
+                   round((m1-m2)/sqrt(ss), 6) + 0 AS t_stat,
+                   round((ss*ss) / (se1*se1/(n1-1.0)
+                                    + se2*se2/(n2-1.0)), 6) + 0 AS df,
+                   round((m1-m2)/sqrt(((n1-1.0)*v1 + (n2-1.0)*v2)
+                                      /(n1+n2-2.0)), 6) + 0 AS cohens_d
+            FROM e
+        """,
+        "purchase_rate_ztest": """
+            WITH c AS (SELECT CASE WHEN isodow(ts) >= 6
+                                   THEN 1 ELSE 0 END AS we,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS k
+                       FROM events),
+                 g AS (SELECT we, count(*)::BIGINT AS n,
+                              sum(k)::BIGINT AS k
+                       FROM c GROUP BY 1),
+                 p AS (SELECT max(CASE WHEN we=0 THEN n END) AS n1,
+                              max(CASE WHEN we=0 THEN k END) AS k1,
+                              max(CASE WHEN we=1 THEN n END) AS n2,
+                              max(CASE WHEN we=1 THEN k END) AS k2
+                       FROM g),
+                 f AS (SELECT n1, n2, k1, k2,
+                              (1.0*k1)/n1 AS p1, (1.0*k2)/n2 AS p2,
+                              (1.0*(k1+k2))/(n1+n2) AS pp
+                       FROM p WHERE n1 > 0 AND n2 > 0)
+            SELECT n1 AS n_weekday, n2 AS n_weekend,
+                   k1 AS k_weekday, k2 AS k_weekend,
+                   round(p1, 6) + 0 AS rate_weekday,
+                   round(p2, 6) + 0 AS rate_weekend,
+                   round((p1-p2)/sqrt(pp*(1.0-pp)*(1.0/n1 + 1.0/n2)), 6)
+                     + 0 AS z_score
+            FROM f WHERE pp > 0.0 AND pp < 1.0
+        """,
+        "daily_revenue_autocorr7": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 p AS (SELECT a.c AS x, b.c AS y
+                       FROM d a JOIN d b ON b.day = a.day + 7),
+                 m AS (SELECT count(*)::BIGINT AS n,
+                              sum(CAST(x AS HUGEINT)) AS sx,
+                              sum(CAST(y AS HUGEINT)) AS sy,
+                              sum(CAST(x AS HUGEINT)*y) AS sxy,
+                              sum(CAST(x AS HUGEINT)*x) AS sxx,
+                              sum(CAST(y AS HUGEINT)*y) AS syy
+                       FROM p)
+            SELECT n AS n_pairs,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                     + 0 AS autocorr
+            FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+                  AND n*syy - sy*sy > 0
+        """,
+        "orders_benford": """
+            WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+                                AS c
+                       FROM orders
+                       WHERE round(o_totalprice*100) > 0),
+                 g AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1)
+                                   AS BIGINT) AS digit,
+                              count(*)::BIGINT AS n
+                       FROM c GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT AS tot FROM g)
+            SELECT digit, n,
+                   round((1.0*n)/tot, 6) AS share,
+                   round(ln(1.0 + 1.0/digit)/ln(10.0), 6) AS benford
+            FROM g, t ORDER BY digit
+        """,
+        "customer_spend_gini": """
+            WITH s AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS x
+                       FROM orders GROUP BY 1),
+                 w AS (SELECT x, row_number() OVER (
+                                  ORDER BY x, o_custkey) AS i
+                       FROM s),
+                 m AS (SELECT count(*)::BIGINT AS n,
+                              sum(CAST(x AS HUGEINT)) AS t,
+                              sum(CAST(i AS HUGEINT)*x) AS ix
+                       FROM w)
+            SELECT n AS n_customers,
+                   round(CAST(2*ix - (n+1)*t AS DOUBLE)
+                         / ((1.0*n)*CAST(t AS DOUBLE)), 6) + 0 AS gini
+            FROM m WHERE n > 0 AND t > 0
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

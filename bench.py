@@ -297,6 +297,11 @@ BENCH_QUERIES = [
     "user_type_rle_top",
     "docs_k_anonymity",
     "daily_revenue_forecast_mape",
+    "events_welch_ttest",
+    "purchase_rate_ztest",
+    "daily_revenue_autocorr7",
+    "orders_benford",
+    "customer_spend_gini",
 ]
 
 FLAGSHIP = "linkage_clusters"
