@@ -15531,6 +15531,275 @@ def customer_spend_gini(sf_dir: str):
     return pd.DataFrame({"n_customers": [np.int64(n)], "gini": [r6(g)]})
 
 
+def docs_orc_roundtrip(sf_dir: str):
+    """ORC sink + source fidelity (the columnar sibling of the CSV /
+    JSONL round-trips): write document shards as ORC via a distributed
+    map_batches stage (pyarrow.orc writer per block), re-read them with
+    read_binary_files + the ORC reader, and re-aggregate the per-source
+    count / char-total / md5-tail XOR checksums.  Shards land under a
+    run-unique /tmp dir (single-node sandbox; multi-node would point at
+    shared storage) and both directions stream — no driver-side
+    materialization of the documents."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from pyarrow import orc
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "total_chars": pd.Series([], dtype="int64"),
+                          "checksum": pd.Series([], dtype="object")})
+    if ds.count() == 0:
+        return empty
+
+    out_dir = f"/tmp/elevant_ray_orc_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(b: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"{uuid.uuid4().hex}.orc")
+        orc.write_table(b, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    try:
+        ds.map_batches(write_shard, batch_format="pyarrow").materialize()
+        back = rd.read_binary_files(out_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            tabs = [orc.ORCFile(pa.BufferReader(x.as_py())).read()
+                    for x in b.column("bytes")]
+            t = pa.concat_tables(tabs)
+            tx = t.column("text").to_pylist()
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                                "little") for s in tx),
+                np.uint64, len(tx)).view(np.int64)
+            df = pd.DataFrame({
+                "source": t.column("source").to_pylist(),
+                "h": h,
+                "nc": t.column("n_chars").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)})
+            g = df.groupby("source").agg(
+                x=("h", lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy(np.int64))),
+                n=("h", "size"), tc=("nc", "sum"))
+            return pa.table({"source": pa.array(g.index, pa.string()),
+                             "x": pa.array(g["x"].to_numpy(np.int64)),
+                             "n": pa.array(g["n"].to_numpy(np.int64)),
+                             "tc": pa.array(g["tc"].to_numpy(np.int64))})
+
+        parts = back.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = parts.groupby("source").agg(
+        x=("x", lambda s: np.bitwise_xor.reduce(s.to_numpy(np.int64))),
+        n_docs=("n", "sum"), total_chars=("tc", "sum")) \
+        .sort_index().reset_index()
+    out["checksum"] = [f"{v:016X}" for v in
+                       out["x"].to_numpy(np.int64).view(np.uint64)]
+    return out[["source", "n_docs", "total_chars", "checksum"]].astype(
+        {"n_docs": "int64", "total_chars": "int64"})
+
+
+def daily_revenue_ewma14(sf_dir: str):
+    """Exponentially weighted moving average (decay 0.9, 14-day
+    calendar window) of daily revenue — the smoothed-trend primitive.
+    EXACT despite being float-shaped: weights 0.9^k are carried as the
+    rational 9^k·10^(13−k) over the common denominator 10^13, so the
+    windowed numerator/denominator are exact integers (Python int
+    engine-side, HUGEINT oracle-side) and the single closing division
+    is the only float op.  Daily totals are one bounded partial
+    aggregate; the window probe is a searchsorted walk on the
+    calendar-bounded driver series."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                          "ewma": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    c = [int(v) for v in daily["c"].to_numpy(np.int64)]
+    W = [9 ** k * 10 ** (13 - k) for k in range(14)]
+    lo = np.searchsorted(days, days - 13)
+    ewma = np.empty(len(days), np.float64)
+    for i in range(len(days)):
+        num = 0
+        den = 0
+        di = int(days[i])
+        for j in range(int(lo[i]), i + 1):
+            w = W[di - int(days[j])]
+            num += c[j] * w
+            den += w
+        ewma[i] = (1.0 * num) / (1.0 * den) / 100.0
+    return pd.DataFrame({
+        "day": days.astype("datetime64[D]").astype("datetime64[us]"),
+        "ewma": np.floor(ewma * 1e6 + 0.5) / 1e6})
+
+
+def user_active_streaks(sf_dir: str):
+    """Histogram of each user's longest run of consecutive active
+    calendar days — the engagement-streak metric.  One user-keyed
+    bucket shuffle; inside a bucket every user's rows are complete, so
+    the per-bucket kernel dedupes (user, day), segments runs with one
+    vectorized break scan (day ≠ prev+1), and reduces to per-user max
+    before emitting (max_streak, n_users) partials."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, \
+        partial_group_agg
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    empty = pd.DataFrame({"max_streak": pd.Series([], dtype="int64"),
+                          "n_users": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pc.cast(b.column("user_id"),
+                                            pa.int64()),
+                         "day": pa.array(us // DAY_US, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])])
+        u, d = u[keep], d[keep]
+        brk = np.concatenate([[True], (u[1:] != u[:-1])
+                              | (d[1:] != d[:-1] + 1)])
+        seg = np.cumsum(brk) - 1
+        seglen = np.bincount(seg)
+        segu = u[np.flatnonzero(brk)]
+        mx = pd.DataFrame({"u": segu, "len": seglen}) \
+            .groupby("u")["len"].max()
+        return (pd.DataFrame({"max_streak": mx.to_numpy(np.int64)})
+                .groupby("max_streak", as_index=False).size()
+                .rename(columns={"size": "n_users"}))
+
+    agg = partial_group_agg(
+        bucketed_group_apply(
+            ds.map_batches(pre, batch_format="pyarrow"),
+            "user_id", per_bucket),
+        ["max_streak"], sum_cols=["n_users"], combine="driver")
+    agg = agg.sort_values("max_streak").reset_index(drop=True)
+    return agg.astype({"max_streak": "int64", "n_users": "int64"})
+
+
+def daily_revenue_rolling_median7(sf_dir: str):
+    """Rolling median of daily revenue over the trailing 7 OBSERVED
+    days (ROWS 6 PRECEDING) — the robust-trend window.  Medians are
+    exact: odd windows pick an integer cent value, even windows
+    interpolate (lo+hi)/2 which is exact in doubles below 2^53, so
+    engine and oracle agree bit-for-bit.  Daily totals are one bounded
+    partial aggregate; windows slide on the driver series."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                          "median7": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    c = daily["c"].to_numpy(np.int64)
+    n = len(c)
+    med = np.empty(n, np.float64)
+    head = min(n, 6)
+    for i in range(head):
+        med[i] = np.median(c[:i + 1])
+    if n >= 7:
+        win = np.lib.stride_tricks.sliding_window_view(c, 7)
+        med[6:] = np.median(win, axis=1)
+    return pd.DataFrame({
+        "day": daily["day"].to_numpy(np.int64)
+            .astype("datetime64[D]").astype("datetime64[us]"),
+        "median7": np.floor(med / 100.0 * 1e6 + 0.5) / 1e6})
+
+
+def customer_spend_theil(sf_dir: str):
+    """Theil T inequality index of customer lifetime spend — the
+    entropy-based companion to the Gini query.  Per-customer totals
+    are one dimension-bounded partial aggregate in exact cents; the
+    log-domain sum closes on the driver (same discipline as the
+    geometric-mean and JSD queries: per-term values are bit-identical
+    to SQL, sum-order drift is ~1e-13 relative, far inside round-6)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"n_customers": pd.Series([], dtype="int64"),
+                          "theil_t": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"cust": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "x": pa.array(c, pa.int64())})
+
+    per = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["cust"], sum_cols=["x"], combine="driver")
+    x = per["x"].to_numpy(np.int64)
+    x = x[x > 0]
+    n = len(x)
+    if n == 0:
+        return empty
+    t = int(x.astype(object).sum())
+    mu = (1.0 * t) / n / 100.0
+    ratio = (x / 100.0) / mu
+    theil = (ratio * np.log(ratio)).sum() / n
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_customers": [np.int64(n)],
+                         "theil_t": [r6(theil)]})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -15784,6 +16053,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_autocorr7": daily_revenue_autocorr7,
         "orders_benford": orders_benford,
         "customer_spend_gini": customer_spend_gini,
+        "docs_orc_roundtrip": docs_orc_roundtrip,
+        "daily_revenue_ewma14": daily_revenue_ewma14,
+        "user_active_streaks": user_active_streaks,
+        "daily_revenue_rolling_median7": daily_revenue_rolling_median7,
+        "customer_spend_theil": customer_spend_theil,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -19948,6 +20222,87 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(2*ix - (n+1)*t AS DOUBLE)
                          / ((1.0*n)*CAST(t AS DOUBLE)), 6) + 0 AS gini
             FROM m WHERE n > 0 AND t > 0
+        """,
+        "docs_orc_roundtrip": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   lpad(to_hex(bit_xor(md5_number_lower(text))), 16, '0')
+                     AS checksum
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "daily_revenue_ewma14": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 j AS (SELECT a.day AS day,
+                              sum(CAST(b.c AS HUGEINT)
+                                  * CAST(round(power(9.0, a.day - b.day))
+                                         AS HUGEINT)
+                                  * CAST(round(power(10.0,
+                                            13 - (a.day - b.day)))
+                                         AS HUGEINT)) AS num,
+                              sum(CAST(round(power(9.0, a.day - b.day))
+                                       AS HUGEINT)
+                                  * CAST(round(power(10.0,
+                                            13 - (a.day - b.day)))
+                                         AS HUGEINT)) AS den
+                       FROM d a JOIN d b
+                         ON b.day BETWEEN a.day - 13 AND a.day
+                       GROUP BY 1)
+            SELECT make_timestamp(day * 86400000000) AS day,
+                   round(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)/100.0,
+                         6) AS ewma
+            FROM j ORDER BY day
+        """,
+        "user_active_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(date_trunc('day', ts))
+                                   /86400000000 AS BIGINT) AS day
+                       FROM events),
+                 s AS (SELECT user_id, day,
+                              day - row_number() OVER (
+                                  PARTITION BY user_id ORDER BY day)
+                                AS anch
+                       FROM d),
+                 r AS (SELECT user_id, count(*)::BIGINT AS len
+                       FROM s GROUP BY user_id, anch),
+                 m AS (SELECT user_id, max(len) AS max_streak
+                       FROM r GROUP BY 1)
+            SELECT max_streak::BIGINT AS max_streak,
+                   count(*)::BIGINT AS n_users
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "daily_revenue_rolling_median7": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 w AS (SELECT day, median(c) OVER (ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS m
+                       FROM d)
+            SELECT make_timestamp(day * 86400000000) AS day,
+                   round(m / 100.0, 6) AS median7
+            FROM w ORDER BY day
+        """,
+        "customer_spend_theil": """
+            WITH s AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS x
+                       FROM orders GROUP BY 1),
+                 m AS (SELECT count(*)::BIGINT AS n,
+                              sum(CAST(x AS HUGEINT)) AS t
+                       FROM s WHERE x > 0)
+            SELECT n AS n_customers,
+                   round(sum((x/100.0)/((1.0*t)/n/100.0)
+                             * ln((x/100.0)/((1.0*t)/n/100.0)))
+                         / n, 6) + 0 AS theil_t
+            FROM s, m WHERE x > 0 GROUP BY n
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -302,6 +302,11 @@ BENCH_QUERIES = [
     "daily_revenue_autocorr7",
     "orders_benford",
     "customer_spend_gini",
+    "docs_orc_roundtrip",
+    "daily_revenue_ewma14",
+    "user_active_streaks",
+    "daily_revenue_rolling_median7",
+    "customer_spend_theil",
 ]
 
 FLAGSHIP = "linkage_clusters"
