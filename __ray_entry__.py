@@ -15800,6 +15800,276 @@ def customer_spend_theil(sf_dir: str):
                          "theil_t": [r6(theil)]})
 
 
+def part_token_assortativity(sf_dir: str):
+    """Degree assortativity of the part-name token co-occurrence graph
+    (do well-connected words co-occur with well-connected words?) —
+    the graph-family companion to the triangle/clustering queries on a
+    graph whose degrees actually vary (the supplier co-supply graph is
+    complete at every test scale).  Per-batch local pair expansion
+    (factorize → within-row pairs → canonicalize by token string) then
+    ONE bounded (t1, t2) distinct aggregate — the vocabulary is ~10²
+    words, so the global pair set is ≤ vocab², no matter how many
+    parts; the Pearson-over-directed-edges close is exact Python-int /
+    HUGEINT arithmetic on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.graph import PAIR_BITS, cooccurrence_pairs
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    empty = pd.DataFrame({"n_tokens": pd.Series([], dtype="int64"),
+                          "n_edges": pd.Series([], dtype="int64"),
+                          "assortativity": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    mask = np.int64((1 << PAIR_BITS) - 1)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b.column("p_name").to_pylist()).str.split(" ")
+        e = s.explode()
+        codes, toks = pd.factorize(e.to_numpy())
+        rows = e.index.to_numpy().astype(np.int64)
+        comp = (rows << PAIR_BITS) + codes
+        pairs = cooccurrence_pairs(comp)
+        toks = toks.astype(object)
+        u = toks[(pairs >> PAIR_BITS)]
+        v = toks[pairs & mask]
+        sw = u > v
+        return pa.table({"t1": pa.array(np.where(sw, v, u), pa.string()),
+                         "t2": pa.array(np.where(sw, u, v), pa.string()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    pairs = partial_group_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["t1", "t2"], sum_cols=["one"], combine="driver")
+    if pairs.empty:
+        return empty
+    codes, toks = pd.factorize(
+        np.concatenate([pairs["t1"].to_numpy(object),
+                        pairs["t2"].to_numpy(object)]))
+    half = len(pairs)
+    a, b_ = codes[:half], codes[half:]
+    deg = np.bincount(np.concatenate([a, b_]),
+                      minlength=len(toks)).astype(object)
+    da, db = deg[a], deg[b_]
+    n = 2 * half
+    sx = (da + db).sum()
+    sxy = 2 * (da * db).sum()
+    sxx = (da * da + db * db).sum()
+    vr = n * sxx - sx * sx
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    # Degenerate (regular) graph → NULL/NaN, matching SQL's x/0.0;
+    # the node/edge counts stay checkable even then.
+    r = (r6((1.0 * (n * sxy - sx * sx)) / (1.0 * vr)) if vr > 0
+         else float("nan"))
+    return pd.DataFrame({"n_tokens": [np.int64(len(toks))],
+                         "n_edges": [np.int64(half)],
+                         "assortativity": [r]})
+
+
+def brand_weighted_median_price(sf_dir: str):
+    """Quantity-weighted median unit price per brand — the weighted
+    order statistic (smallest price whose cumulative weight reaches
+    half the brand's total), exact in integer cents.  The part→brand
+    side broadcasts once; (brand, cents) weight partials are one
+    bounded aggregate (25 brands × distinct cents) and the weighted
+    walk closes on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_quantity"])
+    empty = pd.DataFrame({"brand": pd.Series([], dtype="object"),
+                          "wmedian": pd.Series([], dtype="float64")})
+    if line.count() == 0:
+        return empty
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brands = np.sort(part["p_brand"].unique()).astype(object)
+    bcode = {b: i for i, b in enumerate(brands)}
+    import ray
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy(np.int64)))
+    bc_ref = ray.put(part.sort_values("p_partkey")["p_brand"]
+                     .map(bcode).to_numpy(np.int64))
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        pk = cached_get(pk_ref)
+        bc = cached_get(bc_ref)
+        lp = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pk, lp)
+        c = np.rint(b.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        w = np.rint(b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"bcode": pa.array(bc[idx], pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    g = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                          ["bcode", "c"], sum_cols=["w"],
+                          combine="driver")
+    g = g.sort_values(["bcode", "c"]).reset_index(drop=True)
+    bcodes = g["bcode"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    w = g["w"].to_numpy(np.int64)
+    out_b, out_m = [], []
+    for code in np.unique(bcodes):
+        m = bcodes == code
+        cw = np.cumsum(w[m])
+        tot = cw[-1]
+        i = int(np.searchsorted(2 * cw, tot))
+        out_b.append(brands[code])
+        out_m.append(c[m][i] / 100.0)
+    return pd.DataFrame({"brand": pd.Series(out_b, dtype="object"),
+                         "wmedian": np.array(out_m, np.float64)})
+
+
+def nation_type_simpson(sf_dir: str):
+    """Gini–Simpson diversity of part types shipped per supplier
+    nation: 1 − Σ(nᵢ/N)², closed as the exact integer rational
+    (N²−Σnᵢ²)/N² — the ecology-style concentration metric next to the
+    entropy and HHI queries.  Two broadcast dims fold into one lineitem
+    scan; (nation, type) cells are dimension-bounded."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    empty = pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                          "n_types": pd.Series([], dtype="int64"),
+                          "simpson": pd.Series([], dtype="float64")})
+    if line.count() == 0:
+        return empty
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    types = np.sort(part["p_type"].unique()).astype(object)
+    tcode = {t: i for i, t in enumerate(types)}
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    pk_ref = ray.put(np.sort(part["p_partkey"].to_numpy(np.int64)))
+    pt_ref = ray.put(part.sort_values("p_partkey")["p_type"]
+                     .map(tcode).to_numpy(np.int64))
+    sk_ref = ray.put(np.sort(supp["s_suppkey"].to_numpy(np.int64)))
+    sn_ref = ray.put(supp.sort_values("s_suppkey")["s_nationkey"]
+                     .to_numpy(np.int64))
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        pk, pt = cached_get(pk_ref), cached_get(pt_ref)
+        sk, sn = cached_get(sk_ref), cached_get(sn_ref)
+        lp = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nk": pa.array(sn[np.searchsorted(sk, ls)], pa.int64()),
+            "tp": pa.array(pt[np.searchsorted(pk, lp)], pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    g = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                          ["nk", "tp"], sum_cols=["one"],
+                          combine="driver")
+    rows = []
+    for nk, sub in g.groupby("nk"):
+        cnt = [int(v) for v in sub["one"].to_numpy(np.int64)]
+        t = sum(cnt)
+        sq = sum(v * v for v in cnt)
+        simpson = (1.0 * (t * t - sq)) / ((1.0 * t) * (1.0 * t))
+        rows.append((int(nk), len(cnt),
+                     float(np.floor(simpson * 1e6 + 0.5) / 1e6)))
+    out = pd.DataFrame(rows, columns=["nationkey", "n_types", "simpson"])
+    return out.sort_values("nationkey").reset_index(drop=True) \
+        .astype({"nationkey": "int64", "n_types": "int64"})
+
+
+def events_hour_of_week(sf_dir: str):
+    """Hour-of-week activity heatmap: count and exact-cents mean value
+    per (ISO day-of-week, hour) cell — the 168-cell seasonality matrix
+    behind staffing and capacity dashboards.  Closed-form calendar
+    arithmetic per batch, one bounded partial aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"dow": pd.Series([], dtype="int64"),
+                          "hr": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "avg_value": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        dow = (us // DAY_US + 3) % 7 + 1
+        hr = (us % DAY_US) // HOUR_US
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"dow": pa.array(dow, pa.int64()),
+                         "hr": pa.array(hr, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["dow", "hr"], sum_cols=["c"],
+                          count_alias="n", combine="driver")
+    g = g.sort_values(["dow", "hr"]).reset_index(drop=True)
+    s = g["c"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    avg = (1.0 * s) / n / 100.0
+    return pd.DataFrame({"dow": g["dow"].astype("int64"),
+                         "hr": g["hr"].astype("int64"),
+                         "n": g["n"].astype("int64"),
+                         "avg_value": np.floor(avg * 1e6 + 0.5) / 1e6})
+
+
+def user_event_cms_top(sf_dir: str):
+    """Count-Min sketch point estimates next to exact recounts for the
+    top-10 users by event count — the fixed-memory frequency sketch
+    (completes the sketch family: HLL, Misra-Gries, Bloom, MinHash,
+    SimHash, approx-quantiles).  The sketch build is one bounded
+    (depth×width)-cell aggregate regardless of user cardinality; the
+    exact side is the usual partial aggregate.  Rows-only (a sketch
+    has no SQL equivalent); the ≥-exact and ε-overshoot guarantees are
+    pytest-gated."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.sketches import (count_min_estimate,
+                                             count_min_matrix)
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "exact_n": pd.Series([], dtype="int64"),
+                          "cms_est": pd.Series([], dtype="int64"),
+                          "overcount": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+
+    exact = partial_group_agg(ds, ["user_id"], count_alias="exact_n",
+                              combine="driver")
+    exact = exact.sort_values(["exact_n", "user_id"],
+                              ascending=[False, True],
+                              kind="stable").head(10)
+    m = count_min_matrix(ds, "user_id", width_bits=11, depth=4)
+    keys = exact["user_id"].to_numpy(np.int64)
+    est = count_min_estimate(m, keys)
+    return pd.DataFrame({"user_id": keys,
+                         "exact_n": exact["exact_n"].to_numpy(np.int64),
+                         "cms_est": est.astype(np.int64),
+                         "overcount": (est - exact["exact_n"]
+                                       .to_numpy(np.int64))
+                         .astype(np.int64)}).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -16058,6 +16328,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_streaks": user_active_streaks,
         "daily_revenue_rolling_median7": daily_revenue_rolling_median7,
         "customer_spend_theil": customer_spend_theil,
+        "part_token_assortativity": part_token_assortativity,
+        "brand_weighted_median_price": brand_weighted_median_price,
+        "nation_type_simpson": nation_type_simpson,
+        "events_hour_of_week": events_hour_of_week,
+        "user_event_cms_top": user_event_cms_top,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -20303,6 +20578,79 @@ def oracle_sql() -> dict[str, str]:
                              * ln((x/100.0)/((1.0*t)/n/100.0)))
                          / n, 6) + 0 AS theil_t
             FROM s, m WHERE x > 0 GROUP BY n
+        """,
+        "part_token_assortativity": """
+            WITH tk AS (SELECT p_partkey pk,
+                               unnest(string_split(p_name, ' ')) tok
+                        FROM part),
+                 d AS (SELECT DISTINCT pk, tok FROM tk),
+                 e AS (SELECT DISTINCT a.tok u, b.tok v
+                       FROM d a JOIN d b
+                         ON a.pk = b.pk AND a.tok < b.tok),
+                 de AS (SELECT u, v FROM e
+                        UNION ALL SELECT v, u FROM e),
+                 deg AS (SELECT u AS s, count(*)::BIGINT dg
+                         FROM de GROUP BY 1),
+                 m AS (SELECT count(*)::BIGINT n,
+                              sum(CAST(du.dg AS HUGEINT)) sx,
+                              sum(CAST(du.dg AS HUGEINT)*dv.dg) sxy,
+                              sum(CAST(du.dg AS HUGEINT)*du.dg) sxx
+                       FROM de JOIN deg du ON du.s = de.u
+                               JOIN deg dv ON dv.s = de.v),
+                 v AS (SELECT count(DISTINCT tok)::BIGINT AS n_tokens
+                       FROM tk)
+            SELECT v.n_tokens, n/2 AS n_edges,
+                   round(CAST(n*sxy - sx*sx AS DOUBLE)
+                         / (CASE WHEN n*sxx - sx*sx > 0
+                            THEN CAST(n*sxx - sx*sx AS DOUBLE)
+                            ELSE NULL END), 6) + 0 AS assortativity
+            FROM m, v WHERE n > 0
+        """,
+        "brand_weighted_median_price": """
+            WITH j AS (SELECT p_brand brand,
+                              CAST(round(l_extendedprice*100) AS BIGINT)
+                                AS c,
+                              CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+                 g AS (SELECT brand, c, sum(w)::BIGINT w
+                       FROM j GROUP BY 1, 2),
+                 cw AS (SELECT brand, c,
+                               CAST(sum(w) OVER (PARTITION BY brand
+                                   ORDER BY c
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                 AS cum,
+                               CAST(sum(w) OVER (PARTITION BY brand)
+                                    AS BIGINT) AS tot
+                        FROM g),
+                 p AS (SELECT brand, min(c) AS mc
+                       FROM cw WHERE 2*cum >= tot GROUP BY brand)
+            SELECT brand, mc/100.0 AS wmedian FROM p ORDER BY brand
+        """,
+        "nation_type_simpson": """
+            WITH j AS (SELECT s_nationkey nk, p_type tp
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey
+                       JOIN supplier ON s_suppkey = l_suppkey),
+                 g AS (SELECT nk, tp, count(*)::BIGINT n
+                       FROM j GROUP BY 1, 2),
+                 m AS (SELECT nk, sum(CAST(n AS HUGEINT)) t,
+                              sum(CAST(n AS HUGEINT)*n) sq,
+                              count(*)::BIGINT k
+                       FROM g GROUP BY 1)
+            SELECT nk::BIGINT AS nationkey, k AS n_types,
+                   round(CAST(t*t - sq AS DOUBLE)
+                         / ((1.0*t)*(1.0*t)), 6) + 0 AS simpson
+            FROM m ORDER BY nk
+        """,
+        "events_hour_of_week": """
+            WITH c AS (SELECT isodow(ts) AS dow, hour(ts) AS hr,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events)
+            SELECT dow::BIGINT AS dow, hr::BIGINT AS hr,
+                   count(*)::BIGINT AS n,
+                   round((1.0*sum(c))/count(*)/100.0, 6) AS avg_value
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

@@ -307,6 +307,11 @@ BENCH_QUERIES = [
     "user_active_streaks",
     "daily_revenue_rolling_median7",
     "customer_spend_theil",
+    "part_token_assortativity",
+    "brand_weighted_median_price",
+    "nation_type_simpson",
+    "events_hour_of_week",
+    "user_event_cms_top",
 ]
 
 FLAGSHIP = "linkage_clusters"

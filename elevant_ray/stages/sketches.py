@@ -325,3 +325,63 @@ def bloom_from_dataset(ds, col: str, m_bits: int = 1 << 20,
         for buf in batch.column("words").to_pylist():
             words |= np.frombuffer(buf, dtype=np.uint64)
     return words
+
+
+_CMS_MULTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_buckets(keys: np.ndarray, width_bits: int, depth: int):
+    """(depth, n) bucket indices for int64 keys: one multiply-xorshift
+    mix per row (NO int64 modulo — scalar division; the width is a
+    power of two so the bucket is the top ``width_bits`` of the mix,
+    the same trick as the minhash remix)."""
+    v = keys.astype(np.int64).view(np.uint64)
+    out = np.empty((depth, len(v)), np.int64)
+    for d in range(depth):
+        h = v * _CMS_MULTS[d]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+        out[d] = (h >> np.uint64(64 - width_bits)).astype(np.int64)
+    return out
+
+
+def count_min_matrix(ds, col: str, width_bits: int = 11,
+                     depth: int = 4) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over an int64
+    column, built distributed: each batch bincounts its keys into the
+    (depth × 2^width_bits) grid and emits (cell, cnt) partial rows;
+    the cell space is fixed-size, so the merge is an ordinary bounded
+    sum aggregate no matter the key cardinality.  Returns the dense
+    matrix on the driver.  Guarantee: estimate ≥ true count, and
+    overshoot ≤ e/width · N with probability 1 − e^−depth."""
+    from .util import partial_group_agg
+
+    width = 1 << width_bits
+    depth = min(depth, len(_CMS_MULTS))
+
+    def partials(b: pa.Table) -> pa.Table:
+        keys = b.column(col).to_numpy(zero_copy_only=False)
+        bk = _cms_buckets(keys, width_bits, depth)
+        cells = (np.arange(depth, dtype=np.int64)[:, None] * width
+                 + bk).ravel()
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    agg = partial_group_agg(ds.map_batches(partials,
+                                           batch_format="pyarrow"),
+                            ["cell"], sum_cols=["cnt"], combine="driver")
+    m = np.zeros(depth * width, np.int64)
+    if not agg.empty:
+        m[agg["cell"].to_numpy(np.int64)] = agg["cnt"].to_numpy(np.int64)
+    return m.reshape(depth, width)
+
+
+def count_min_estimate(matrix: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates for int64 keys: min over the depth rows."""
+    depth, width = matrix.shape
+    bk = _cms_buckets(keys, int(width).bit_length() - 1, depth)
+    return np.min(matrix[np.arange(depth)[:, None], bk], axis=0)

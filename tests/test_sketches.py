@@ -185,3 +185,34 @@ def test_hll_registers_rejects_small_p():
 
     with pytest.raises(ValueError):
         hll_registers(np.array([1, 2, 3], np.int64), p=10)
+
+
+def test_count_min_never_undercounts_and_bounded_overshoot(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from elevant_ray.stages.sketches import (count_min_estimate,
+                                             count_min_matrix)
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish key stream with heavy hitters
+    keys = rng.zipf(1.5, size=20_000).astype(np.int64) % 500
+    ds = rd.from_pandas(__import__("pandas").DataFrame({"k": keys}))
+    m = count_min_matrix(ds, "k", width_bits=11, depth=4)
+    assert m.shape == (4, 2048)
+    assert int(m[0].sum()) == len(keys)  # each row counts every key once
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = count_min_estimate(m, uniq)
+    assert (est >= exact).all()
+    # ε = e/width; overshoot beyond εN for ALL of depth rows is ~e^-4
+    eps_n = np.e / 2048 * len(keys)
+    assert (est - exact <= 2 * eps_n).all()
+
+
+def test_count_min_query_estimates_match_exact_at_tiny_scale(ray_session):
+    import __ray_entry__ as m
+
+    df = m.queries()["user_event_cms_top"]("/root/testdata/sf0.001")
+    assert len(df) > 0
+    assert (df["cms_est"] >= df["exact_n"]).all()
+    assert (df["overcount"] == df["cms_est"] - df["exact_n"]).all()
