@@ -15910,23 +15910,16 @@ def brand_weighted_median_price(sf_dir: str):
                          "c": pa.array(c, pa.int64()),
                          "w": pa.array(w, pa.int64())})
 
-    g = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
-                          ["bcode", "c"], sum_cols=["w"],
-                          combine="driver")
-    g = g.sort_values(["bcode", "c"]).reset_index(drop=True)
-    bcodes = g["bcode"].to_numpy(np.int64)
-    c = g["c"].to_numpy(np.int64)
-    w = g["w"].to_numpy(np.int64)
-    out_b, out_m = [], []
-    for code in np.unique(bcodes):
-        m = bcodes == code
-        cw = np.cumsum(w[m])
-        tot = cw[-1]
-        i = int(np.searchsorted(2 * cw, tot))
-        out_b.append(brands[code])
-        out_m.append(c[m][i] / 100.0)
-    return pd.DataFrame({"brand": pd.Series(out_b, dtype="object"),
-                         "wmedian": np.array(out_m, np.float64)})
+    from elevant_ray.stages.quantiles import grouped_weighted_median
+
+    med = grouped_weighted_median(
+        line.map_batches(pre, batch_format="pyarrow"),
+        "c", "w", group_cols=["bcode"]).to_pandas()
+    med = med.sort_values("bcode").reset_index(drop=True)
+    return pd.DataFrame({
+        "brand": pd.Series(brands[med["bcode"].to_numpy(np.int64)],
+                           dtype="object"),
+        "wmedian": med["c"].to_numpy(np.int64) / 100.0})
 
 
 def nation_type_simpson(sf_dir: str):
@@ -16068,6 +16061,279 @@ def user_event_cms_top(sf_dir: str):
                          "overcount": (est - exact["exact_n"]
                                        .to_numpy(np.int64))
                          .astype(np.int64)}).reset_index(drop=True)
+
+
+def _events_midpoint_us(ds):
+    """Midpoint of the event timeline in epoch µs (floor of the
+    min/max average) — the deterministic H1/H2 split shared by the
+    drift queries.  One bounded min/max partial aggregate."""
+    import numpy as np
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({"k": pa.array(np.zeros(len(us), np.int64)),
+                         "us_mn": pa.array(us, pa.int64()),
+                         "us_mx": pa.array(us, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["k"], min_cols=["us_mn"], max_cols=["us_mx"],
+                          combine="driver")
+    return (int(g["us_mn"].iloc[0]) + int(g["us_mx"].iloc[0])) // 2
+
+
+def events_value_psi(sf_dir: str):
+    """Population Stability Index of event value, first half vs second
+    half of the timeline — the model-monitoring drift metric.  Decile
+    boundaries come from the H1 exact-cents histogram (quantile_disc
+    semantics, shared with the quantile queries); both halves bucket
+    against them and each bucket's PSI term closes per-CELL (never sum
+    float cells across rows — the chi-square lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.quantiles import quantiles_from_histogram
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    empty = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                          "n1": pd.Series([], dtype="int64"),
+                          "n2": pd.Series([], dtype="int64"),
+                          "psi_term": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    mid = _events_midpoint_us(ds)
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.rint(b.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"half": pa.array(np.where(us < mid, 1, 2),
+                                          pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    hist = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                             ["half", "c"], count_alias="n",
+                             combine="driver")
+    h1 = hist[hist["half"] == 1]
+    if h1.empty or hist[hist["half"] == 2].empty:
+        return empty
+    qs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    bounds = np.array(sorted(quantiles_from_histogram(
+        dict(zip(h1["c"].tolist(), h1["n"].tolist())), qs).values()),
+        np.int64)
+    # bucket = #boundaries strictly below the value (ties collapse the
+    # same way as SQL's sum(c > q))
+    bkt = np.searchsorted(np.sort(bounds),
+                          hist["c"].to_numpy(np.int64), side="left")
+    df = pd.DataFrame({"half": hist["half"].to_numpy(np.int64),
+                       "bucket": bkt.astype(np.int64),
+                       "n": hist["n"].to_numpy(np.int64)})
+    g = df.pivot_table(index="bucket", columns="half", values="n",
+                       aggfunc="sum", fill_value=0)
+    n1 = g.get(1, pd.Series(0, index=g.index)).to_numpy(np.int64)
+    n2 = g.get(2, pd.Series(0, index=g.index)).to_numpy(np.int64)
+    tn1, tn2 = int(n1.sum()), int(n2.sum())
+    keep = (n1 > 0) & (n2 > 0)
+    p1 = (1.0 * n1[keep]) / tn1
+    p2 = (1.0 * n2[keep]) / tn2
+    term = (p2 - p1) * np.log(p2 / p1)
+    r6 = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        "bucket": g.index.to_numpy(np.int64)[keep],
+        "n1": n1[keep], "n2": n2[keep],
+        "psi_term": r6(term) + 0.0}).reset_index(drop=True)
+
+
+def user_purchase_mcnemar(sf_dir: str):
+    """McNemar test on paired user behavior: do users who purchase on
+    weekends also purchase on weekdays?  b = weekend-only purchasers,
+    c = weekday-only; χ² = (b−c)²/(b+c), exact integers closed with
+    one mirrored float division.  Per-user flags are max partials over
+    one scan."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    empty = pd.DataFrame({"n_users": pd.Series([], dtype="int64"),
+                          "b_weekend_only": pd.Series([], dtype="int64"),
+                          "c_weekday_only": pd.Series([], dtype="int64"),
+                          "chi2": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        purch = pc.equal(b.column("event_type"),
+                         pa.scalar("purchase")).to_numpy(
+            zero_copy_only=False)
+        we = (us // DAY_US + 3) % 7 >= 5
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "p1": pa.array((purch & we).astype(np.int64)),
+            "p2": pa.array((purch & ~we).astype(np.int64))})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["user_id"], max_cols=["p1", "p2"],
+                          combine="driver")
+    p1 = g["p1"].to_numpy(np.int64)
+    p2 = g["p2"].to_numpy(np.int64)
+    b_ = int(((p1 == 1) & (p2 == 0)).sum())
+    c_ = int(((p1 == 0) & (p2 == 1)).sum())
+    if b_ + c_ == 0:
+        return empty
+    chi2 = (1.0 * ((b_ - c_) * (b_ - c_))) / (1.0 * (b_ + c_))
+    return pd.DataFrame({"n_users": [np.int64(len(g))],
+                         "b_weekend_only": [np.int64(b_)],
+                         "c_weekday_only": [np.int64(c_)],
+                         "chi2": [float(np.floor(chi2 * 1e6 + 0.5)
+                                        / 1e6) + 0.0]})
+
+
+def linkage_ari(sf_dir: str):
+    """Adjusted Rand Index of the flagship linkage clusters against the
+    planted ground truth (pages born from the same doc_id) — the
+    chance-corrected companion to the pairwise-F1 gate.  The (cluster,
+    doc_id) contingency is one grouped count over the label↔page join
+    (cogroup, page-bounded); the ARI closes in exact Python-int pair
+    arithmetic: (2T·Sij − 2Sa·Sb) / (T·(Sa+Sb) − 2Sa·Sb) with
+    S = Σ n(n−1), T = n(n−1).  Rows-only (clusters are engine
+    output, not SQL-derivable)."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.pipelines.record_linkage import (cluster_pages,
+                                                      prepare_pages)
+    from elevant_ray.sources.pages import synth_pages
+    from elevant_ray.stages.util import cogroup_join, partial_group_agg
+
+    if _read(sf_dir, "documents", ["doc_id"]).count() == 0:
+        return pd.DataFrame({"n_pages": pd.Series([], dtype="int64"),
+                             "ari": pd.Series([], dtype="float64")})
+    pages = prepare_pages(synth_pages(sf_dir, include_doc_id=True)) \
+        .materialize()
+    labels, _ = cluster_pages(pages, num_partitions=_shuffle_parts())
+    truth = pages.map_batches(
+        lambda b: b.select(["url", "doc_id"]), batch_format="pyarrow")
+    joined = cogroup_join(
+        labels.rename_columns({"node": "url"}), truth, on="url",
+        left_schema=pa.schema([("url", pa.string()),
+                               ("label", pa.string())]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("doc_id", pa.int64())]))
+    cont = partial_group_agg(joined, ["label", "doc_id"],
+                             count_alias="n", combine="driver")
+    nij = cont["n"].to_numpy(np.int64)
+    n = int(nij.sum())
+    if n < 2:
+        return pd.DataFrame({"n_pages": [np.int64(n)],
+                             "ari": [float("nan")]})
+    sij = int(sum(int(v) * (int(v) - 1) for v in nij))
+    a = cont.groupby("label")["n"].sum().to_numpy(np.int64)
+    b_ = cont.groupby("doc_id")["n"].sum().to_numpy(np.int64)
+    sa = int(sum(int(v) * (int(v) - 1) for v in a))
+    sb = int(sum(int(v) * (int(v) - 1) for v in b_))
+    t = n * (n - 1)
+    den = t * (sa + sb) - 2 * sa * sb
+    ari = 1.0 if den == 0 else (1.0 * (2 * t * sij - 2 * sa * sb)) \
+        / (1.0 * den)
+    return pd.DataFrame({"n_pages": [np.int64(n)],
+                         "ari": [float(ari)]})
+
+
+def user_activity_powerlaw_alpha(sf_dir: str):
+    """Continuous-MLE power-law exponent of the per-user event-count
+    distribution (Clauset-style α = 1 + n / Σ ln(xᵢ / 0.5) with
+    x_min = 1) — the heavy-tail diagnostic next to Zipf and the Fano
+    factor.  Per-user counts are dimension-bounded; the log sum closes
+    on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    empty = pd.DataFrame({"n_users": pd.Series([], dtype="int64"),
+                          "alpha": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    g = partial_group_agg(ds, ["user_id"], count_alias="n",
+                          combine="driver")
+    x = g["n"].to_numpy(np.float64)
+    s = np.log(x / 0.5).sum()
+    if s <= 0:
+        return empty
+    alpha = 1.0 + (1.0 * len(x)) / s
+    return pd.DataFrame({"n_users": [np.int64(len(x))],
+                         "alpha": [float(np.floor(alpha * 1e6 + 0.5)
+                                         / 1e6)]})
+
+
+def daily_revenue_acf(sf_dir: str):
+    """Autocorrelation function of daily revenue at lags 1..14 on the
+    observed-day calendar grid — the seasonality fingerprint
+    (generalizes the lag-7 query to the full vector).  One bounded
+    daily aggregate; each lag is a searchsorted probe with the exact
+    integer-moment Pearson close (Python int / HUGEINT)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"lag": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64"),
+                          "acf": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    rows = []
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    for lag in range(1, 15):
+        idx = np.searchsorted(days, days - lag)
+        idx = np.clip(idx, 0, max(len(days) - 1, 0))
+        ok = days[idx] == days - lag
+        n = int(ok.sum())
+        if n < 2:
+            continue
+        x = c[idx[ok]].astype(object)
+        y = c[ok].astype(object)
+        sx, sy = x.sum(), y.sum()
+        vn = n * (x * y).sum() - sx * sy
+        vx = n * (x * x).sum() - sx * sx
+        vy = n * (y * y).sum() - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue
+        rows.append((lag, n,
+                     r6((1.0 * vn) / math.sqrt((1.0 * vx) * (1.0 * vy)))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"]) \
+        .astype({"lag": "int64", "n_pairs": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -16333,6 +16599,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_type_simpson": nation_type_simpson,
         "events_hour_of_week": events_hour_of_week,
         "user_event_cms_top": user_event_cms_top,
+        "events_value_psi": events_value_psi,
+        "user_purchase_mcnemar": user_purchase_mcnemar,
+        "linkage_ari": linkage_ari,
+        "user_activity_powerlaw_alpha": user_activity_powerlaw_alpha,
+        "daily_revenue_acf": daily_revenue_acf,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -20651,6 +20922,94 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    round((1.0*sum(c))/count(*)/100.0, 6) AS avg_value
             FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_value_psi": """
+            WITH b0 AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
+                                 // 2 AS mid
+                        FROM events),
+                 c AS (SELECT CASE WHEN epoch_us(ts) <
+                                       (SELECT mid FROM b0)
+                                   THEN 1 ELSE 2 END AS half,
+                              CAST(round(value*100) AS BIGINT) AS c
+                       FROM events),
+                 q AS (SELECT quantile_disc(c, [0.1,0.2,0.3,0.4,0.5,
+                                                0.6,0.7,0.8,0.9]) AS qs
+                       FROM c WHERE half = 1),
+                 t AS (SELECT half,
+                              list_sum(list_transform(
+                                  (SELECT qs FROM q),
+                                  x -> CAST(c > x AS BIGINT)))::BIGINT
+                                AS bucket
+                       FROM c),
+                 g AS (SELECT bucket,
+                              sum(CASE WHEN half=1 THEN 1 ELSE 0
+                                  END)::BIGINT n1,
+                              sum(CASE WHEN half=2 THEN 1 ELSE 0
+                                  END)::BIGINT n2
+                       FROM t GROUP BY 1),
+                 n AS (SELECT sum(n1)::BIGINT tn1, sum(n2)::BIGINT tn2
+                       FROM g)
+            SELECT bucket, n1, n2,
+                   round(((1.0*n2)/tn2 - (1.0*n1)/tn1)
+                         * ln(((1.0*n2)/tn2)/((1.0*n1)/tn1)), 6) + 0
+                     AS psi_term
+            FROM g, n WHERE n1 > 0 AND n2 > 0 ORDER BY bucket
+        """,
+        "user_purchase_mcnemar": """
+            WITH u AS (SELECT user_id,
+                              max(CASE WHEN event_type = 'purchase'
+                                   AND isodow(ts) >= 6
+                                   THEN 1 ELSE 0 END) p1,
+                              max(CASE WHEN event_type = 'purchase'
+                                   AND isodow(ts) < 6
+                                   THEN 1 ELSE 0 END) p2
+                       FROM events GROUP BY 1),
+                 m AS (SELECT count(*)::BIGINT n,
+                              sum(CASE WHEN p1=1 AND p2=0
+                                  THEN 1 ELSE 0 END)::BIGINT b,
+                              sum(CASE WHEN p1=0 AND p2=1
+                                  THEN 1 ELSE 0 END)::BIGINT c
+                       FROM u)
+            SELECT n AS n_users, b AS b_weekend_only,
+                   c AS c_weekday_only,
+                   round(CAST((b-c)*(b-c) AS DOUBLE)/(1.0*(b+c)), 6)
+                     + 0 AS chi2
+            FROM m WHERE b + c > 0
+        """,
+        "user_activity_powerlaw_alpha": """
+            WITH g AS (SELECT user_id, count(*)::BIGINT n
+                       FROM events GROUP BY 1),
+                 m AS (SELECT count(*)::BIGINT nu, sum(ln(n / 0.5)) s
+                       FROM g)
+            SELECT nu AS n_users, round(1.0 + (1.0*nu)/s, 6) AS alpha
+            FROM m WHERE s > 0
+        """,
+        "daily_revenue_acf": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 l AS (SELECT unnest(generate_series(1, 14)) AS lag),
+                 p AS (SELECT l.lag, a.c x, b.c y
+                       FROM d a CROSS JOIN l
+                       JOIN d b ON b.day = a.day + l.lag),
+                 m AS (SELECT lag, count(*)::BIGINT n,
+                              sum(CAST(x AS HUGEINT)) sx,
+                              sum(CAST(y AS HUGEINT)) sy,
+                              sum(CAST(x AS HUGEINT)*y) sxy,
+                              sum(CAST(x AS HUGEINT)*x) sxx,
+                              sum(CAST(y AS HUGEINT)*y) syy
+                       FROM p GROUP BY 1)
+            SELECT lag::BIGINT AS lag, n AS n_pairs,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                     + 0 AS acf
+            FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
+                  AND n*syy - sy*sy > 0
+            ORDER BY lag
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /

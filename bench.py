@@ -312,6 +312,10 @@ BENCH_QUERIES = [
     "nation_type_simpson",
     "events_hour_of_week",
     "user_event_cms_top",
+    "events_value_psi",
+    "user_purchase_mcnemar",
+    "user_activity_powerlaw_alpha",
+    "daily_revenue_acf",
 ]
 
 FLAGSHIP = "linkage_clusters"
