@@ -16336,6 +16336,230 @@ def daily_revenue_acf(sf_dir: str):
         .astype({"lag": "int64", "n_pairs": "int64"})
 
 
+def events_join_size_stat(sf_dir: str):
+    """Join-cardinality statistic: the EXACT output size of the
+    self-equi-join between first-half and second-half events on
+    user_id (Σ n1(k)·n2(k)), plus both input sizes — the number a
+    query planner estimates with sketches, computed here exactly from
+    one per-key count aggregate without materializing the join."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    empty = pd.DataFrame({"n_h1": pd.Series([], dtype="int64"),
+                          "n_h2": pd.Series([], dtype="int64"),
+                          "join_rows": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+    mid = _events_midpoint_us(ds)
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        h1 = (us < mid).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "c1": pa.array(h1), "c2": pa.array(1 - h1)})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["user_id"], sum_cols=["c1", "c2"],
+                          combine="driver")
+    c1 = g["c1"].to_numpy(np.int64).astype(object)
+    c2 = g["c2"].to_numpy(np.int64).astype(object)
+    return pd.DataFrame({"n_h1": [np.int64(int(c1.sum()))],
+                         "n_h2": [np.int64(int(c2.sum()))],
+                         "join_rows": [np.int64(int((c1 * c2).sum()))]})
+
+
+def daily_revenue_volatility(sf_dir: str):
+    """Volatility of daily revenue: mean and sample std of
+    log-returns ln(cₜ/cₜ₋₁) over CONSECUTIVE observed days — the
+    finance-style dispersion metric on the calendar grid.  Daily
+    totals are one bounded exact-cents aggregate; per-term logs are
+    bit-identical to SQL and the two-pass close drifts only in sum
+    order (~1e-13), far inside round-6."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"n_returns": pd.Series([], dtype="int64"),
+                          "mean_logret": pd.Series([], dtype="float64"),
+                          "std_logret": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    ok = np.diff(days) == 1
+    r = np.log((1.0 * c[1:][ok]) / c[:-1][ok])
+    n = len(r)
+    if n < 2:
+        return empty
+    mean = r.sum() / n
+    var = ((r - mean) ** 2).sum() / (n - 1.0)
+    r6 = lambda v: float(
+        np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6) + 0.0
+    return pd.DataFrame({"n_returns": [np.int64(n)],
+                         "mean_logret": [r6(mean)],
+                         "std_logret": [r6(math.sqrt(var))]})
+
+
+def customer_top1pct_share(sf_dir: str):
+    """Revenue concentration: the share of total revenue held by the
+    top 1% of customers (⌈n/100⌉ biggest lifetime spenders) — the
+    inequality headline next to Gini/Theil.  Exact integer cents
+    throughout; only the final share divides."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    empty = pd.DataFrame({"n_customers": pd.Series([], dtype="int64"),
+                          "k_top": pd.Series([], dtype="int64"),
+                          "top_share": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"cust": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "x": pa.array(c, pa.int64())})
+
+    per = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            ["cust"], sum_cols=["x"], combine="driver")
+    x = np.sort(per["x"].to_numpy(np.int64))[::-1].astype(object)
+    n = len(x)
+    t = x.sum()
+    if n == 0 or t <= 0:
+        return empty
+    k = -(-n // 100)
+    top = x[:k].sum()
+    return pd.DataFrame({"n_customers": [np.int64(n)],
+                         "k_top": [np.int64(k)],
+                         "top_share": [float(np.floor(
+                             (1.0 * top) / (1.0 * t) * 1e6 + 0.5)
+                             / 1e6)]})
+
+
+def orders_seasonal_index(sf_dir: str):
+    """Classical seasonal index per calendar month: the month's mean
+    order value over the overall mean (ratio-of-means form, exact
+    cents into one mirrored float tree) — the decomposition primitive
+    behind the seasonality queries.  One 12-cell partial aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"month": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "avg_price": pd.Series([], dtype="float64"),
+                          "seasonal_index": pd.Series([],
+                                                      dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64) % 12 + 1
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"month": pa.array(m, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["month"], sum_cols=["c"], count_alias="n",
+                          combine="driver")
+    g = g.sort_values("month").reset_index(drop=True)
+    s = [int(v) for v in g["c"].to_numpy(np.int64)]
+    n = [int(v) for v in g["n"].to_numpy(np.int64)]
+    st, nt = sum(s), sum(n)
+    overall = (1.0 * st) / nt / 100.0
+    avg = np.array([(1.0 * si) / ni / 100.0 for si, ni in zip(s, n)])
+    idx = avg / overall
+    r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"month": g["month"].astype("int64"),
+                         "n": g["n"].astype("int64"),
+                         "avg_price": r6(avg),
+                         "seasonal_index": r6(idx)})
+
+
+def nation_top_supplier_share(sf_dir: str):
+    """Market dominance per nation: the top-revenue supplier (exact
+    lexicographic argmax) and its share of the nation's lineitem
+    revenue — the group-leader-share shape (argmax + ratio in one).
+    (nation, supplier) revenue partials are dimension-bounded; the
+    argmax walk closes on the driver in exact revenue cents."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+    empty = pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                          "top_suppkey": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64")})
+    if line.count() == 0:
+        return empty
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk_ref = ray.put(np.sort(supp["s_suppkey"].to_numpy(np.int64)))
+    sn_ref = ray.put(supp.sort_values("s_suppkey")["s_nationkey"]
+                     .to_numpy(np.int64))
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        sk, sn = cached_get(sk_ref), cached_get(sn_ref)
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        rev = _rev_cents(b)
+        return pa.table({
+            "nk": pa.array(sn[np.searchsorted(sk, ls)], pa.int64()),
+            "sk": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "rev": rev})
+
+    g = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                          ["nk", "sk"], sum_cols=["rev"],
+                          combine="driver")
+    rows = []
+    for nk, sub in g.groupby("nk"):
+        sub = sub.sort_values(["rev", "sk"],
+                              ascending=[False, True], kind="stable")
+        tot = int(sub["rev"].astype(object).sum())
+        top = int(sub["rev"].iloc[0])
+        if tot <= 0:
+            continue
+        rows.append((int(nk), int(sub["sk"].iloc[0]),
+                     float(np.floor((1.0 * top) / (1.0 * tot) * 1e6
+                                    + 0.5) / 1e6)))
+    out = pd.DataFrame(rows, columns=["nationkey", "top_suppkey",
+                                      "share"])
+    return out.sort_values("nationkey").reset_index(drop=True) \
+        .astype({"nationkey": "int64", "top_suppkey": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -16604,6 +16828,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_ari": linkage_ari,
         "user_activity_powerlaw_alpha": user_activity_powerlaw_alpha,
         "daily_revenue_acf": daily_revenue_acf,
+        "events_join_size_stat": events_join_size_stat,
+        "daily_revenue_volatility": daily_revenue_volatility,
+        "customer_top1pct_share": customer_top1pct_share,
+        "orders_seasonal_index": orders_seasonal_index,
+        "nation_top_supplier_share": nation_top_supplier_share,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -20983,6 +21212,93 @@ def oracle_sql() -> dict[str, str]:
                        FROM g)
             SELECT nu AS n_users, round(1.0 + (1.0*nu)/s, 6) AS alpha
             FROM m WHERE s > 0
+        """,
+        "events_join_size_stat": """
+            WITH b0 AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
+                                 // 2 AS mid
+                        FROM events),
+                 g AS (SELECT user_id,
+                              sum(CASE WHEN epoch_us(ts) <
+                                       (SELECT mid FROM b0)
+                                  THEN 1 ELSE 0 END)::BIGINT c1,
+                              sum(CASE WHEN epoch_us(ts) >=
+                                       (SELECT mid FROM b0)
+                                  THEN 1 ELSE 0 END)::BIGINT c2
+                       FROM events GROUP BY 1)
+            SELECT sum(c1)::BIGINT AS n_h1, sum(c2)::BIGINT AS n_h2,
+                   sum(CAST(c1 AS HUGEINT)*c2)::BIGINT AS join_rows
+            FROM g
+        """,
+        "daily_revenue_volatility": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 s AS (SELECT day, c,
+                              lead(day) OVER (ORDER BY day) nd,
+                              lead(c) OVER (ORDER BY day) nc
+                       FROM d),
+                 r AS (SELECT ln((1.0*nc)/c) lr FROM s
+                       WHERE nd = day + 1),
+                 m AS (SELECT count(*)::BIGINT n, sum(lr) sl FROM r),
+                 v AS (SELECT n, sl/n AS mu FROM m WHERE n >= 2)
+            SELECT n AS n_returns, round(mu, 6) + 0 AS mean_logret,
+                   round(sqrt((SELECT sum((lr - v.mu)*(lr - v.mu))
+                               FROM r) / (n - 1.0)), 6) + 0
+                     AS std_logret
+            FROM v
+        """,
+        "customer_top1pct_share": """
+            WITH s AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS x
+                       FROM orders GROUP BY 1),
+                 w AS (SELECT x, row_number() OVER (
+                                  ORDER BY x DESC, o_custkey) rn
+                       FROM s),
+                 m AS (SELECT count(*)::BIGINT n,
+                              sum(CAST(x AS HUGEINT)) t
+                       FROM w),
+                 k AS (SELECT n, t, (n + 99) // 100 AS k FROM m),
+                 tp AS (SELECT sum(CAST(x AS HUGEINT)) top
+                        FROM w, k WHERE rn <= k.k)
+            SELECT k.n AS n_customers, k.k AS k_top,
+                   round(CAST(tp.top AS DOUBLE)/CAST(k.t AS DOUBLE),
+                         6) AS top_share
+            FROM k, tp WHERE k.n > 0 AND k.t > 0
+        """,
+        "orders_seasonal_index": """
+            WITH c AS (SELECT month(o_orderdate) m,
+                              CAST(round(o_totalprice*100) AS BIGINT) c
+                       FROM orders),
+                 g AS (SELECT m, count(*)::BIGINT n, sum(c)::BIGINT s
+                       FROM c GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT nt, sum(s)::BIGINT st
+                       FROM g)
+            SELECT m::BIGINT AS month, n,
+                   round((1.0*s)/n/100.0, 6) AS avg_price,
+                   round(((1.0*s)/n/100.0)/((1.0*st)/nt/100.0), 6)
+                     AS seasonal_index
+            FROM g, t ORDER BY m
+        """,
+        "nation_top_supplier_share": """
+            WITH r AS (SELECT s_nationkey nk, l_suppkey sk,
+                              sum(""" + _REV_C_SQL + """)::BIGINT rev
+                       FROM lineitem
+                       JOIN supplier ON s_suppkey = l_suppkey
+                       GROUP BY 1, 2),
+                 w AS (SELECT nk, sk, rev,
+                              row_number() OVER (PARTITION BY nk
+                                  ORDER BY rev DESC, sk) rn,
+                              sum(CAST(rev AS HUGEINT)) OVER (
+                                  PARTITION BY nk) tot
+                       FROM r)
+            SELECT nk::BIGINT AS nationkey, sk AS top_suppkey,
+                   round(CAST(rev AS DOUBLE)/CAST(tot AS DOUBLE), 6)
+                     AS share
+            FROM w WHERE rn = 1 AND tot > 0 ORDER BY nk
         """,
         "daily_revenue_acf": """
             WITH d AS (SELECT CAST(epoch_us(date_trunc('day',

@@ -316,6 +316,11 @@ BENCH_QUERIES = [
     "user_purchase_mcnemar",
     "user_activity_powerlaw_alpha",
     "daily_revenue_acf",
+    "events_join_size_stat",
+    "daily_revenue_volatility",
+    "customer_top1pct_share",
+    "orders_seasonal_index",
+    "nation_top_supplier_share",
 ]
 
 FLAGSHIP = "linkage_clusters"
