@@ -16560,6 +16560,212 @@ def nation_top_supplier_share(sf_dir: str):
         .astype({"nationkey": "int64", "top_suppkey": "int64"})
 
 
+def events_key_skew_report(sf_dir: str):
+    """Shuffle-skew diagnostic for a join/groupby key: the top-10
+    heaviest user_id keys with their row share and skew ratio
+    (count / mean count) — the report a planner consults before
+    deciding to salt a hot key.  One per-key count aggregate; ratios
+    close in mirrored float trees."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64"),
+                          "share": pd.Series([], dtype="float64"),
+                          "skew_ratio": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    full = partial_group_agg(ds, ["user_id"], count_alias="n",
+                             combine="driver")
+    g = full.sort_values(["n", "user_id"], ascending=[False, True],
+                         kind="stable").head(10).reset_index(drop=True)
+    tot = int(full["n"].astype(object).sum())
+    nk = len(full)
+    n = g["n"].to_numpy(np.int64)
+    share = (1.0 * n) / tot
+    skew = (1.0 * n) / ((1.0 * tot) / nk)
+    r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                         "n": g["n"].astype("int64"),
+                         "share": r6(share),
+                         "skew_ratio": r6(skew)})
+
+
+def nation_seat_allocation(sf_dir: str):
+    """Proportional allocation by largest remainder (Hare quota): 100
+    'seats' distributed to nations by exact lineitem revenue — the
+    deterministic integer-apportionment kernel (budget splits, shard
+    quotas).  base = ⌊rev·100/total⌋, leftovers go to the largest
+    remainders (nationkey tie-break); everything stays in Python-int /
+    HUGEINT arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+    empty = pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                          "seats": pd.Series([], dtype="int64")})
+    if line.count() == 0:
+        return empty
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk_ref = ray.put(np.sort(supp["s_suppkey"].to_numpy(np.int64)))
+    sn_ref = ray.put(supp.sort_values("s_suppkey")["s_nationkey"]
+                     .to_numpy(np.int64))
+
+    def pre(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        sk, sn = cached_get(sk_ref), cached_get(sn_ref)
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nk": pa.array(sn[np.searchsorted(sk, ls)], pa.int64()),
+            "rev": _rev_cents(b)})
+
+    g = partial_group_agg(line.map_batches(pre, batch_format="pyarrow"),
+                          ["nk"], sum_cols=["rev"], combine="driver")
+    g = g.sort_values("nk").reset_index(drop=True)
+    rev = [int(v) for v in g["rev"].to_numpy(np.int64)]
+    tot = sum(rev)
+    if tot <= 0:
+        return empty
+    base = [r * 100 // tot for r in rev]
+    rem = [r * 100 % tot for r in rev]
+    left = 100 - sum(base)
+    order = sorted(range(len(rev)),
+                   key=lambda i: (-rem[i], int(g["nk"].iloc[i])))
+    seats = list(base)
+    for i in order[:left]:
+        seats[i] += 1
+    return pd.DataFrame({"nationkey": g["nk"].astype("int64"),
+                         "seats": pd.Series(seats, dtype="int64")})
+
+
+def part_token_pmi(sf_dir: str):
+    """Pointwise mutual information of part-name token pairs:
+    PMI = ln(n·c_ab / (c_a·c_b)) for every co-occurring pair (≥5
+    parts), the collocation-strength metric behind phrase mining.
+    Per-row distinct pair partials (the assortativity kernel) plus a
+    bounded token-count aggregate; the log closes per-ROW in exact
+    integer operands."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.graph import PAIR_BITS
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "part", ["p_name"])
+    empty = pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                          "t2": pd.Series([], dtype="object"),
+                          "n_both": pd.Series([], dtype="int64"),
+                          "pmi": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+    n_parts = ds.count()
+
+    mask = np.int64((1 << PAIR_BITS) - 1)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        from elevant_ray.stages.graph import group_starts_sizes
+        from elevant_ray.stages.util import within_group_pairs
+        s = pd.Series(b.column("p_name").to_pylist()).str.split(" ")
+        e = s.explode()
+        codes, toks = pd.factorize(e.to_numpy())
+        rows = e.index.to_numpy().astype(np.int64)
+        comp = np.unique((rows << PAIR_BITS) + codes)
+        # per-PART pair instances (no cross-part dedup — unlike the
+        # assortativity query, PMI counts supports, not edge identity),
+        # then a within-batch count compression
+        starts, sizes = group_starts_sizes(comp >> PAIR_BITS)
+        i, j = within_group_pairs(starts, sizes)
+        pairs, cnt = np.unique(
+            ((comp[i] & mask) << PAIR_BITS) + (comp[j] & mask),
+            return_counts=True)
+        toks = toks.astype(object)
+        u = toks[(pairs >> PAIR_BITS)]
+        v = toks[pairs & mask]
+        sw = u > v
+        return pa.table({"t1": pa.array(np.where(sw, v, u), pa.string()),
+                         "t2": pa.array(np.where(sw, u, v), pa.string()),
+                         "one": pa.array(cnt.astype(np.int64))})
+
+    pair_cnt = partial_group_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["t1", "t2"], sum_cols=["one"], combine="driver")
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        s = pd.Series(b.column("p_name").to_pylist()).str.split(" ")
+        e = s.explode()
+        df = pd.DataFrame({"row": e.index, "tok": e.to_numpy()}) \
+            .drop_duplicates()
+        return pa.table({"tok": pa.array(df["tok"].to_numpy(object),
+                                         pa.string()),
+                         "one": pa.array(np.ones(len(df), np.int64))})
+
+    tok_cnt = partial_group_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["tok"], sum_cols=["one"], combine="driver")
+    cmap = dict(zip(tok_cnt["tok"], tok_cnt["one"].astype(int)))
+    pair_cnt = pair_cnt[pair_cnt["one"] >= 5].reset_index(drop=True)
+    if pair_cnt.empty:
+        return empty
+    cab = pair_cnt["one"].to_numpy(np.int64)
+    ca = np.array([cmap[t] for t in pair_cnt["t1"]], np.int64)
+    cb = np.array([cmap[t] for t in pair_cnt["t2"]], np.int64)
+    pmi = np.log((n_parts * cab).astype(np.float64) / ((1.0 * ca) * cb))
+    r6 = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame({"t1": pair_cnt["t1"].astype(object),
+                        "t2": pair_cnt["t2"].astype(object),
+                        "n_both": cab, "pmi": r6(pmi) + 0.0})
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True) \
+        .astype({"n_both": "int64"})
+
+
+def docs_extract_numbers(sf_dir: str):
+    """Multi-match regex extraction (extract-all + explode): every
+    digit run (≤9 digits per chunk, both sides chunk long runs the
+    same way) in each document, reduced to per-source match count and
+    exact integer sum — the ETL shape behind price/ID scraping.  RE2
+    and Python re agree on this pattern; the scan stays per-batch."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_matches": pd.Series([], dtype="int64"),
+                          "total": pd.Series([], dtype="int64")})
+    if ds.count() == 0:
+        return empty
+    rx = re.compile(r"[0-9]{1,9}")
+
+    def pre(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        txts = b.column("text").to_pylist()
+        n = np.zeros(len(txts), np.int64)
+        s = np.zeros(len(txts), np.int64)
+        for i, t in enumerate(txts):
+            hits = rx.findall(t)
+            n[i] = len(hits)
+            s[i] = sum(int(h) for h in hits)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "n_matches": pa.array(n), "total": pa.array(s)})
+
+    g = partial_group_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                          ["source"], sum_cols=["n_matches", "total"],
+                          combine="driver")
+    g = g.sort_values("source").reset_index(drop=True)
+    return g.astype({"n_matches": "int64", "total": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -16833,6 +17039,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_top1pct_share": customer_top1pct_share,
         "orders_seasonal_index": orders_seasonal_index,
         "nation_top_supplier_share": nation_top_supplier_share,
+        "events_key_skew_report": events_key_skew_report,
+        "nation_seat_allocation": nation_seat_allocation,
+        "part_token_pmi": part_token_pmi,
+        "docs_extract_numbers": docs_extract_numbers,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -21212,6 +21422,67 @@ def oracle_sql() -> dict[str, str]:
                        FROM g)
             SELECT nu AS n_users, round(1.0 + (1.0*nu)/s, 6) AS alpha
             FROM m WHERE s > 0
+        """,
+        "events_key_skew_report": """
+            WITH g AS (SELECT user_id, count(*)::BIGINT n
+                       FROM events GROUP BY 1),
+                 t AS (SELECT sum(n)::BIGINT tot, count(*)::BIGINT nk
+                       FROM g),
+                 w AS (SELECT user_id, n, row_number() OVER (
+                                  ORDER BY n DESC, user_id) rn
+                       FROM g)
+            SELECT user_id, n, round((1.0*n)/tot, 6) AS share,
+                   round((1.0*n)/((1.0*tot)/nk), 6) AS skew_ratio
+            FROM w, t WHERE rn <= 10 ORDER BY n DESC, user_id
+        """,
+        "nation_seat_allocation": """
+            WITH r AS (SELECT s_nationkey nk,
+                              sum(""" + _REV_C_SQL + """)::BIGINT rev
+                       FROM lineitem
+                       JOIN supplier ON s_suppkey = l_suppkey
+                       GROUP BY 1),
+                 t AS (SELECT sum(CAST(rev AS HUGEINT)) tot FROM r),
+                 q AS (SELECT nk,
+                              CAST(rev AS HUGEINT)*100 // tot AS base,
+                              CAST(rev AS HUGEINT)*100 % tot AS rem
+                       FROM r, t WHERE tot > 0),
+                 l AS (SELECT 100 - sum(base) AS left_ FROM q),
+                 w AS (SELECT nk, base, row_number() OVER (
+                                  ORDER BY rem DESC, nk) rn
+                       FROM q)
+            SELECT nk::BIGINT AS nationkey,
+                   (base + CASE WHEN rn <= (SELECT left_ FROM l)
+                           THEN 1 ELSE 0 END)::BIGINT AS seats
+            FROM w ORDER BY nk
+        """,
+        "part_token_pmi": """
+            WITH tk AS (SELECT p_partkey pk,
+                               unnest(string_split(p_name, ' ')) tok
+                        FROM part),
+                 d AS (SELECT DISTINCT pk, tok FROM tk),
+                 e AS (SELECT a.tok t1, b.tok t2, count(*)::BIGINT cab
+                       FROM d a JOIN d b
+                         ON a.pk = b.pk AND a.tok < b.tok
+                       GROUP BY 1, 2),
+                 c AS (SELECT tok, count(*)::BIGINT cn FROM d
+                       GROUP BY 1),
+                 np AS (SELECT count(*)::BIGINT n FROM part)
+            SELECT t1, t2, cab AS n_both,
+                   round(ln(CAST(n*cab AS DOUBLE)
+                            /((1.0*ca.cn)*cb.cn)), 6) + 0 AS pmi
+            FROM e JOIN c ca ON ca.tok = e.t1
+                   JOIN c cb ON cb.tok = e.t2, np
+            WHERE cab >= 5 ORDER BY t1, t2
+        """,
+        "docs_extract_numbers": """
+            WITH x AS (SELECT source,
+                              regexp_extract_all(text, '[0-9]{1,9}')
+                                AS hits
+                       FROM documents)
+            SELECT source, sum(len(hits))::BIGINT AS n_matches,
+                   sum(COALESCE(list_sum(list_transform(hits,
+                       h -> CAST(h AS BIGINT))), 0))::BIGINT AS total
+            FROM x GROUP BY source ORDER BY source
         """,
         "events_join_size_stat": """
             WITH b0 AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))

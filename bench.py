@@ -321,6 +321,10 @@ BENCH_QUERIES = [
     "customer_top1pct_share",
     "orders_seasonal_index",
     "nation_top_supplier_share",
+    "events_key_skew_report",
+    "nation_seat_allocation",
+    "part_token_pmi",
+    "docs_extract_numbers",
 ]
 
 FLAGSHIP = "linkage_clusters"
