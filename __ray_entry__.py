@@ -16766,6 +16766,331 @@ def docs_extract_numbers(sf_dir: str):
     return g.astype({"n_matches": "int64", "total": "int64"})
 
 
+def daily_revenue_theilsen(sf_dir: str):
+    """Theil–Sen robust trend estimator over daily revenue: the median
+    of all pairwise slopes (c_j−c_i)/(day_j−day_i) — the breakdown-
+    resistant alternative to the OLS slope for drift monitoring.  One
+    bounded daily aggregate (partial sums, no shuffle of raw orders);
+    the O(n²) pairwise-slope multiset closes on the driver over the
+    observed-day series with quantile_cont-compatible interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"n_days": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64"),
+                          "slope": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(days), k=1)
+    slopes = (c[j] - c[i]).astype(np.float64) / (days[j] - days[i])
+    if len(slopes) == 0:
+        return pd.DataFrame({"n_days": [np.int64(len(days))],
+                             "n_pairs": [np.int64(0)],
+                             "slope": [np.nan]})
+    slopes.sort()
+    # quantile_cont(0.5) interpolation: lo + (hi - lo) * frac
+    h = (len(slopes) - 1) * 0.5
+    f = int(np.floor(h))
+    frac = h - f
+    med = slopes[f] if frac == 0.0 \
+        else slopes[f] + (slopes[f + 1] - slopes[f]) * frac
+    r6 = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+                         / 1e6) + 0.0
+    return pd.DataFrame({"n_days": [np.int64(len(days))],
+                         "n_pairs": [np.int64(len(slopes))],
+                         "slope": [r6(med)]})
+
+
+def daily_revenue_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotone-trend test on daily revenue: S = Σ_{i<j}
+    sign(c_j − c_i) with the tie-corrected variance
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18 and the continuity-corrected
+    normal score.  S and both variance operands stay exact Python ints
+    (HUGEINT in the oracle); only the final z divides into doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"n_days": pd.Series([], dtype="int64"),
+                          "s_stat": pd.Series([], dtype="int64"),
+                          "var_s": pd.Series([], dtype="float64"),
+                          "z": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def pre(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        c = np.rint(b.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    daily = partial_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], sum_cols=["c"], combine="driver")
+    daily = daily.sort_values("day").reset_index(drop=True)
+    c = daily["c"].to_numpy(np.int64)
+    n = len(c)
+    i, j = np.triu_indices(n, k=1)
+    s = int(np.sign(c[j] - c[i]).astype(np.int64).sum())
+    _, cnt = np.unique(c, return_counts=True)
+    corr = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+               for t in cnt if t > 1)
+    num = n * (n - 1) * (2 * n + 5) - corr
+    var = float(num) / 18.0
+    if var > 0:
+        z = (s - 1) / np.sqrt(var) if s > 0 \
+            else ((s + 1) / np.sqrt(var) if s < 0 else 0.0)
+    else:
+        z = np.nan
+    r6 = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+                         / 1e6) + 0.0
+    return pd.DataFrame({"n_days": [np.int64(n)], "s_stat": [np.int64(s)],
+                         "var_s": [r6(var)], "z": [r6(z)]})
+
+
+def orders_new_vs_repeat_revenue(sf_dir: str):
+    """Monthly revenue split between first-time and returning
+    customers — the acquisition-vs-retention readout.  Pass 1 is a
+    bounded min-aggregate (customer → first order timestamp) broadcast
+    as an IntKeyMap; pass 2 flags each order per batch with a
+    searchsorted probe and partial-aggregates (month, is_new) sums, so
+    neither pass shuffles the orders table."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import IntKeyMap, partial_group_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    empty = pd.DataFrame({"month": pd.Series([], dtype="int64"),
+                          "is_new": pd.Series([], dtype="int64"),
+                          "n_orders": pd.Series([], dtype="int64"),
+                          "revenue": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def key_us(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "ck": pc.cast(b.column("o_custkey"), pa.int64()),
+            "us": pa.array(us, pa.int64())})
+
+    first = partial_group_agg(
+        ds.map_batches(key_us, batch_format="pyarrow"),
+        ["ck"], min_cols=["us"], combine="driver")
+    fmap = IntKeyMap(first["ck"].to_numpy(np.int64),
+                     first["us"].to_numpy(np.int64))
+
+    def flag(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_new = (fmap.take_checked(ck) == us).astype(np.int64)
+        m = us.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        month = (1970 + m // 12) * 100 + (m % 12 + 1)
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"month": pa.array(month, pa.int64()),
+                         "is_new": pa.array(is_new, pa.int64()),
+                         "c": pa.array(cents, pa.int64())})
+
+    g = partial_group_agg(ds.map_batches(flag, batch_format="pyarrow"),
+                          ["month", "is_new"], sum_cols=["c"],
+                          count_alias="n_orders", combine="driver")
+    g = g.sort_values(["month", "is_new"]).reset_index(drop=True)
+    rev = g["c"].to_numpy(np.int64).astype(np.float64) / 100.0
+    return pd.DataFrame({"month": g["month"].astype("int64"),
+                         "is_new": g["is_new"].astype("int64"),
+                         "n_orders": g["n_orders"].astype("int64"),
+                         "revenue": rev})
+
+
+def lineitem_multiregr(sf_dir: str):
+    """Two-predictor OLS (whole-dollar price on quantity + discount
+    points) solved from exact integer moments: the five centered
+    second-moment sums S11, S22, S12, S1y, S2y are n·Σxy − Σx·Σy in
+    unbounded Python-int (HUGEINT in the oracle), and only the final
+    Cramer divisions leave exact arithmetic.  One streaming pass of
+    per-batch int64 moment partials; no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.util import partial_group_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    empty = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                          "b0": pd.Series([], dtype="float64"),
+                          "b_qty": pd.Series([], dtype="float64"),
+                          "b_disc": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def mom(b: pa.Table) -> pa.Table:
+        x1 = np.rint(b.column("l_quantity")
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        x2 = np.rint(b.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        y = np.rint(b.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64) // 100
+        return pa.table({"k": pa.array([np.int64(0)]),
+                         "n": pa.array([np.int64(len(x1))]),
+                         "sx1": pa.array([x1.sum()]),
+                         "sx2": pa.array([x2.sum()]),
+                         "sy": pa.array([y.sum()]),
+                         "sx1x1": pa.array([(x1 * x1).sum()]),
+                         "sx2x2": pa.array([(x2 * x2).sum()]),
+                         "sx1x2": pa.array([(x1 * x2).sum()]),
+                         "sx1y": pa.array([(x1 * y).sum()]),
+                         "sx2y": pa.array([(x2 * y).sum()])})
+
+    a = partial_group_agg(
+        ds.map_batches(mom, batch_format="pyarrow"),
+        ["k"], sum_cols=["n", "sx1", "sx2", "sy", "sx1x1", "sx2x2",
+                         "sx1x2", "sx1y", "sx2y"], combine="driver")
+    n, sx1, sx2, sy, sx1x1, sx2x2, sx1x2, sx1y, sx2y = \
+        (int(a[c].iloc[0]) for c in
+         ["n", "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
+          "sx1y", "sx2y"])
+    s11 = n * sx1x1 - sx1 * sx1
+    s22 = n * sx2x2 - sx2 * sx2
+    s12 = n * sx1x2 - sx1 * sx2
+    s1y = n * sx1y - sx1 * sy
+    s2y = n * sx2y - sx2 * sy
+    det = s11 * s22 - s12 * s12
+    r6 = lambda v: float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+                         / 1e6) + 0.0
+    if det == 0:
+        return pd.DataFrame({"n": [np.int64(n)], "b0": [np.nan],
+                             "b_qty": [np.nan], "b_disc": [np.nan]})
+    b1 = (float(s22) * s1y - float(s12) * s2y) / det
+    b2 = (float(s11) * s2y - float(s12) * s1y) / det
+    b0 = (float(sy) - b1 * sx1 - b2 * sx2) / n
+    return pd.DataFrame({"n": [np.int64(n)], "b0": [r6(b0)],
+                         "b_qty": [r6(b1)], "b_disc": [r6(b2)]})
+
+
+def linkage_fs_weights(sf_dir: str):
+    """Fellegi–Sunter match/non-match weights for record linkage:
+    within size-blocked part pairs, gold match = charset-Jaccard of
+    names ≥ 0.8 (the DuckDB-identical kernel), and each comparison
+    feature (same brand, same type, price within $50) gets
+    m = P(agree | match), u = P(agree | non-match) and the log2
+    agreement/disagreement weights — the classical ER scoring model
+    (Fellegi & Sunter 1969).  Pairs enumerate inside one hash-bucket
+    exchange on the block key; only 4-integer per-feature partials
+    leave the buckets.
+
+    Reference parity: elevant's pair-scoring evaluation
+    (evaluation/benchmark comparison) generalized to weighted ER."""
+    import numpy as np
+    import pandas as pd
+
+    from elevant_ray.stages.scoring import score_name_pairs
+    from elevant_ray.stages.util import (bucketed_group_apply,
+                                         partial_group_agg)
+
+    ds = _read(sf_dir, "part",
+               ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                "p_retailprice"])
+    cols = ["feature", "n_match", "n_nonmatch", "m_prob", "u_prob",
+            "w_agree", "w_disagree"]
+    empty = pd.DataFrame({
+        "feature": pd.Series([], dtype="object"),
+        "n_match": pd.Series([], dtype="int64"),
+        "n_nonmatch": pd.Series([], dtype="int64"),
+        "m_prob": pd.Series([], dtype="float64"),
+        "u_prob": pd.Series([], dtype="float64"),
+        "w_agree": pd.Series([], dtype="float64"),
+        "w_disagree": pd.Series([], dtype="float64")})
+    if ds.count() == 0:
+        return empty
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gg in g.groupby("p_size"):
+            gg = gg.sort_values("p_partkey")
+            nm = gg["p_name"].to_numpy(dtype=object)
+            if len(nm) < 2:
+                continue
+            i, j = np.triu_indices(len(nm), k=1)
+            _, jac = score_name_pairs(nm[i], nm[j])
+            match = jac >= 0.8
+            br = gg["p_brand"].to_numpy(dtype=object)
+            ty = gg["p_type"].to_numpy(dtype=object)
+            cc = np.rint(gg["p_retailprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)
+            feats = {"same_brand": br[i] == br[j],
+                     "same_type": ty[i] == ty[j],
+                     "price_within_50": np.abs(cc[i] - cc[j]) <= 5000}
+            nm_cnt = int(match.sum())
+            nu_cnt = int((~match).sum())
+            for name, agree in feats.items():
+                rows.append((name, int((agree & match).sum()), nm_cnt,
+                             int((agree & ~match).sum()), nu_cnt))
+        return pd.DataFrame(rows,
+                            columns=["feature", "ma", "nm", "ua", "nu"])
+
+    agg = partial_group_agg(
+        bucketed_group_apply(ds, "p_size", per_bucket),
+        ["feature"], sum_cols=["ma", "nm", "ua", "nu"],
+        combine="driver")
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("feature").reset_index(drop=True)
+    ma = agg["ma"].to_numpy(np.int64)
+    nm_ = agg["nm"].to_numpy(np.int64)
+    ua = agg["ua"].to_numpy(np.int64)
+    nu = agg["nu"].to_numpy(np.int64)
+    r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m_prob = np.where(nm_ > 0, r6(1.0 * ma / nm_), np.nan)
+        u_prob = np.where(nu > 0, r6(1.0 * ua / nu), np.nan)
+        ok_a = (ma > 0) & (ua > 0) & (nm_ > 0) & (nu > 0)
+        w_a = np.where(ok_a,
+                       r6(np.log2(np.where(ok_a, (1.0 * ma) * nu, 1.0)
+                                  / np.where(ok_a, (1.0 * ua) * nm_, 1.0))),
+                       np.nan)
+        ok_d = (nm_ - ma > 0) & (nu - ua > 0) & (nm_ > 0) & (nu > 0)
+        w_d = np.where(ok_d,
+                       r6(np.log2(
+                           np.where(ok_d, (1.0 * (nm_ - ma)) * nu, 1.0)
+                           / np.where(ok_d, (1.0 * (nu - ua)) * nm_, 1.0))),
+                       np.nan)
+    return pd.DataFrame({"feature": agg["feature"].astype(object),
+                         "n_match": nm_, "n_nonmatch": nu,
+                         "m_prob": m_prob + 0.0, "u_prob": u_prob + 0.0,
+                         "w_agree": w_a + 0.0,
+                         "w_disagree": w_d + 0.0})[cols]
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -17043,6 +17368,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_seat_allocation": nation_seat_allocation,
         "part_token_pmi": part_token_pmi,
         "docs_extract_numbers": docs_extract_numbers,
+        "daily_revenue_theilsen": daily_revenue_theilsen,
+        "daily_revenue_mann_kendall": daily_revenue_mann_kendall,
+        "orders_new_vs_repeat_revenue": orders_new_vs_repeat_revenue,
+        "lineitem_multiregr": lineitem_multiregr,
+        "linkage_fs_weights": linkage_fs_weights,
         "nation_balance_full_join": nation_balance_full_join,
         "type_closure": type_closure,
         "part_pagerank": part_pagerank,
@@ -21597,6 +21927,153 @@ def oracle_sql() -> dict[str, str]:
             FROM m WHERE n >= 2 AND n*sxx - sx*sx > 0
                   AND n*syy - sy*sy > 0
             ORDER BY lag
+        """,
+        "daily_revenue_theilsen": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 p AS (SELECT CAST(b.c - a.c AS DOUBLE)/(b.day - a.day)
+                                AS slope
+                       FROM d a JOIN d b ON b.day > a.day)
+            SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+                   count(*)::BIGINT AS n_pairs,
+                   round(quantile_cont(slope, 0.5), 6) + 0 AS slope
+            FROM p
+        """,
+        "daily_revenue_mann_kendall": """
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day',
+                                  o_orderdate))/86400000000 AS BIGINT)
+                                AS day,
+                              sum(CAST(round(o_totalprice*100)
+                                       AS BIGINT)) AS c
+                       FROM orders GROUP BY 1),
+                 s_ AS (SELECT coalesce(sum(CASE WHEN b.c > a.c THEN 1
+                                     WHEN b.c < a.c THEN -1
+                                     ELSE 0 END), 0)::BIGINT AS s
+                        FROM d a JOIN d b ON b.day > a.day),
+                 t AS (SELECT count(*)::HUGEINT AS cnt
+                       FROM d GROUP BY c),
+                 v AS (SELECT coalesce(sum(cnt*(cnt-1)*(2*cnt+5)), 0)
+                                AS corr
+                       FROM t WHERE cnt > 1),
+                 nn AS (SELECT count(*)::HUGEINT AS n FROM d)
+            SELECT n::BIGINT AS n_days, s AS s_stat,
+                   round(CAST(n*(n-1)*(2*n+5) - corr AS DOUBLE)/18.0, 6)
+                     AS var_s,
+                   CASE WHEN n*(n-1)*(2*n+5) - corr > 0 THEN
+                     round(CASE WHEN s > 0 THEN (s-1)/sqrt(
+                             CAST(n*(n-1)*(2*n+5) - corr AS DOUBLE)/18.0)
+                           WHEN s < 0 THEN (s+1)/sqrt(
+                             CAST(n*(n-1)*(2*n+5) - corr AS DOUBLE)/18.0)
+                           ELSE 0.0 END, 6) + 0
+                   ELSE NULL END AS z
+            FROM nn, s_, v
+        """,
+        "orders_new_vs_repeat_revenue": """
+            WITH f AS (SELECT o_custkey AS ck, min(o_orderdate) AS fd
+                       FROM orders GROUP BY 1)
+            SELECT (year(o_orderdate)*100 + month(o_orderdate))::BIGINT
+                     AS month,
+                   (CASE WHEN o_orderdate = fd THEN 1
+                         ELSE 0 END)::BIGINT AS is_new,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                        AS DOUBLE)/100.0 AS revenue
+            FROM orders JOIN f ON ck = o_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lineitem_multiregr": """
+            WITH b AS (SELECT CAST(round(l_quantity) AS HUGEINT) x1,
+                              CAST(round(l_discount*100) AS HUGEINT) x2,
+                              CAST(round(l_extendedprice*100)
+                                   AS HUGEINT)//100 y
+                       FROM lineitem),
+                 m AS (SELECT count(*)::HUGEINT n, sum(x1) sx1,
+                              sum(x2) sx2, sum(y) sy,
+                              sum(x1*x1) sx1x1, sum(x2*x2) sx2x2,
+                              sum(x1*x2) sx1x2, sum(x1*y) sx1y,
+                              sum(x2*y) sx2y
+                       FROM b),
+                 c AS (SELECT n, sx1, sx2, sy,
+                              n*sx1x1 - sx1*sx1 AS s11,
+                              n*sx2x2 - sx2*sx2 AS s22,
+                              n*sx1x2 - sx1*sx2 AS s12,
+                              n*sx1y - sx1*sy AS s1y,
+                              n*sx2y - sx2*sy AS s2y
+                       FROM m),
+                 k AS (SELECT n, sx1, sx2, sy,
+                              s11*s22 - s12*s12 AS det,
+                              CASE WHEN s11*s22 - s12*s12 = 0 THEN NULL
+                                ELSE (CAST(s22 AS DOUBLE)*s1y
+                                      - CAST(s12 AS DOUBLE)*s2y)
+                                     /(s11*s22 - s12*s12) END AS b1,
+                              CASE WHEN s11*s22 - s12*s12 = 0 THEN NULL
+                                ELSE (CAST(s11 AS DOUBLE)*s2y
+                                      - CAST(s12 AS DOUBLE)*s1y)
+                                     /(s11*s22 - s12*s12) END AS b2
+                       FROM c)
+            SELECT n::BIGINT AS n,
+                   round((CAST(sy AS DOUBLE) - b1*sx1 - b2*sx2)/n, 6)
+                     + 0 AS b0,
+                   round(b1, 6) + 0 AS b_qty,
+                   round(b2, 6) + 0 AS b_disc
+            FROM k
+        """,
+        "linkage_fs_weights": """
+            WITH pr AS (SELECT p_partkey, p_name, p_brand, p_type,
+                               p_size,
+                               CAST(round(p_retailprice*100) AS BIGINT)
+                                 AS c
+                        FROM part),
+                 pairs AS (SELECT CASE WHEN jaccard(a.p_name, b.p_name)
+                                            >= 0.8
+                                       THEN 1 ELSE 0 END AS m,
+                                  CASE WHEN a.p_brand = b.p_brand
+                                       THEN 1 ELSE 0 END AS f1,
+                                  CASE WHEN a.p_type = b.p_type
+                                       THEN 1 ELSE 0 END AS f2,
+                                  CASE WHEN abs(a.c - b.c) <= 5000
+                                       THEN 1 ELSE 0 END AS f3
+                           FROM pr a JOIN pr b
+                             ON a.p_size = b.p_size
+                            AND a.p_partkey < b.p_partkey),
+                 agg AS (
+                   SELECT 'same_brand' AS feature,
+                          sum(m*f1)::BIGINT ma, sum(m)::BIGINT nm,
+                          sum((1-m)*f1)::BIGINT ua,
+                          sum(1-m)::BIGINT nu
+                   FROM pairs
+                   UNION ALL
+                   SELECT 'same_type', sum(m*f2)::BIGINT,
+                          sum(m)::BIGINT, sum((1-m)*f2)::BIGINT,
+                          sum(1-m)::BIGINT
+                   FROM pairs
+                   UNION ALL
+                   SELECT 'price_within_50', sum(m*f3)::BIGINT,
+                          sum(m)::BIGINT, sum((1-m)*f3)::BIGINT,
+                          sum(1-m)::BIGINT
+                   FROM pairs)
+            SELECT feature, nm AS n_match, nu AS n_nonmatch,
+                   CASE WHEN nm > 0
+                        THEN round(CAST(ma AS DOUBLE)/nm, 6) + 0
+                        ELSE NULL END AS m_prob,
+                   CASE WHEN nu > 0
+                        THEN round(CAST(ua AS DOUBLE)/nu, 6) + 0
+                        ELSE NULL END AS u_prob,
+                   CASE WHEN ma > 0 AND ua > 0 AND nm > 0 AND nu > 0
+                        THEN round(log2((CAST(ma AS DOUBLE)*nu)
+                                        /(CAST(ua AS DOUBLE)*nm)), 6)
+                             + 0
+                        ELSE NULL END AS w_agree,
+                   CASE WHEN nm - ma > 0 AND nu - ua > 0
+                        THEN round(log2((CAST(nm - ma AS DOUBLE)*nu)
+                                        /(CAST(nu - ua AS DOUBLE)*nm)),
+                                   6) + 0
+                        ELSE NULL END AS w_disagree
+            FROM agg ORDER BY feature
         """,
         # extract_pages / link_frequencies / most_popular_candidates /
         # linkage_clusters / entity_linking / linking_eval_counts /
