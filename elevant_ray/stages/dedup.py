@@ -623,3 +623,133 @@ def distinct_pairs(pairs):
         Count(alias_name="_n"))
     return pin_schema(out, pa.schema([("left", pa.string()),
                                       ("right", pa.string())]))
+
+
+def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
+                            n: int = 3, threshold: float = 0.6,
+                            num_partitions: int = 16):
+    """EXACT max-containment pairs: C(A,B) = |∩| / min(|A|,|B|) ≥ t —
+    the asymmetric near-dup predicate that catches subset duplication
+    (a quote or boilerplate block inside a larger page) which Jaccard's
+    union denominator dilutes below any usable threshold.
+
+    One-sided prefix filter (asymmetric AllPairs bound): |∩| ≥ t·min
+    implies the SMALLER doc shares a gram inside its rarest-first
+    prefix of |G| − ceil(t·|G|) + 1 grams, so probing PREFIX ×
+    ALL-GRAMS keeps recall exactly 1.0.  Unlike the Jaccard join there
+    is no size-ratio prune (containment admits any size gap), and the
+    index side carries every non-singleton gram — hot grams are only
+    pruned on the probe side, so corpora with heavy boilerplate should
+    pre-strip it (or df-cap the index) before this join; the candidate
+    count is Σ_g prefix_g · df_g.
+
+    Verification is broadcast-side (one ray.put of the gram-hash blob
+    dict, candidates re-verified in-place); beyond the broadcast cutoff
+    use the same two co-group joins as ngram_jaccard_pairs — semantics
+    identical."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from elevant_ray.stages.util import cogroup_join, pin_schema
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            c.update(_gram_hashes(text, n).tolist())
+        return pa.table({"gram": pa.array(list(c.keys()), pa.int64()),
+                         "partial": pa.array(list(c.values()), pa.int64())})
+
+    freq: Counter = Counter()
+    for b in ds.map_batches(gram_partials, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for g, c in zip(b.column("gram").to_pylist(),
+                        b.column("partial").to_pylist()):
+            freq[g] += c
+    freq = {g: c for g, c in freq.items() if c >= 2}
+    freq_ref = ray.put(freq)
+
+    def doc_pass(batch: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        fr = cached_get(freq_ref)
+        ids, blobs, pgrams, agrams, sizes = [], [], [], [], []
+        for rid, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            ghs = _gram_hashes(text, n)
+            shared = [g for g in ghs.tolist() if g in fr]
+            gset = sorted(shared, key=lambda g: (fr[g], g))
+            k = len(ghs) - math.ceil(threshold * len(ghs)) + 1
+            pgrams.append(gset[:k])
+            agrams.append(shared)
+            sizes.append(len(ghs))
+            ids.append(str(rid))
+            blobs.append(ghs.tobytes())
+        return pa.table({"_vid": pa.array(ids, pa.string()),
+                         "_hs": pa.array(blobs, pa.binary()),
+                         "_pg": pa.array(pgrams, pa.list_(pa.int64())),
+                         "_ag": pa.array(agrams, pa.list_(pa.int64())),
+                         "_sz": pa.array(sizes, pa.int64())})
+
+    doc_table = ds.map_batches(doc_pass, batch_format="pyarrow").materialize()
+
+    def explode(col_list, col_id):
+        def f(b: pa.Table) -> pa.Table:
+            ids, gs = [], []
+            for rid, grams_ in zip(b.column("_vid").to_pylist(),
+                                   b.column(col_list).to_pylist()):
+                for g in grams_:
+                    ids.append(rid)
+                    gs.append(g)
+            return pa.table({"gram": pa.array(gs, pa.int64()),
+                             col_id: pa.array(ids, pa.string())})
+        return f
+
+    probe = doc_table.map_batches(explode("_pg", "left"),
+                                  batch_format="pyarrow")
+    index = doc_table.map_batches(explode("_ag", "right"),
+                                  batch_format="pyarrow")
+    cand = cogroup_join(
+        probe, index, on="gram", num_partitions=num_partitions,
+        left_schema=pa.schema([("gram", pa.int64()),
+                               ("left", pa.string())]),
+        right_schema=pa.schema([("gram", pa.int64()),
+                                ("right", pa.string())]))
+
+    def orient(b: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(b.column("left"), b.column("right"))
+        hi = pc.max_element_wise(b.column("left"), b.column("right"))
+        t = pa.table({"left": lo, "right": hi}) \
+            .filter(pc.not_equal(lo, hi))
+        return t.group_by(["left", "right"]).aggregate([])
+
+    cand = distinct_pairs(cand.map_batches(orient, batch_format="pyarrow"))
+
+    blob_rows = doc_table.select_columns(["_vid", "_hs"]).take_all()
+    blobs_ref = ray.put({r["_vid"]: r["_hs"] for r in blob_rows})
+
+    def verify_b(batch: pa.Table) -> pa.Table:
+        from elevant_ray.stages.util import cached_get
+        blobs = cached_get(blobs_ref)
+        lefts, rights, cs = [], [], []
+        for left, right in zip(batch.column("left").to_pylist(),
+                               batch.column("right").to_pylist()):
+            hl = np.frombuffer(blobs[left], dtype=np.int64)
+            hr = np.frombuffer(blobs[right], dtype=np.int64)
+            mn = min(len(hl), len(hr))
+            if mn == 0:
+                continue
+            inter = len(np.intersect1d(hl, hr, assume_unique=True))
+            c = inter / mn
+            if c >= threshold:
+                lefts.append(left)
+                rights.append(right)
+                cs.append(round(c, 6))
+        return pa.table({"left": pa.array(lefts, pa.string()),
+                         "right": pa.array(rights, pa.string()),
+                         "cont": pa.array(cs, pa.float64())})
+
+    out = cand.map_batches(verify_b, batch_format="pyarrow")
+    return pin_schema(out, pa.schema([
+        ("left", pa.string()), ("right", pa.string()),
+        ("cont", pa.float64())]))
