@@ -544,6 +544,35 @@ def within_group_pairs(starts, sizes):
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
+def within_group_triples(starts, sizes):
+    """Global row indices (i, j, k), i<j<k, of every unordered
+    within-group TRIPLE of a group-contiguous array — the 3-itemset
+    analog of within_group_pairs (Apriori candidate enumeration).
+    One combination template per distinct group size, broadcast over
+    all groups of that size; Python cost O(|distinct sizes|)."""
+    import itertools
+
+    import numpy as np
+
+    starts = np.asarray(starts, np.int64)
+    sizes = np.asarray(sizes, np.int64)
+    out_i, out_j, out_k = [], [], []
+    for sz in np.unique(sizes):
+        if sz < 3:
+            continue
+        tmpl = np.array(list(itertools.combinations(range(int(sz)), 3)),
+                        np.int64)
+        st = starts[sizes == sz]
+        out_i.append((st[:, None] + tmpl[None, :, 0]).ravel())
+        out_j.append((st[:, None] + tmpl[None, :, 1]).ravel())
+        out_k.append((st[:, None] + tmpl[None, :, 2]).ravel())
+    if not out_i:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return (np.concatenate(out_i), np.concatenate(out_j),
+            np.concatenate(out_k))
+
+
 def tie_pair_count(a, assume_sorted: bool = False) -> int:
     """Number of unordered pairs with equal value — the tie-correction
     terms of rank statistics (Kendall τ-b, Mann-Whitney variance).
