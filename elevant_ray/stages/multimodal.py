@@ -210,3 +210,136 @@ def media_features(documents, concurrency=(1, 4),
                               batch_size=batch_size, batch_format="pyarrow")
     frames = media.map_batches(frame_sample_batch, batch_format="pyarrow")
     return images, audio, frames
+
+
+VARIANT_ID_OFFSET = 1 << 40
+
+
+def add_media_variants(batch: pa.Table, every: int = 8) -> pa.Table:
+    """Append a near-duplicate variant row (one payload byte flipped)
+    for every ``every``-th doc — the planted near-dups that a
+    perceptual-hash dedup must recover.  Variant ids live at
+    doc_id + VARIANT_ID_OFFSET so originals and variants stay
+    distinguishable.  Stateless map_batches kernel."""
+    cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
+    n = len(cols["doc_id"])
+    out = {c: list(v) for c, v in cols.items()}
+    for r in range(n):
+        i = cols["doc_id"][r]
+        if i % every != 5:
+            continue
+        p = bytearray(cols["payload"][r])
+        if not p:
+            continue
+        p[len(p) // 2] ^= 0x01
+        for c in batch.column_names:
+            out[c].append(cols[c][r])
+        out["doc_id"][-1] = i + VARIANT_ID_OFFSET
+        out["payload"][-1] = bytes(p)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "kind": pa.array(out["kind"], pa.string()),
+        "payload": pa.array(out["payload"], pa.binary()),
+        "width": pa.array(out["width"], pa.int32()),
+        "height": pa.array(out["height"], pa.int32()),
+        "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+        "n_frames": pa.array(out["n_frames"], pa.int32()),
+    })
+
+
+class PHashStage:
+    """Actor-pool stage: payload → 64-bit block-mean perceptual hash.
+
+    Real pHash (DCT over a decoded 32×32 grayscale image) is a drop-in
+    for ``_hash_payload`` when PIL is present; without it the
+    DETERMINISTIC STUB hashes the raw payload: split into 64 equal byte
+    blocks, bit k = (mean of block k > 127.5), computed in exact
+    integer arithmetic (2·sum > 255·len).  A single flipped payload
+    byte moves at most one block mean slightly → Hamming distance ≤ 1,
+    which is what gives the planted variants their near-dup
+    signature."""
+
+    def __init__(self):
+        self.pil = _try_import_pil()
+
+    @staticmethod
+    def _hash_payload(payload: bytes) -> int:
+        a = np.frombuffer(payload, dtype=np.uint8)
+        blocks = np.array_split(a, 64)
+        h = 0
+        for k, b in enumerate(blocks):
+            if len(b) and 2 * int(b.sum(dtype=np.int64)) > 255 * len(b):
+                h |= 1 << k
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [self._hash_payload(p)
+              for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(np.array(hs, dtype=np.uint64)
+                              .astype(np.int64)),
+        })
+
+
+def phash_near_pairs(hashes, max_hamming: int = 3,
+                     num_partitions: int = 16):
+    """Exact Hamming-≤k pairs over 64-bit perceptual hashes via band
+    LSH: 4 disjoint 16-bit bands — pigeonhole guarantees any pair with
+    Hamming ≤ 3 agrees on ≥ 1 band, so recall is EXACTLY 1.0 (no
+    probabilistic miss).  One band-key shuffle; within-bucket pairs are
+    verified with a vectorized popcount.  Input: Dataset(doc_id int64,
+    phash int64)."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ph = b.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_k, out_i, out_h = [], [], []
+        for band in range(4):
+            key = (ph >> (16 * band)) & np.int64(0xFFFF)
+            out_k.append(key + np.int64(band << 16))
+            out_i.append(ids)
+            out_h.append(ph)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_k), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_i), pa.int64()),
+            "phash": pa.array(np.concatenate(out_h), pa.int64())})
+
+    exploded = hashes.map_batches(explode_bands, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from elevant_ray.stages.graph import group_starts_sizes
+        from elevant_ray.stages.util import within_group_pairs
+        g = g.sort_values(["band", "doc_id"], kind="stable") \
+            .drop_duplicates(["band", "doc_id"])
+        ids = g["doc_id"].to_numpy(np.int64)
+        ph = g["phash"].to_numpy(np.int64).view(np.uint64)
+        starts, sizes = group_starts_sizes(g["band"].to_numpy(np.int64))
+        i, j = within_group_pairs(starts, sizes)
+        if len(i) == 0:
+            return pd.DataFrame({"left": pd.Series([], dtype="int64"),
+                                 "right": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        x = ph[i] ^ ph[j]
+        ham = np.zeros(len(x), np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"left": ids[i][keep], "right": ids[j][keep],
+                             "hamming": ham[keep]})
+
+    pairs = bucketed_group_apply(exploded, "band", per_bucket)
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        return b.group_by(["left", "right", "hamming"]).aggregate([])
+
+    # a pair found by several bands carries the SAME hamming, so a
+    # per-batch key-dedupe suffices structurally; the caller performs
+    # the (tiny, ≤ 4× duplicated) global dedupe on the survivors
+    return pairs.map_batches(dedupe, batch_format="pyarrow")
