@@ -325,6 +325,31 @@ BENCH_QUERIES = [
     "nation_seat_allocation",
     "part_token_pmi",
     "docs_extract_numbers",
+    "daily_revenue_theilsen",
+    "daily_revenue_mann_kendall",
+    "orders_new_vs_repeat_revenue",
+    "lineitem_multiregr",
+    "linkage_fs_weights",
+    "event_type_walk3",
+    "crawl_dedup_survivors",
+    "part_rrf_rank",
+    "linkage_em_step",
+    "user_burst_bots",
+    "dedup_containment",
+    "part_token_llr",
+    "orders_backlog_monthly",
+    "nation_pairwise_tstats",
+    "event_type_trigrams",
+    "part_fuzzy_dictionary_match",
+    "order_basket_triples",
+    "customer_value_trend",
+    "doc_hapax_ratio",
+    "url_host_stats",
+    "multimodal_phash_dedup",
+    "events_sax_symbols",
+    "source_pair_containment",
+    "events_daily_type_drift",
+    "customer_top_order_share",
 ]
 
 FLAGSHIP = "linkage_clusters"
