@@ -350,6 +350,11 @@ BENCH_QUERIES = [
     "source_pair_containment",
     "events_daily_type_drift",
     "customer_top_order_share",
+    "link_density_by_lang",
+    "alias_ambiguity_histogram",
+    "alias_tie_rate",
+    "lineitem_price_residual_top",
+    "dedup_hot_shingles",
 ]
 
 FLAGSHIP = "linkage_clusters"
