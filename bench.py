@@ -355,6 +355,11 @@ BENCH_QUERIES = [
     "alias_tie_rate",
     "lineitem_price_residual_top",
     "dedup_hot_shingles",
+    "purchase_next_error_1h",
+    "nation_acctbal_hodges_lehmann",
+    "docs_schema_evolution_union",
+    "part_price_isotonic",
+    "denormalized_write_roundtrip",
 ]
 
 FLAGSHIP = "linkage_clusters"
