@@ -360,6 +360,10 @@ BENCH_QUERIES = [
     "docs_schema_evolution_union",
     "part_price_isotonic",
     "denormalized_write_roundtrip",
+    "containment_pair_alignment",
+    "nation_balance_james_stein",
+    "orders_benford_second",
+    "click_conversion_30m_by_day",
 ]
 
 FLAGSHIP = "linkage_clusters"
