@@ -364,6 +364,11 @@ BENCH_QUERIES = [
     "nation_balance_james_stein",
     "orders_benford_second",
     "click_conversion_30m_by_day",
+    "user_type_runs_intervals",
+    "nation_balance_welch_anova",
+    "events_hourly_acf24_by_type",
+    "token_top10_other_share",
+    "orders_price_round_number_bias",
 ]
 
 FLAGSHIP = "linkage_clusters"
