@@ -369,6 +369,11 @@ BENCH_QUERIES = [
     "events_hourly_acf24_by_type",
     "token_top10_other_share",
     "orders_price_round_number_bias",
+    "linkage_waterfall_counts",
+    "golden_record_conflicts",
+    "part_name_phonetic_blocks",
+    "containment_transitivity",
+    "linkage_fs_score_distribution",
 ]
 
 FLAGSHIP = "linkage_clusters"
