@@ -374,6 +374,11 @@ BENCH_QUERIES = [
     "part_name_phonetic_blocks",
     "containment_transitivity",
     "linkage_fs_score_distribution",
+    "session_length_histogram",
+    "lang_id_cohens_kappa",
+    "event_type_information_gain",
+    "basket_size_by_priority",
+    "discount_level_revenue",
 ]
 
 FLAGSHIP = "linkage_clusters"
