@@ -379,6 +379,11 @@ BENCH_QUERIES = [
     "event_type_information_gain",
     "basket_size_by_priority",
     "discount_level_revenue",
+    "bcubed_lang_source",
+    "cramers_v_pairs",
+    "ljung_box_daily",
+    "block_purging_stats",
+    "gk_gamma_discount_qty",
 ]
 
 FLAGSHIP = "linkage_clusters"
