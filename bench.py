@@ -384,6 +384,11 @@ BENCH_QUERIES = [
     "ljung_box_daily",
     "block_purging_stats",
     "gk_gamma_discount_qty",
+    "snm_window_stats",
+    "emd_purchase_view",
+    "weighted_jaccard_sources",
+    "docs_prefix_dup_clusters",
+    "mutual_best_match_parts",
 ]
 
 FLAGSHIP = "linkage_clusters"
