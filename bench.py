@@ -389,6 +389,11 @@ BENCH_QUERIES = [
     "weighted_jaccard_sources",
     "docs_prefix_dup_clusters",
     "mutual_best_match_parts",
+    "session_duration_quantiles",
+    "customer_rfm_segments",
+    "nation_order_gini",
+    "haar_energy_daily",
+    "events_interarrival_fit",
 ]
 
 FLAGSHIP = "linkage_clusters"
