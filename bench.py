@@ -394,6 +394,11 @@ BENCH_QUERIES = [
     "nation_order_gini",
     "haar_energy_daily",
     "events_interarrival_fit",
+    "orders_lorenz_deciles",
+    "daily_changepoint_binary",
+    "tfidf_cosine_name_pairs",
+    "customer_same_day_orders",
+    "user_type_signature_histogram",
 ]
 
 FLAGSHIP = "linkage_clusters"
