@@ -399,6 +399,11 @@ BENCH_QUERIES = [
     "tfidf_cosine_name_pairs",
     "customer_same_day_orders",
     "user_type_signature_histogram",
+    "fd_violation_audit",
+    "zone_map_pruned_scan",
+    "nation_top3_orders",
+    "pair_feature_table",
+    "supplier_grubbs_outlier",
 ]
 
 FLAGSHIP = "linkage_clusters"
