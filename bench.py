@@ -404,6 +404,11 @@ BENCH_QUERIES = [
     "nation_top3_orders",
     "pair_feature_table",
     "supplier_grubbs_outlier",
+    "entity_cooccurrence_pairs",
+    "lineitem_qty_tie_pairs",
+    "source_length_ks_drift",
+    "multipass_blocking_overlap",
+    "daily_window_sum_3p1f",
 ]
 
 FLAGSHIP = "linkage_clusters"
