@@ -409,6 +409,11 @@ BENCH_QUERIES = [
     "source_length_ks_drift",
     "multipass_blocking_overlap",
     "daily_window_sum_3p1f",
+    "quantile_normalize_purchase_to_view",
+    "anchor_length_histogram",
+    "sections_per_page_histogram",
+    "customer_priority_transitions",
+    "doc_ngram_novelty",
 ]
 
 FLAGSHIP = "linkage_clusters"
