@@ -414,6 +414,11 @@ BENCH_QUERIES = [
     "sections_per_page_histogram",
     "customer_priority_transitions",
     "doc_ngram_novelty",
+    "nation_kruskal_wallis",
+    "daily_online_3sigma_flags",
+    "source_rle_compressibility",
+    "docs_feather_roundtrip",
+    "purchase_gini_mean_difference",
 ]
 
 FLAGSHIP = "linkage_clusters"
