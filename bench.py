@@ -419,6 +419,11 @@ BENCH_QUERIES = [
     "source_rle_compressibility",
     "docs_feather_roundtrip",
     "purchase_gini_mean_difference",
+    "customer_order_nb_fit",
+    "events_hour_circular_stats",
+    "urgent_priority_price_auc",
+    "source_js_divergence_matrix",
+    "qty_stochastic_dominance",
 ]
 
 FLAGSHIP = "linkage_clusters"
