@@ -424,6 +424,11 @@ BENCH_QUERIES = [
     "urgent_priority_price_auc",
     "source_js_divergence_matrix",
     "qty_stochastic_dominance",
+    "user_growth_curve",
+    "revenue_pareto_cross",
+    "page_paragraph_histogram",
+    "daily_runs_up_down",
+    "brand_price_median_test",
 ]
 
 FLAGSHIP = "linkage_clusters"
