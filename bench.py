@@ -429,6 +429,11 @@ BENCH_QUERIES = [
     "page_paragraph_histogram",
     "daily_runs_up_down",
     "brand_price_median_test",
+    "order_to_ship_lead_time",
+    "nation_share_of_region",
+    "tax_discount_grid_revenue",
+    "friedman_dow_revenue",
+    "simpson_paradox_check",
 ]
 
 FLAGSHIP = "linkage_clusters"
