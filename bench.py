@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "docs_canopy_blocks",
     "knn_cosine",
     "knn_ivf",
     "neardup_embedding",

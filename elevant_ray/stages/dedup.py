@@ -753,3 +753,87 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
     return pin_schema(out, pa.schema([
         ("left", pa.string()), ("right", pa.string()),
         ("cont", pa.float64())]))
+
+
+def canopy_blocks(ds, id_col: str, text_col: str,
+                  t1: float = 0.3, t2: float = 0.6,
+                  buckets: int = 64):
+    """Canopy clustering (McCallum/Nigam/Ungar, KDD 2000): cheap
+    token-Jaccard canopies as an ER blocking stage — the loose
+    threshold ``t1`` admits points into a canopy (possibly several),
+    the tight threshold ``t2`` removes them from the candidate pool
+    so they can never found another canopy.
+
+    Distributed form: each doc is keyed by its MINIMUM token hash (a
+    1-band minhash — two docs at token-Jaccard j share the key with
+    probability j, so the near-identical pairs canopy blocking exists
+    for almost always co-locate), then ONE hash exchange groups the
+    keys into ``buckets`` partitions and canopies form per partition.
+    The canonical per-partition invariants hold exactly; key-splitting
+    losses are the standard MapReduce-canopy approximation and are
+    left to the downstream pairwise scorer.  Within a partition the
+    scan is deterministic: points are visited in ascending ``id_col``
+    order, candidate overlap comes from a token inverted index (only
+    points sharing ≥1 token are ever compared — Jaccard < t1 pairs
+    with zero shared tokens are skipped for free).
+
+    Reference parity: ELEVANT blocks candidates by exact alias keys
+    (src/elevant/models/entity_database.py:264-274); canopies are the
+    fuzzy-key generalization used when no exact key exists.
+
+    Returns Dataset(center, member, jac) — one row per canopy
+    membership (members may repeat across canopies, per the
+    algorithm; every point appears as its own canopy's first member
+    when it becomes a center)."""
+    import zlib
+
+    import pandas as pd
+
+    from elevant_ray.stages.util import bucketed_group_apply, pin_schema
+
+    def add_key(b: pa.Table) -> pa.Table:
+        keys = []
+        for t in b.column(text_col).to_pylist():
+            toks = set(str(t).lower().split()) if t is not None else set()
+            keys.append(min((zlib.crc32(w.encode("utf-8"))
+                             for w in toks), default=0))
+        return pa.table({id_col: b.column(id_col),
+                         text_col: b.column(text_col),
+                         "ckey": pa.array(keys, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        toksets = [frozenset(str(t).lower().split())
+                   for t in g[text_col].tolist()]
+        inv: dict = {}
+        for i, ts in enumerate(toksets):
+            for t in ts:
+                inv.setdefault(t, []).append(i)
+        alive = [True] * len(ids)
+        rows = []
+        for i in range(len(ids)):
+            if not alive[i]:
+                continue
+            alive[i] = False
+            rows.append((ids[i], ids[i], 1.0))
+            seen = set()
+            for t in toksets[i]:
+                for j in inv[t]:
+                    if j <= i or not alive[j] or j in seen:
+                        continue
+                    seen.add(j)
+                    a, b = toksets[i], toksets[j]
+                    inter = len(a & b)
+                    jac = inter / (len(a) + len(b) - inter)
+                    if jac >= t1:
+                        rows.append((ids[i], ids[j], round(jac, 6)))
+                        if jac >= t2:
+                            alive[j] = False
+        return pd.DataFrame(rows, columns=["center", "member", "jac"])
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = bucketed_group_apply(keyed, "ckey", per_bucket, buckets=buckets)
+    return pin_schema(out, pa.schema([
+        ("center", pa.int64()), ("member", pa.int64()),
+        ("jac", pa.float64())]))
