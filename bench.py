@@ -36,6 +36,108 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "alias_candidates",
+    "balance_orders_hist2d",
+    "benchmark_stats",
+    "brand_names_concat",
+    "click_purchase_value_cvm",
+    "copurchase_degree_assortativity",
+    "coref_clusters",
+    "customer_except",
+    "customer_first_order",
+    "customer_running_max",
+    "customer_spend_atkinson",
+    "customer_zero_inflation_score",
+    "customers_all_priorities",
+    "daily_revenue_adf_stat",
+    "daily_revenue_chow_test",
+    "daily_revenue_pacf3",
+    "daily_revenue_periodogram",
+    "dedup_lsh_quality",
+    "discount_did_estimate",
+    "discount_qty_arc_elasticity",
+    "doc_fingerprint",
+    "doc_hash16_collisions",
+    "doc_loglength_jarque_bera",
+    "doc_oov_rate_per_source",
+    "doc_token_counts",
+    "doc_yule_k",
+    "docs_cramers_v",
+    "docs_longest",
+    "dow_purchase_trend_cochran_armitage",
+    "embedding_intrinsic_dim_2nn",
+    "embedding_label_silhouette",
+    "embedding_whitening_check",
+    "entity_popularity",
+    "error_purchase_logrank",
+    "event_type_fano_factor",
+    "events_cohort_ltv",
+    "events_cumulative_users",
+    "events_distinct_users_approx",
+    "events_type_trend",
+    "events_value_ecdf_grid",
+    "events_value_gpd_tail_fit",
+    "events_value_hill_tail_index",
+    "hourly_click_purchase_tail_dependence",
+    "hourly_count_poisson_gof",
+    "hourly_counts_spectral_flatness",
+    "hourly_time_reversibility",
+    "lineitem_partial_correlation",
+    "linkage_ari",
+    "linking_eval_counts",
+    "monthly_max_gumbel_fit",
+    "monthly_price_quantile_bands",
+    "most_popular_candidates",
+    "nation_acctbal_geomean",
+    "nation_balance_bowley_skew",
+    "nation_balance_stddev",
+    "nation_segment_cube",
+    "nation_spend_theil_decomposition",
+    "nation_year_kendall_w",
+    "order_gap_weibull_fit",
+    "order_priority_counts",
+    "orders_changepoint",
+    "orders_classical_decomposition",
+    "orders_grouping_sets",
+    "orders_holt_linear",
+    "orders_month_seasonality",
+    "orders_nearby_counts",
+    "orders_price_kde_grid",
+    "orders_priority_dense_rank",
+    "orders_quarter_index",
+    "orders_yearly_growth",
+    "paragraph_dedup_audit",
+    "part_brand_sets",
+    "part_name_monge_elkan",
+    "part_type_stats",
+    "part_xyz_classes",
+    "party_nations_union",
+    "popular_linking",
+    "prior_linking",
+    "priority_jonckheere_trend",
+    "priority_price_eta_squared",
+    "props_k_kl_uniform",
+    "q22_sales_opportunity",
+    "qty_cliffs_delta",
+    "returnflag_linestatus_gtest",
+    "returnflag_weighted_avg",
+    "segment_balance_anderson_darling",
+    "segment_balance_ansari_bradley",
+    "segment_top_decile_lift",
+    "ship_delay_gamma_fit",
+    "source_flesch_kincaid",
+    "source_jsd_matrix",
+    "supplier_balance_cume_dist",
+    "supplier_nation_balance",
+    "title_synonyms",
+    "token_burstiness_top",
+    "top_customer_order",
+    "url_canonicalize",
+    "user_activity_lorenz_asymmetry",
+    "user_capture_recapture",
+    "user_type_cochran_q",
+    "weekend_purchase_odds_ratio",
+    "yearly_laspeyres_price_index",
     "q1_pricing_summary",
     "q3_top_orders",
     "region_revenue",
@@ -391,7 +493,6 @@ BENCH_QUERIES = [
     "docs_prefix_dup_clusters",
     "mutual_best_match_parts",
     "session_duration_quantiles",
-    "customer_rfm_segments",
     "nation_order_gini",
     "haar_energy_daily",
     "events_interarrival_fit",
