@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "source_burrows_delta",
+    "events_value_expected_shortfall",
+    "transition_gap_median",
+    "weekly_profile_cosine_stability",
+    "customer_spend_hoover",
     "alias_candidates",
     "balance_orders_hist2d",
     "benchmark_stats",
