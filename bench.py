@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "region_priority_chi2_residuals",
+    "orders_micro_macro_avg",
+    "balance_spend_mcc",
+    "nation_supply_cr4",
+    "order_gap_inspection_paradox",
     "source_burrows_delta",
     "events_value_expected_shortfall",
     "transition_gap_median",
