@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "customer_adoption_bass_fit",
+    "nation_priority_location_quotient",
+    "daily_revenue_hurst_rs",
+    "segment_price_iqr_overlap",
+    "unit_price_variance_decomposition",
     "region_priority_chi2_residuals",
     "orders_micro_macro_avg",
     "balance_spend_mcc",
