@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "daily_revenue_variogram",
+    "order_gap_hazard_curve",
+    "qty_price_quadrant_dependence",
+    "tenure_value_curve",
+    "token_zipf_alpha_fit",
     "customer_adoption_bass_fit",
     "nation_priority_location_quotient",
     "daily_revenue_hurst_rs",
