@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "ship_delay_huber_location",
+    "trade_gravity_fit",
+    "priority_price_oaxaca",
+    "weekly_growth_accounting",
+    "segment_hill_numbers",
     "daily_revenue_variogram",
     "order_gap_hazard_curve",
     "qty_price_quadrant_dependence",
