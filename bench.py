@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "customer_period_wilcoxon_signed_rank",
+    "nation_rank_footrule",
+    "brand_price_icc",
+    "doc_heaps_beta_fit",
+    "daily_revenue_max_subarray",
     "ship_delay_huber_location",
     "trade_gravity_fit",
     "priority_price_oaxaca",
