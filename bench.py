@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "daily_revenue_ar2_yule_walker",
+    "source_char_entropy_rate",
+    "hourly_click_purchase_ccf",
+    "nation_balance_trimean",
+    "source_jsd_to_corpus",
     "customer_period_wilcoxon_signed_rank",
     "nation_rank_footrule",
     "brand_price_icc",
