@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "monthly_revenue_mase",
+    "part_token_ngd_pairs",
+    "embedding_participation_ratio",
+    "part_type_loo_encoding",
+    "events_value_jensen_gap",
     "daily_revenue_ar2_yule_walker",
     "source_char_entropy_rate",
     "hourly_click_purchase_ccf",
