@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "transition_independence_gtest",
+    "returnflag_woe_iv",
+    "monthly_seasonal_strength",
+    "priority_mobility_shorrocks",
+    "nation_share_tv_distance",
     "monthly_revenue_mase",
     "part_token_ngd_pairs",
     "embedding_participation_ratio",
