@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "nation_balance_morans_i",
+    "orders_price_fd_entropy",
+    "copurchase_rich_club",
+    "user_type_mutual_information",
+    "daily_revenue_variance_ratio",
     "transition_independence_gtest",
     "returnflag_woe_iv",
     "monthly_seasonal_strength",
