@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "supplier_balance_dixon_q",
+    "part_size_price_fechner",
+    "customer_spend_s80_s20",
+    "monthly_revenue_pettitt",
+    "part_name_positional_mi",
     "nation_balance_morans_i",
     "orders_price_fd_entropy",
     "copurchase_rich_club",
