@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "hourly_change_skellam_fit",
+    "taylor_power_law_exponent",
+    "monthly_turning_points_test",
+    "embedding_norm_cv_by_label",
+    "user_activity_pielou_evenness",
     "supplier_balance_dixon_q",
     "part_size_price_fechner",
     "customer_spend_s80_s20",
