@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "balance_bimodality_coefficient",
+    "embedding_mean_cosine_anisotropy",
+    "daily_revenue_spearman_acf1",
+    "user_value_trend_share_positive",
+    "props_k_type_chi2",
     "hourly_change_skellam_fit",
     "taylor_power_law_exponent",
     "monthly_turning_points_test",
