@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "nation_balance_mad_robust_cv",
+    "customer_order_count_vmr",
+    "brand_price_interdecile_ratio",
+    "hour_of_day_peak_share",
+    "tax_discount_modal_cell",
     "balance_bimodality_coefficient",
     "embedding_mean_cosine_anisotropy",
     "daily_revenue_spearman_acf1",
