@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "quarterly_weekend_revenue_share",
+    "lang_chars_per_token",
+    "daily_value_range_mean",
+    "nation_priority_entropy",
+    "supplier_negative_balance_share",
     "nation_balance_mad_robust_cv",
     "customer_order_count_vmr",
     "brand_price_interdecile_ratio",
