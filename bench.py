@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "yearly_status_mix",
+    "source_doc_length_minmax_ratio",
+    "returnflag_qty_skewness",
+    "dow_price_median",
+    "embedding_label_entropy",
     "quarterly_weekend_revenue_share",
     "lang_chars_per_token",
     "daily_value_range_mean",
