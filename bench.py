@@ -36,6 +36,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
 # operator family: relational joins/aggregates, windowed events, text
 # analysis, dedup/sketching, ANN, extraction, linking, clustering).
 BENCH_QUERIES = [
+    "balance_range_rule_check",
+    "benford_digit_drift",
+    "lang_vowel_ratio",
+    "events_value_above_mean_share",
+    "nation_customer_supplier_ratio",
     "yearly_status_mix",
     "source_doc_length_minmax_ratio",
     "returnflag_qty_skewness",
