@@ -103,3 +103,25 @@ def test_query_runs_and_is_deterministic(ray_session):
     # the synthetic type words must produce at least some coref rows
     assert (d1["kind"] == "coref").any()
     assert (d1["kind"] == "mention").any()
+
+
+def test_query_dims_cover_every_synthesized_entity(ray_session):
+    """Regression for the round-1 NUM_ENTITIES drift: the query's
+    gender/coref-type dims were built for entities 0–39 while the page
+    source synthesizes NUM_ENTITIES (97), so mentions of entities ≥ 40
+    silently never participated in coreference.  The dims must track
+    the source constant, and high-numbered entities must actually show
+    up in the clustered output."""
+    import re
+
+    import __ray_entry__ as m
+    from elevant_ray.sources.pages import NUM_ENTITIES
+
+    assert NUM_ENTITIES > 40  # the drift scenario this test guards
+    d = m.queries()["coref_clusters"]("/root/testdata/sf0.001").to_pandas()
+    ents = {int(g.group(1)) for e in d["entity_id"].dropna()
+            if (g := re.search(r"(\d+)$", str(e)))}
+    assert ents, "no entity ids in coref output"
+    assert max(ents) >= 40, (
+        "entities >= 40 absent from coref clusters — dims drifted from "
+        "sources/pages.NUM_ENTITIES again")

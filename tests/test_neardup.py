@@ -136,6 +136,101 @@ class TestEmbeddingNearDup:
         assert got == want
         assert (3, 7) in got and (11, 25) in got
 
+    def _rand_ds(self, n=400, dim=16, seed=5, planted=24, blocks=8):
+        """Random near-orthogonal vectors + `planted` near-dup pairs."""
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(n, dim)
+        for k in range(planted):
+            a, b = 2 * k, 2 * k + 1
+            vecs[b] = vecs[a] + 0.02 * rng.randn(dim)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        })).repartition(blocks)
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return ds, norm @ norm.T
+
+    def test_signlsh_recall_precision_multiblock(self, ray_session):
+        """The distributed sign-LSH path (the 10^9-row fix from the
+        round-1 verdict) on a multi-block dataset: precision must be
+        exactly 1.0 (every pair re-verified), recall ≥ 0.95 vs the
+        exact all-pairs oracle, sims bit-equal where both emit."""
+        from elevant_ray.stages.knn import (
+            cosine_neardup_pairs, signlsh_neardup_pairs)
+
+        ds, sims = self._rand_ds()
+        thr = 0.9
+        exact = {(r["left"], r["right"]): r["sim"] for r in
+                 cosine_neardup_pairs(ds, threshold=thr,
+                                      method="exact").take_all()}
+        lsh = {(r["left"], r["right"]): r["sim"] for r in
+               signlsh_neardup_pairs(ds, threshold=thr).take_all()}
+        assert exact  # the planted pairs are above threshold
+        assert set(lsh) <= set(exact)              # precision 1.0
+        assert len(lsh) >= 0.95 * len(exact)       # recall gate
+        for k, v in lsh.items():
+            assert v == pytest.approx(exact[k], abs=1e-12)
+
+    def test_signlsh_hot_bucket_star_chain(self, ray_session):
+        """A mega-cluster of identical vectors overflows `max_block`:
+        the bucket degrades to verified hub-star + adjacent-chain
+        pairs — connectivity over the cluster must survive (the
+        downstream-CC guarantee), precision stays 1.0."""
+        import ray.data as rd
+
+        from elevant_ray.stages.knn import signlsh_neardup_pairs
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(16)
+        n_clust, n_other = 120, 60
+        vecs = [base + 0.001 * rng.randn(16) for _ in range(n_clust)]
+        vecs += [rng.randn(16) for _ in range(n_other)]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        })).repartition(4)
+        pairs = signlsh_neardup_pairs(ds, threshold=0.99,
+                                      max_block=16).take_all()
+        # precision: every emitted pair really is ≥ threshold
+        mat = np.asarray(vecs)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        parent = list(range(len(vecs)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = r["left"], r["right"]
+            assert float(mat[a] @ mat[b]) >= 0.99
+            parent[find(a)] = find(b)
+        roots = {find(i) for i in range(n_clust)}
+        assert len(roots) == 1  # the whole cluster stays connected
+
+    def test_auto_dispatch_scale_cutoff(self, ray_session, monkeypatch):
+        """method='auto' beyond the broadcast cutoff must route to the
+        LSH path and still find every planted near-dup here (recall at
+        sim≈1 is 1 − (1−p^r)^bands ≈ 1)."""
+        from elevant_ray.stages.knn import cosine_neardup_pairs
+
+        ds, sims = self._rand_ds(n=120, planted=8, blocks=4)
+        thr = 0.95
+        exact = {(r["left"], r["right"]) for r in
+                 cosine_neardup_pairs(ds, threshold=thr,
+                                      method="exact").take_all()}
+        monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+        auto = {(r["left"], r["right"]) for r in
+                cosine_neardup_pairs(ds, threshold=thr).take_all()}
+        planted = {(2 * k, 2 * k + 1) for k in range(8)}
+        assert planted <= auto
+        assert auto <= exact
+
     def test_ivf_recall_vs_bruteforce(self, ray_session):
         import __ray_entry__ as m
 
