@@ -175,3 +175,33 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("title_synonyms", pa.array(syn_col, type=pa.list_(SPAN_STRUCT)))
     out = out.append_column("sections", pa.array(sec_col, type=pa.list_(SECTION_STRUCT)))
     return out
+
+
+def abstract_span(text: str, sections) -> tuple:
+    """(begin, end) of the article abstract — the first-section text
+    after the title block, with a leading coordinate line filtered out.
+
+    Parity target: ``src/elevant/models/article.py:118-135``
+    (``Article.get_abstract_span``), including its quirks: the title
+    block ends at the first ``\\n\\n`` (when absent, ``find`` returns -1
+    so the abstract starts at offset 1), and a first line shorter than
+    60 chars containing ``°`` is treated as a coordinate line and
+    skipped.  ``sections`` accepts the engine's dict rows
+    ({begin,end,title}) or the reference's ((begin,end),title) tuples.
+    """
+    if not sections:
+        raise ValueError("abstract_span needs section data")
+    first = sections[0]
+    if isinstance(first, dict):
+        s_begin, s_end = int(first["begin"]), int(first["end"])
+    else:
+        (s_begin, s_end) = first[0]
+    first_section_text = text[s_begin:s_end]
+    title_end = first_section_text.find("\n\n") + 2
+    abstract_start = title_end
+    abstract_text = text[abstract_start:s_end]
+    first_newline = abstract_text.find("\n")
+    if 0 < first_newline < 60 and "°" in abstract_text[:first_newline] \
+            and len(abstract_text) > first_newline + 2:
+        abstract_start = title_end + first_newline + 1
+    return abstract_start, s_end

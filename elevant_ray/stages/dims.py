@@ -160,3 +160,78 @@ def to_broadcast_dicts(link_freq) -> Dict[str, object]:
     for alias in alias_to_qids:
         alias_to_qids[alias] = sorted(set(alias_to_qids[alias]))
     return {"alias_to_qids": alias_to_qids, "popularity": dict(popularity)}
+
+
+def abstracts_mapping(articles, title_to_qid, redirects=None,
+                      title_col: str = "title", text_col: str = "text",
+                      sections_col: str = "sections",
+                      order_col: str = "url"):
+    """QID → (title, abstract) mapping with duplicate accounting —
+    the abstracts-mapping operator
+    (``scripts/create_abstracts_mapping.py:14-50``).
+
+    Per article: abstract = first-section text after the title block
+    (functions/extract.abstract_span, parity with article.py:118-135),
+    stripped and newlines→spaces; title maps through the
+    redirect-chased title→QID dimension (knowledge_base_mapper
+    semantics).  Unknown titles are dropped (the reference's
+    ``mapping_errors`` path — compute the count upstream if needed).
+
+    Per-QID reduction is ONE packed-min hash aggregate + Count: the
+    winner is the FIRST article by ``order_col`` (the reference's
+    in-memory dict keeps the LAST in file order — an order-dependent
+    accident; a distributed engine needs a deterministic total order),
+    and ``n_articles`` counts every article mapped to the QID, so
+    ``n_articles - 1`` summed is the reference's
+    ``multi_mapping_errors`` metric.  Scales as a combiner aggregate:
+    no driver materialization, one keyed shuffle.
+
+    Returns Dataset(qid, title, abstract, n_articles).
+    """
+    import base64
+    import pickle
+
+    from ray.data.aggregate import Count, Min
+
+    from elevant_ray.functions.extract import abstract_span
+    from elevant_ray.functions.normalize import NIL, NO_MAPPING, wikidata_qid
+
+    redirects = redirects or {}
+
+    def to_mapped(batch: pa.Table) -> pa.Table:
+        qids, packed = [], []
+        for row in batch.select(
+                [title_col, text_col, sections_col, order_col]).to_pylist():
+            qid = wikidata_qid(row[title_col], title_to_qid, redirects)
+            if qid in (NIL, NO_MAPPING):
+                continue
+            text = row[text_col]
+            b, e = abstract_span(text, row[sections_col])
+            abstract = text[b:e].strip().replace("\n", " ")
+            qids.append(qid)
+            packed.append(str(row[order_col]) + "\x00" + base64.b64encode(
+                pickle.dumps((row[title_col], abstract),
+                             protocol=4)).decode())
+        return pa.table({"qid": pa.array(qids, pa.string()),
+                         "_packed": pa.array(packed, pa.string())})
+
+    winners = articles.map_batches(to_mapped, batch_format="pyarrow") \
+        .groupby("qid").aggregate(Min("_packed", alias_name="_packed"),
+                                  Count(alias_name="n_articles"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        titles, abstracts = [], []
+        for s in batch.column("_packed").to_pylist():
+            title, abstract = pickle.loads(
+                base64.b64decode(s.split("\x00", 1)[1]))
+            titles.append(title)
+            abstracts.append(abstract)
+        return pa.table({
+            "qid": batch.column("qid"),
+            "title": pa.array(titles, pa.string()),
+            "abstract": pa.array(abstracts, pa.string()),
+            "n_articles": pc.cast(batch.column("n_articles"), pa.int64())})
+
+    return winners.map_batches(unpack, batch_format="pyarrow")
