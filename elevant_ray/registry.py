@@ -235,6 +235,23 @@ def _popular_linker(config):
              "assume_nouns": config.get("assume_nouns", True)})
 
 
+@stage("model-ner", "linker",
+       "Pluggable model-NER actor stage: model loads once per actor "
+       "via model_loader (spaCy-load parity, baseline_linker.py:34); "
+       "batched inference contract, 'the '-strip postprocess "
+       "(ner_postprocessing.py:12-30); deterministic fake model by "
+       "default (no model libraries in this sandbox)")
+def _model_ner(config):
+    from elevant_ray.stages.model_ner import ModelNERStage
+
+    return (ModelNERStage,
+            {"batch_size": config.get("batch_size", 64)},
+            {"model_loader": config.get("model_loader"),
+             "id_col": config.get("id_col", "url"),
+             "text_col": config.get("text_col", "text"),
+             "postprocess": config.get("postprocess", True)})
+
+
 @stage("kb-coref", "coref",
        "KB coreference: pronoun gender + 'the <type>' resolution "
        "(kb_coref_linker.py:201-315)")

@@ -21,8 +21,16 @@ Ported verbatim:
   types only, prefixes {"the", "that", "this"} (:136, :288-295);
 - title-entity tracking (mention at offset 0).
 
+Direct speech (:50-91, :124-131, :164-178) IS ported, parser-free:
+quote-span detection, the paragraph-boundary validity quirk, minimum
+span length, first-person-singular→speaker resolution inside quotes,
+and the skip-quoted-entities rule outside quotes all replicate the
+reference's control flow.  Two spaCy-only signals are replaced by
+documented lexical heuristics (``_HEURISTIC_VERBS`` + suffix test for
+the dep-parse "has subject and verb" check; last capitalized
+non-pronoun token for the ``nsubj`` speaker-candidate track).
+
 Not ported (requires a dependency parse / POS tags; parameterized off):
-- direct-speech spans + speaker resolution (:50-91, :165-176);
 - the "problematic it" dependency-graph filter (:268-277);
 - ``is_first_subj_in_paragraph`` neutral-paragraph-subject shortcut.
 """
@@ -67,13 +75,14 @@ def is_first_person_singular(text: str) -> bool:
 
 
 class _RefEntity:
-    __slots__ = ("span", "entity_id", "gender", "types")
+    __slots__ = ("span", "entity_id", "gender", "types", "ds")
 
-    def __init__(self, span, entity_id, gender, types):
+    def __init__(self, span, entity_id, gender, types, ds=None):
         self.span = span
         self.entity_id = entity_id
         self.gender = gender
         self.types = types
+        self.ds = ds            # containing direct-speech span, if any
 
 
 def _strip_punct(tok: str) -> str:
@@ -81,16 +90,145 @@ def _strip_punct(tok: str) -> str:
     return tok.rstrip(".,;:!?\"')")
 
 
+QUOTATION_MARKS = ('"', "“")       # kb_coref_linker.py:22
+DIRECT_SPEECH_MIN_TOKENS = 4            # kb_coref_linker.py:23
+
+# Parser-free stand-in for the reference's "span has nsubj + VERB/AUX"
+# validity check (:84-88): a closed auxiliary/reporting-verb set plus
+# the -ed/-ing suffix test.  Over-accepts some noun phrases, never
+# under-accepts a normal quoted sentence.
+_HEURISTIC_VERBS = frozenset(
+    "is am are was were be been being have has had do does did will "
+    "would can could shall should may might must said say says go "
+    "goes went think thinks thought know knows knew want wants".split())
+
+
+def _looks_like_verb(core: str) -> bool:
+    low = core.lower()
+    return low in _HEURISTIC_VERBS or low.endswith(("ed", "ing"))
+
+
+def direct_speech_spans(text: str, tokens) -> List[dict]:
+    """Detect direct-speech spans + speaker candidates, parser-free
+    (``get_direct_speeches``, kb_coref_linker.py:50-91).
+
+    Control flow replicated: quote characters toggle open/close; a
+    closed span is valid iff (a) it covers ≥ DIRECT_SPEECH_MIN_TOKENS-1
+    tokens, (b) it "has a subject and a verb" (lexical heuristic — see
+    ``_HEURISTIC_VERBS``; subject ≈ a pronoun or capitalized token
+    inside the quote), and (c) the reference's paragraph condition,
+    which — as written (:68-70, last element of two ≥-filtered boundary
+    lists compared) — reduces to "a \\n\\n boundary exists at or after
+    the quote's close"; replicated faithfully, quirk included.  The
+    speaker candidate is the reference's running last-``nsubj``-token
+    outside quotes, recast as the last capitalized non-pronoun token
+    outside any quote pair.
+
+    Returns [{"span": (s, e), "speaker": (b, e) | None}] with the span
+    endpoints at the quote characters (containment test s ≤ off ≤ e,
+    :124-131)."""
+    import re
+
+    qpos = [m.start() for m in re.finditer(r'["“]', text)]
+    if len(qpos) < 2:
+        return []
+    boundaries = [m.start() for m in re.finditer(r"\n\n", text)]
+
+    # quote pairs by toggling, exactly the reference's open/close state
+    pairs = [(qpos[i], qpos[i + 1]) for i in range(0, len(qpos) - 1, 2)]
+
+    def in_any_pair(off: int) -> bool:
+        return any(s <= off <= e for s, e in pairs)
+
+    # speaker-candidate track: capitalized non-pronoun tokens outside
+    # every quote pair, in document order
+    cands = []
+    for b, e in tokens:
+        core = _strip_punct(text[b:e]).lstrip("\"'(“")
+        if (core and core[0].isupper()
+                and core.lower() not in PRONOUN_GENDERS
+                and not in_any_pair(b)):
+            cands.append((b, b + len(core)))
+
+    out: List[dict] = []
+    for s, e in pairs:
+        # quotes attach to neighboring tokens in our whitespace
+        # tokenizer (spaCy splits them off), so a token starting AT the
+        # opening quote or ending just past the closing quote is inside
+        inside = [(b2, e2) for b2, e2 in tokens
+                  if b2 >= s and e2 <= e + 1]
+        if len(inside) < DIRECT_SPEECH_MIN_TOKENS - 1:
+            continue
+        subject = verb = False
+        for b2, e2 in inside:
+            core = _strip_punct(text[b2:e2]).lstrip("\"'(“")
+            if not core:
+                continue
+            if core.lower() in PRONOUN_GENDERS or core[0].isupper():
+                subject = True
+            if _looks_like_verb(core):
+                verb = True
+        if not (subject and verb):
+            continue
+        if not any(b >= e for b in boundaries):
+            continue    # the reference's single_paragraph quirk
+        speaker = None
+        for cb, ce in cands:
+            if ce <= s:
+                speaker = (cb, ce)
+            else:
+                break
+        out.append({"span": (s, e), "speaker": speaker})
+    return out
+
+
+def _containing_ds(offset: int, ds_list: List[dict]) -> Optional[dict]:
+    """kb_coref_linker.py:124-131."""
+    for ds in ds_list:
+        s, e = ds["span"]
+        if s <= offset <= e:
+            return ds
+    return None
+
+
 def _referenced_entity(span, preceding: List[_RefEntity],
-                       max_distance: int) -> Optional[_RefEntity]:
+                       max_distance: int, tok_text: str = "",
+                       direct_speech: Optional[dict] = None,
+                       ) -> Optional[_RefEntity]:
     """Reversed scan with distance cutoff (kb_coref_linker.py:159-186,
-    depless degradation: most recent match in range)."""
+    depless degradation: most recent match in range).  Direct-speech
+    rules ported: first-person-singular inside a quote resolves ONLY
+    to the entity containing the speaker token (MALE/FEMALE, else
+    nothing); references outside quotes skip entities registered
+    inside quotes, extending the scan window by the skipped quote's
+    length."""
     referenced = None
-    for i, pre in enumerate(reversed(preceding)):
-        if pre.span[1] + max_distance < span[0]:
+    ds_len = 0
+    first_considered = True
+    for pre in reversed(preceding):
+        if direct_speech is not None and is_first_person_singular(tok_text):
+            if direct_speech["speaker"] is None:
+                return None
+            sp = direct_speech["speaker"][0]
+            if pre.span[0] <= sp <= pre.span[1]:
+                if pre.gender in (MALE, FEMALE):
+                    return pre
+                return None
+            continue
+        if direct_speech is None and pre.ds is not None:
+            # skip quoted entities; their span still extends the window
+            # (reference :174-178).  With no dependency parse the
+            # "most recent" fallback moves to the first NON-skipped
+            # candidate (the reference recovers skipped cases through
+            # nsubj deps the engine doesn't have).
+            ds_s, ds_e = pre.ds["span"]
+            ds_len = ds_e - ds_s
+            continue
+        if pre.span[1] + max_distance + ds_len < span[0]:
             break
-        if i == 0:
+        if first_considered:
             referenced = pre
+        first_considered = False
     return referenced
 
 
@@ -112,6 +250,7 @@ def kb_coref_clusters(
     gender_map: Optional[Dict[str, int]] = None,
     coref_types: Optional[Dict[str, List[str]]] = None,
     type_qid_aliases: Optional[Dict[str, Set[str]]] = None,
+    direct_speech: bool = True,
 ) -> List[dict]:
     """One document → coref clusters
     ``[{entity_id, main: (b, e), mentions: [(b, e), ...]}]``.
@@ -128,6 +267,7 @@ def kb_coref_clusters(
 
     tokens = tokenize_with_offsets(text)
     sent_flags = sentence_start_flags(text, tokens)
+    ds_list = direct_speech_spans(text, tokens) if direct_speech else []
     sorted_mentions = sorted((m["begin"], m["end"], m["entity_id"])
                              for m in mentions)
     clusters: Dict[str, List[Tuple[int, int]]] = defaultdict(list)
@@ -142,6 +282,11 @@ def kb_coref_clusters(
             recent_per_sent.append({})
         tok_text = text[b:e]
         core = _strip_punct(tok_text)
+        # leading quote/bracket chars attach to our whitespace tokens
+        # (spaCy splits them off) — shift the core start past them
+        lead = len(core) - len(core.lstrip("\"'(“"))
+        core = core[lead:]
+        cb = b + lead
 
         # register the next linked mention once the scan reaches it
         if mention_idx < len(sorted_mentions) and b >= sorted_mentions[mention_idx][0]:
@@ -155,7 +300,8 @@ def kb_coref_clusters(
                         types.update(alias.lower().split("/"))
                 type_alias_cache[qid] = types
             seen_types.update(types)
-            ref = _RefEntity((mb, me), qid, gender, types)
+            ref = _RefEntity((mb, me), qid, gender, types,
+                             ds=_containing_ds(mb, ds_list))
             recent_per_sent[-1][(mb, me)] = ref
             mention_idx += 1
             clusters[qid].append((mb, me))
@@ -163,26 +309,30 @@ def kb_coref_clusters(
         referenced = None
         span = None
         if is_pronoun(core):
-            span = (b, b + len(core))
+            span = (cb, cb + len(core))
+            tok_ds = _containing_ds(cb, ds_list)
             p_gender = PRONOUN_GENDERS[core.lower()]
             if p_gender != UNKNOWN or is_first_person_singular(core):
                 preceding = _preceding_entities(recent_per_sent,
                                                 gender=p_gender)
                 referenced = _referenced_entity(span, preceding,
-                                                max_distance=200)
+                                                max_distance=200,
+                                                tok_text=core,
+                                                direct_speech=tok_ds)
         elif core in seen_types and prev_tok_text is not None \
                 and prev_tok_text.lower() in COREF_PREFIXES:
             prev_b = tokens[ti - 1][0]
-            span = (prev_b, b + len(core))
+            span = (prev_b, cb + len(core))
             preceding = _preceding_entities(recent_per_sent,
                                             typ=core.lower())
-            referenced = _referenced_entity(span, preceding,
-                                            max_distance=300)
+            referenced = _referenced_entity(
+                span, preceding, max_distance=300,
+                direct_speech=_containing_ds(cb, ds_list))
 
         if referenced is not None:
             recent_per_sent[-1][(span[0], span[0])] = _RefEntity(
                 span, referenced.entity_id, referenced.gender,
-                referenced.types)
+                referenced.types, ds=_containing_ds(span[0], ds_list))
             clusters[referenced.entity_id].append(span)
 
         prev_tok_text = core

@@ -125,3 +125,107 @@ def test_query_dims_cover_every_synthesized_entity(ray_session):
     assert max(ents) >= 40, (
         "entities >= 40 absent from coref clusters — dims drifted from "
         "sources/pages.NUM_ENTITIES again")
+
+
+# --- direct speech (kb_coref_linker.py:50-91, :124-131, :164-178) ---
+
+
+def test_direct_speech_span_detection():
+    from elevant_ray.functions.prior import tokenize_with_offsets
+    from elevant_ray.stages.coref import direct_speech_spans
+
+    text = ('Ada spoke first . "I was testing the compiler yesterday" '
+            'she said .\n\nNext paragraph here .')
+    spans = direct_speech_spans(text, tokenize_with_offsets(text))
+    assert len(spans) == 1
+    s, e = spans[0]["span"]
+    assert text[s] == '"' and text[e] == '"'
+    # speaker candidate = last capitalized non-pronoun token before
+    # the opening quote
+    sb, se = spans[0]["speaker"]
+    assert text[sb:se] == "Ada"
+
+
+def test_direct_speech_too_short_or_no_verb_rejected():
+    from elevant_ray.functions.prior import tokenize_with_offsets
+    from elevant_ray.stages.coref import direct_speech_spans
+
+    short = 'Ada said "no way" loudly .\n\nMore text .'
+    assert direct_speech_spans(short, tokenize_with_offsets(short)) == []
+    noverb = 'Ada said "blue green red yellow orange" .\n\nMore text .'
+    assert direct_speech_spans(noverb, tokenize_with_offsets(noverb)) == []
+
+
+def test_direct_speech_requires_following_paragraph_boundary():
+    from elevant_ray.functions.prior import tokenize_with_offsets
+    from elevant_ray.stages.coref import direct_speech_spans
+
+    # the reference's single_paragraph condition reduces to "a \n\n
+    # exists at/after the quote close"; no boundary → rejected
+    no_para = 'Ada said "I was testing the compiler daily" then left .'
+    assert direct_speech_spans(no_para, tokenize_with_offsets(no_para)) == []
+
+
+def test_first_person_in_quote_resolves_to_speaker():
+    text = ('Ada spoke first . "I was testing the compiler yesterday" '
+            'she said .\n\nNext paragraph here .')
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    # "I" (19) inside the quote resolves to the speaker entity Ada;
+    # "she" outside resolves by gender as before
+    assert (19, 20) in clusters["Q1"]
+    she = text.index("she")
+    assert (she, she + 3) in clusters["Q1"]
+
+
+def test_first_person_no_speaker_entity_unresolved():
+    # speaker candidate token ("Bob") is not inside any linked mention
+    # span → the reference returns nothing for "I"
+    text = ('Bob spoke first . "I was testing the compiler yesterday" '
+            'he said .\n\nAda wrote more text here .')
+    mentions = [{"begin": text.index("Ada"), "end": text.index("Ada") + 3,
+                 "entity_id": "Q1"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE}))
+    assert (19, 20) not in clusters.get("Q1", [])
+
+
+def test_neutral_speaker_gender_blocks_first_person():
+    # reference :170-173: speaker entity must be MALE/FEMALE
+    text = ('Acme spoke first . "I was testing the compiler yesterday" '
+            'it said .\n\nNext paragraph here .')
+    mentions = [{"begin": 0, "end": 4, "entity_id": "Q9"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q9": NEUTRAL}))
+    i_pos = text.index('"I') + 1
+    assert (i_pos, i_pos + 1) not in clusters.get("Q9", [])
+
+
+def test_outside_reference_skips_quoted_entities():
+    # "Eve" is mentioned inside the quote; a later "she" outside the
+    # quote must skip her (reference :174-178) and resolve to Ada
+    text = ('Ada stood there . "Eve was testing the compiler" '
+            'she said .\n\nEnd paragraph .')
+    eve = text.index("Eve")
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"},
+                {"begin": eve, "end": eve + 3, "entity_id": "Q2"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE, "Q2": FEMALE}))
+    she = text.index("she")
+    assert (she, she + 3) in clusters["Q1"]
+    assert (she, she + 3) not in clusters["Q2"]
+
+
+def test_direct_speech_off_restores_old_behavior():
+    text = ('Ada stood there . "Eve was testing the compiler" '
+            'she said .\n\nEnd paragraph .')
+    eve = text.index("Eve")
+    mentions = [{"begin": 0, "end": 3, "entity_id": "Q1"},
+                {"begin": eve, "end": eve + 3, "entity_id": "Q2"}]
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q1": FEMALE, "Q2": FEMALE},
+        direct_speech=False))
+    she = text.index("she")
+    # without the direct-speech rules the most recent female (Eve) wins
+    assert (she, she + 3) in clusters["Q2"]

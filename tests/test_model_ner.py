@@ -1,0 +1,80 @@
+"""Pluggable model-NER actor stage (stages/model_ner.py): loader hook,
+batched contract, 'the '-strip postprocess parity
+(ner_postprocessing.py:12-30), and the end-to-end handoff into the
+baseline scorer."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from elevant_ray.stages.model_ner import (ModelNERStage, fake_ner_model,
+                                          ner_postprocess)
+
+
+def test_fake_model_deterministic_and_sorted():
+    texts = ["Albert Einstein was born in the city of Ulm today",
+             "lower case only words here but long enough to tag one"]
+    a = fake_ner_model(texts)
+    b = fake_ner_model(texts)
+    assert a == b
+    for ments in a:
+        spans = [(m["begin"], m["end"]) for m in ments]
+        assert spans == sorted(spans)
+    # capitalized run becomes one mention
+    m0 = a[0][0]
+    assert texts[0][m0["begin"]:m0["end"]] == "Albert Einstein"
+
+
+def test_ner_postprocess_strips_leading_article():
+    text = "saw the Eiffel Tower there"
+    b, e = ner_postprocess(text, 4, 20)           # "the Eiffel Tower"
+    assert text[b:e] == "Eiffel Tower"
+    # no article → unchanged; bare "the" → unchanged (span must keep
+    # at least one token)
+    assert ner_postprocess(text, 8, 20) == (8, 20)
+    assert ner_postprocess(text, 4, 7) == (4, 7)
+
+
+def test_stage_loader_hook_and_schema(ray_session):
+    import ray.data as rd
+
+    def loader():
+        def model(texts):
+            return [[{"begin": 0, "end": min(4, len(t)), "label": "X"}]
+                    if t else [] for t in texts]
+        return model
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "text": pa.array(["the cat sat", "dog"], pa.string())}))
+    rows = sorted(
+        ds.map_batches(ModelNERStage,
+                       fn_constructor_kwargs={"model_loader": loader},
+                       batch_format="pyarrow", concurrency=1,
+                       batch_size=8).take_all(),
+        key=lambda r: r["url"])
+    # span (0,4) on u1 is exactly "the " — the bare-article guard keeps
+    # it unstripped (a strip would empty the span); u2 passes through
+    assert [r["mention"] for r in rows] == ["the ", "dog"]
+    assert [r["label"] for r in rows] == ["X", "X"]
+    assert set(rows[0].keys()) == {"url", "begin", "end", "mention", "label"}
+
+
+def test_end_to_end_query(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as m
+
+    d1 = m.queries()["model_ner_linking"]("/root/testdata/sf0.001")
+    d1 = d1.to_pandas() if not isinstance(d1, pd.DataFrame) else d1
+    assert len(d1) > 0
+    # schema: NER span columns + scorer columns
+    for c in ("url", "begin", "end", "mention", "label", "pred_qid",
+              "candidates"):
+        assert c in d1.columns
+    # spans index into real text: mention equals text slice by
+    # construction in the stage; scorer preserved the rows
+    assert (d1["end"] > d1["begin"]).all()
+    d2 = m.queries()["model_ner_linking"]("/root/testdata/sf0.001")
+    d2 = d2.to_pandas() if not isinstance(d2, pd.DataFrame) else d2
+    assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
