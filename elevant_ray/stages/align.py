@@ -36,11 +36,24 @@ def _bucket_of(keys) -> pa.Array:
 
 def align_predictions_by_text(articles, predictions,
                               prefix_len: int = PREFIX_LEN,
-                              num_partitions: int = 8):
+                              num_partitions: int = 8,
+                              pred_schema: pa.Schema = None):
     """articles(doc_id, text, …) ⟕ predictions(text, …payload) on
     ``text[:prefix_len]`` → Dataset(doc_id, prefix_collisions,
-    …prediction payload) — one row per matched prediction."""
-    pred_schema = predictions.schema().base_schema
+    …prediction payload) — one row per matched prediction.
+
+    Pass ``pred_schema`` when it is statically known: ``ds.schema()``
+    on a lazy lineage triggers a sampling execution, and on a fully
+    empty input it returns None (schema-less empty blocks)."""
+    if pred_schema is None:
+        s = predictions.schema()
+        if s is None:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "prefix_collisions": pa.array([], pa.int64())}))
+        pred_schema = s.base_schema
     payload = [c for c in pred_schema.names if c != "text"]
 
     def tag_article(b: pa.Table) -> pa.Table:

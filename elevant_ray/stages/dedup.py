@@ -28,7 +28,8 @@ from elevant_ray.functions.tokens import md5_fingerprint
 from elevant_ray.stages.util import scale_cutoff as _scale_cutoff
 
 
-def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
+def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
+                   prefilter: bool = True):
     """Exact dedup: keep, per `key` group, the row with the smallest
     (`order_col`, then serialized-row lexicographic) — deterministic
     under any partitioning.
@@ -37,7 +38,18 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
     into a sortable string ``zero-padded(order) + NUL + pickle(row)`` and
     reduced with the built-in ``Min`` — no per-group Python, no join-back
     (the packed min IS the winning row).  Scales as a plain combiner
-    aggregate at 10^12 rows."""
+    aggregate at 10^12 rows.
+
+    ``prefilter`` (the 8→32 scaling fix): packing + shuffling EVERY row
+    is O(total payload bytes) exchange volume, but only rows whose key
+    actually collides need the aggregate — on web corpora that's a few
+    percent.  A slim first pass counts key HASHES (8 bytes/row instead
+    of the full payload), the duplicated-hash set broadcasts once, and
+    non-colliding rows stream through untouched; only colliding rows
+    (hash collisions route a few extra — harmless superset) pay the
+    packed-min exchange.  Hash counting itself is driver-combined under
+    the broadcast cutoff and falls back to a distributed groupby
+    beyond it."""
     import base64
     import pickle
 
@@ -90,10 +102,9 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
         return pa.table({key: batch.column(key),
                          "_packed": pa.array(packed, pa.string())})
 
-    winners = ds.map_batches(pack, batch_format="pyarrow") \
-        .groupby(key).aggregate(Min("_packed", alias_name="_packed"))
-
     def unpack(batch: pa.Table) -> pa.Table:
+        if "_packed" not in batch.column_names:
+            return arrow_schema.empty_table()
         rows = []
         for s in batch.column("_packed").to_pylist():
             payload = s.split("\x00", 1)[1]
@@ -101,7 +112,79 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None):
             rows.append(dict(zip(names, vals)))
         return pa.Table.from_pylist(rows, schema=arrow_schema)
 
-    return winners.map_batches(unpack, batch_format="pyarrow")
+    if not prefilter:
+        winners = ds.map_batches(pack, batch_format="pyarrow") \
+            .groupby(key).aggregate(Min("_packed", alias_name="_packed"))
+        return winners.map_batches(unpack, batch_format="pyarrow")
+
+    # ---- slim duplicate-key discovery + routed dedup ------------------
+    import zlib
+
+    import numpy as np
+    import ray
+
+    ds = ds.materialize()   # two consumers: hash counter + row router
+    n_rows = ds.count()
+    if n_rows == 0:
+        return ds
+
+    def key_hashes(batch: pa.Table) -> "np.ndarray":
+        col = batch.column(key).to_pylist()
+        return np.fromiter(
+            (zlib.crc32(str(s).encode("utf-8")) for s in col),
+            np.uint64, batch.num_rows)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(key_hashes(batch), return_counts=True)
+        return pa.table({"h": pa.array(u, pa.uint64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow")
+    if n_rows * 16 <= _scale_cutoff(256 << 20):
+        hs, ns = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            hs.append(b.column("h").to_numpy(zero_copy_only=False))
+            ns.append(b.column("n").to_numpy(zero_copy_only=False))
+        h_all = np.concatenate(hs)
+        n_all = np.concatenate(ns)
+        uniq, inv = np.unique(h_all, return_inverse=True)
+        totals = np.bincount(inv, weights=n_all)
+        dup_hashes = uniq[totals >= 2]
+    else:
+        from ray.data.aggregate import Sum
+
+        agg = counts.groupby("h").aggregate(Sum("n", alias_name="n"))
+        # the duplicated-key set is the broadcastable side by
+        # construction (dup rate is a few percent of keys; a corpus
+        # where most keys collide should run prefilter=False instead)
+        dup_hashes = np.sort(np.array(
+            [r["h"] for r in agg.filter(
+                lambda r: r["n"] >= 2).take_all()], np.uint64))
+    dup_ref = ray.put(np.sort(dup_hashes))
+
+    def route(batch: pa.Table, want_dup: bool) -> pa.Table:
+        dups = ray.get(dup_ref)   # numpy → plasma zero-copy
+        h = key_hashes(batch)
+        if len(dups) == 0:
+            found = np.zeros(len(h), np.bool_)
+        else:
+            idx = np.minimum(np.searchsorted(dups, h), len(dups) - 1)
+            found = dups[idx] == h
+        return batch.filter(pa.array(found if want_dup else ~found))
+
+    clean = ds.map_batches(lambda b: route(b, False),
+                           batch_format="pyarrow")
+    winners = ds.map_batches(lambda b: route(b, True),
+                             batch_format="pyarrow") \
+        .map_batches(pack, batch_format="pyarrow") \
+        .groupby(key).aggregate(Min("_packed", alias_name="_packed"))
+    deduped = winners.map_batches(unpack, batch_format="pyarrow")
+
+    def align(b: pa.Table) -> pa.Table:
+        return b.select(arrow_schema.names).cast(arrow_schema)
+
+    return clean.map_batches(align, batch_format="pyarrow") \
+        .union(deduped)
 
 
 def dedup_exact_text(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -189,121 +272,68 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
         return pa.table({"band_key": pa.array(keys, pa.string()),
                          id_col: pa.array(ids, batch.column(id_col).type)})
 
-    exploded = with_keys.map_batches(explode, batch_format="pyarrow") \
-        .materialize()  # three consumers: sampler, cold path, hot path
+    exploded = with_keys.map_batches(explode, batch_format="pyarrow")
 
-    # ---- skew guard: sampled hot-key detection -------------------------
-    # A per-key groupby over ALL keys costs O(#groups) Python calls
-    # (most LSH keys are singletons — measured 25µs/group, i.e. minutes
-    # at 10^6+ keys), so hot keys are detected on a deterministic 10%
-    # row sample instead.  A key with true count C appears in the sample
-    # Binomial(C, 0.1) times; threshold 3 flags C=64 with p≈0.98 and
-    # C≥128 with p≈0.9999.  A missed borderline key costs at most
-    # ~C² ≈ 16k surplus candidate pairs in the cold path — bounded,
-    # and the verifier rejects the junk.  False-positive hot keys are
-    # merely routed through the (correct, slower-per-key) hot path.
-    sample_rate, sample_mod = 0.1, 10
+    # ---- ONE bucketed shuffle: in-bucket vectorized pair expansion -----
+    # Every row of a band key hashes to one bucket, so each bucket holds
+    # WHOLE key groups and can expand pairs locally with exact per-key
+    # counts: sorted runs + within_group_pairs for normal keys, hub-star
+    # + adjacent chain for keys larger than `max_block` (component
+    # diameter stays 2, so hash-min CC converges in O(1) rounds; the
+    # chain covers hub-pair verification failures).  This replaces the
+    # round-1 design (sampled hot-key detection + a two-sided co-group
+    # self-join): the join shipped every exploded row TWICE and its
+    # sampler merged ~1M keys serially on the driver — together ~10 s of
+    # the flagship's blocking phase and pure Amdahl tax at 8→32 cpus.
+    # Exact counts also remove the sampler's miss probability entirely.
+    import pandas as pd
 
-    def sample_partials(batch: pa.Table) -> pa.Table:
-        # per-batch partial counts of the sampled keys, combined on the
-        # driver: sampled rows are ~10% and most keys singletons, so a
-        # full groupby exchange here is pure fixed cost — the partials
-        # stream down to one small Counter merge instead
-        import zlib
-        from collections import Counter as _Counter
+    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
+                                         within_group_pairs)
 
-        c: _Counter = _Counter(
-            k for k, i in zip(batch.column("band_key").to_pylist(),
-                              batch.column(id_col).to_pylist())
-            if zlib.crc32(f"{k}\x00{i}".encode()) % sample_mod == 0)
-        return pa.table({"band_key": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_empty = pd.DataFrame({"left": pd.Series([], dtype=object),
+                                  "right": pd.Series([], dtype=object)})
+        if not len(df):
+            return out_empty
+        k = df["band_key"].to_numpy()
+        ids = df[id_col].astype(str).to_numpy()
+        order = np.lexsort((ids, k))
+        k = k[order]
+        ids = ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sizes = np.diff(np.append(starts, len(k)))
+        small = sizes <= max_block
+        i, j = within_group_pairs(starts[small], sizes[small])
+        lefts = [ids[i]]
+        rights = [ids[j]]
+        for st, sz in zip(starts[~small].tolist(), sizes[~small].tolist()):
+            ms = np.unique(ids[st:st + sz])
+            if len(ms) < 2:
+                continue
+            if len(ms) <= max_block:   # duplicate ids inflated the run
+                ii, jj = within_group_pairs(np.array([0]),
+                                            np.array([len(ms)]))
+                lefts.append(ms[ii])
+                rights.append(ms[jj])
+            else:
+                lefts.append(np.full(len(ms) - 1, ms[0], dtype=object))
+                rights.append(ms[1:])
+                lefts.append(ms[1:-1])
+                rights.append(ms[2:])
+        left = np.concatenate(lefts)
+        right = np.concatenate(rights)
+        if not len(left):
+            return out_empty
+        keep = left != right
+        res = pd.DataFrame({"left": left[keep], "right": right[keep]})
+        # ids are sorted within runs so left < right already; local
+        # dedup shrinks the global distinct shuffle
+        return res.drop_duplicates(ignore_index=True)
 
-    threshold = max(2, int(max_block * sample_rate // 2))
-    from collections import Counter as _DriverCounter
-
-    _counts: _DriverCounter = _DriverCounter()
-    for b in exploded.map_batches(sample_partials, batch_format="pyarrow") \
-                     .iter_batches(batch_format="pyarrow"):
-        for k, n in zip(b.column("band_key").to_pylist(),
-                        b.column("n").to_pylist()):
-            _counts[k] += n
-    hot_keys = {k for k, n in _counts.items() if n >= threshold}
-
-    def split(batch: pa.Table, want_hot: bool) -> pa.Table:
-        mask = [(k in hot_keys) == want_hot
-                for k in batch.column("band_key").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    # ---- cold path: vectorized hash self-join on band_key --------------
-    # via util.cogroup_join, NOT Dataset.join: split() emits fully-empty
-    # blocks whenever a batch's keys are all hot, and Dataset.join is
-    # scheduling-order-flaky on inputs with empty blocks (the exact
-    # failure cogroup_join documents)
-    from elevant_ray.stages.util import cogroup_join
-
-    cold = exploded.map_batches(lambda b: split(b, False),
-                                batch_format="pyarrow")
-    rhs = cold.rename_columns({id_col: "_rid"})
-    esch = exploded.schema()
-    id_type = dict(zip(esch.names, esch.types))[id_col]
-    joined = cogroup_join(
-        cold, rhs, on="band_key", num_partitions=num_partitions,
-        left_schema=pa.schema([("band_key", pa.string()),
-                               (id_col, id_type)]),
-        right_schema=pa.schema([("band_key", pa.string()),
-                                ("_rid", id_type)]))
-
-    def to_pairs(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        l = batch.column(id_col).cast(pa.string())
-        r = batch.column("_rid").cast(pa.string())
-        mask = pc.less(l, r)
-        return pa.table({"left": l.filter(mask), "right": r.filter(mask)})
-
-    cold_pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
-
-    # ---- hot path: per-key collect + star/chain expansion --------------
-    pairs = cold_pairs
-    if hot_keys:
-        from ray.data.aggregate import Unique
-
-        hot = exploded.map_batches(lambda b: split(b, True),
-                                   batch_format="pyarrow")
-        blocks = hot.groupby("band_key").aggregate(
-            Unique(on=id_col, alias_name="members"))
-
-        def expand_blocks(batch: pa.Table) -> pa.Table:
-            left, right = [], []
-            for members in batch.column("members").to_pylist():
-                ms = sorted(str(m) for m in set(members))
-                if len(ms) < 2:
-                    continue
-                if len(ms) <= max_block:
-                    for i in range(len(ms)):
-                        for j in range(i + 1, len(ms)):
-                            left.append(ms[i])
-                            right.append(ms[j])
-                else:
-                    # star-to-min + adjacent chain: keeps the (verified)
-                    # component diameter at 2 so hash-min CC converges in
-                    # O(1) rounds even for huge dup groups; the chain is a
-                    # fallback when the hub pair fails verification but
-                    # neighbors match.
-                    hub = ms[0]
-                    for b in ms[1:]:
-                        left.append(hub)
-                        right.append(b)
-                    for a, b in zip(ms[1:], ms[2:]):
-                        left.append(a)
-                        right.append(b)
-            return pa.table({"left": pa.array(left, pa.string()),
-                             "right": pa.array(right, pa.string())})
-
-        hot_pairs = blocks.map_batches(expand_blocks, batch_format="pyarrow")
-        pairs = cold_pairs.union(hot_pairs)
-
+    pairs = as_arrow(bucketed_group_apply(
+        exploded, "band_key", bucket_pairs,
+        buckets=max(64, num_partitions * 4)))
     return distinct_pairs(pairs)
 
 

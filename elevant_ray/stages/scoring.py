@@ -347,28 +347,67 @@ def verify_pairs(pairs, pages, id_col: str = "url",
 
             side = side.map_batches(only_endpoints,
                                     batch_format="pyarrow").materialize()
-            if side.size_bytes() <= scale_cutoff(64 << 20):
+            # the shrunken side is bounded by 2·|pairs| rows and ships
+            # as a ZERO-COPY Arrow broadcast (plasma-backed table, no
+            # per-worker dict unpickle), so the affordable cutoff is
+            # far higher than the Python-dict one — and taking it
+            # skips BOTH text-shipping co-group exchanges (measured
+            # 30-45 s of the flagship's verify at 570k pages)
+            if side.size_bytes() <= scale_cutoff(2 << 30):
                 side_mode = "broadcast"
 
     if side_mode == "broadcast":
-        side_ref = ray.put({r[id_col]: (r["text"], r["canon"])
-                            for r in side.take_all()})
+        # sorted-by-id Arrow table broadcast: ray.get is zero-copy, the
+        # per-worker derived id index is memoized, and the per-batch
+        # attach is one searchsorted + two Arrow takes — no Python dict
+        side_tab = pa.concat_tables(
+            list(side.iter_batches(batch_format="pyarrow")))
+        import pyarrow.compute as _pc
+
+        order = _pc.sort_indices(side_tab.column(id_col))
+        side_tab = side_tab.take(order).combine_chunks()
+        side_ref = ray.put(side_tab)
+
+        def _side_index(ref):
+            from elevant_ray.stages.util import _BCAST_CACHE, cached_get
+
+            key = "sideidx:" + ref.hex()
+            v = _BCAST_CACHE.get(key)
+            if v is None:
+                tab = cached_get(ref)
+                ids = np.asarray(tab.column(id_col).to_pylist(),
+                                 dtype=object)
+                v = _BCAST_CACHE[key] = (tab, ids)
+            return v
 
         def attach_and_score(b: pa.Table) -> pa.Table:
-            from elevant_ray.stages.util import cached_get
-            d = cached_get(side_ref)
-            lefts = b.column("left").to_pylist()
-            rights = b.column("right").to_pylist()
+            if b.num_rows == 0:
+                return score_pair_batch(pa.table({
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "text_l": pa.array([], pa.string()),
+                    "canon_l": pa.array([], pa.string()),
+                    "text_r": pa.array([], pa.string()),
+                    "canon_r": pa.array([], pa.string())}),
+                    threshold=threshold)
+            tab, ids = _side_index(side_ref)
+            lefts = np.asarray(b.column("left").to_pylist(), dtype=object)
+            rights = np.asarray(b.column("right").to_pylist(), dtype=object)
+            li = pa.array(np.searchsorted(ids, lefts).astype(np.int64))
+            ri = pa.array(np.searchsorted(ids, rights).astype(np.int64))
             t = pa.table({
                 "left": b.column("left"), "right": b.column("right"),
-                "text_l": pa.array([d[l][0] for l in lefts], pa.string()),
-                "canon_l": pa.array([d[l][1] for l in lefts], pa.string()),
-                "text_r": pa.array([d[r][0] for r in rights], pa.string()),
-                "canon_r": pa.array([d[r][1] for r in rights], pa.string()),
+                "text_l": tab.column("text").take(li),
+                "canon_l": tab.column("canon").take(li),
+                "text_r": tab.column("text").take(ri),
+                "canon_r": tab.column("canon").take(ri),
             })
             return score_pair_batch(t, threshold=threshold)
 
-        return pairs.map_batches(attach_and_score, batch_format="pyarrow")
+        src = (pairs.repartition(score_parallelism)
+               if score_parallelism and score_parallelism > num_partitions
+               else pairs)
+        return src.map_batches(attach_and_score, batch_format="pyarrow")
 
     left_side = side.rename_columns({id_col: "left", "text": "text_l", "canon": "canon_l"})
     right_side = side.rename_columns({id_col: "right", "text": "text_r", "canon": "canon_r"})
