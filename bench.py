@@ -128,6 +128,17 @@ BENCH_QUERIES = [
     "click_purchase_value_cvm",
     "copurchase_degree_assortativity",
     "coref_clusters",
+    "reader_conll",
+    "reader_simple_jsonl",
+    "reader_tsv",
+    "reader_pubtator",
+    "reader_xml",
+    "reader_oke_nif",
+    "reader_predictions_ambiverse",
+    "predictions_text_align",
+    "abstracts_mapping",
+    "model_ner_linking",
+    "entity_dims_load",
     "customer_except",
     "customer_first_order",
     "customer_running_max",

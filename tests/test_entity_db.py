@@ -172,3 +172,27 @@ def test_dims_query(ray_session):
     d = d.to_pandas() if not isinstance(d, pd.DataFrame) else d
     assert set(d.columns) == {"dim", "n_rows", "n_keys"}
     assert len(d) >= 7
+
+
+def test_loaders_feed_coref_stage(ray_session):
+    """End-to-end dims integration: the TSV loaders produce exactly the
+    dict shapes KBCorefStage consumes (gender_map, coref_types), so a
+    user can point the engine at real Wikidata exports instead of the
+    synthesized dims."""
+    from elevant_ray.sources.entity_db import (coref_types_dict,
+                                               gender_dict,
+                                               read_coref_types_tsv,
+                                               read_gender_tsv)
+    from elevant_ray.stages.coref import FEMALE, kb_coref_clusters
+
+    gender_map = gender_dict(read_gender_tsv(str(FIX / "gender.tsv")))
+    coref_types = coref_types_dict(
+        read_coref_types_tsv(str(FIX / "coref_types.tsv")))
+    assert gender_map["Q1"] == FEMALE
+    text = "Ada wrote programs . She was brilliant ."
+    clusters = kb_coref_clusters(
+        text, [{"begin": 0, "end": 3, "entity_id": "Q1"}],
+        gender_map=gender_map, coref_types=coref_types)
+    spans = {c["entity_id"]: c["mentions"] for c in clusters}
+    she = text.index("She")
+    assert (she, she + 3) in spans["Q1"]
