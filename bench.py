@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "abstracts_mapping",
     "model_ner_linking",
     "entity_dims_load",
+    "coref_types_mapping",
     "customer_except",
     "customer_first_order",
     "customer_running_max",

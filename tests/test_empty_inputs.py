@@ -58,7 +58,8 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
         # (the oracle's UNION ALL of scalar subqueries does the same)
         assert len(result) == 8
         assert (result["n_violations"] == 0).all()
-    elif name.startswith("reader_") or name == "entity_dims_load":
+    elif name.startswith("reader_") or name in ("entity_dims_load",
+                                                "coref_types_mapping"):
         # fixture-backed reader queries parse committed format samples
         # and ignore the sf tables entirely — non-empty by design
         # regardless of corpus emptiness
