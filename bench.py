@@ -663,6 +663,11 @@ def _init_ray(num_cpus: int) -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    # progress-bar bookkeeping is pure per-op overhead at bench's
+    # hundreds of small sequential pipelines
+    DataContext.get_current().enable_progress_bars = False
 
 
 def _num_pages(sf_dir: str) -> int:
