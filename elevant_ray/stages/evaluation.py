@@ -621,13 +621,35 @@ def aggregate_counts(docs, qid_meta_ref=None):
 
 def pairwise_f1(pred_pairs, gold_pairs, num_partitions: int = 8) -> dict:
     """North-rule gate: pairwise F1 of predicted same-cluster pairs vs
-    gold pairs.  Both inputs: Dataset(left, right) with left < right.
-    Computed via a full outer hash join on the pair key."""
+    gold pairs.  Both inputs: Dataset(left, right) with left < right and
+    DISTINCT pairs (the upstream contract — distinct_pairs /
+    clusters_to_pairs).
+
+    Under the broadcast cutoff both pair sets stream to one driver
+    set-intersection (a multi-op full-outer join pipeline costs ~4 s of
+    fixed exchange latency for what is a few-thousand-row overlap
+    count); beyond it the full outer hash co-group join runs — the
+    scale-path suite forces and re-checks that branch."""
     import pyarrow as pa
 
-    from elevant_ray.stages.util import cogroup_join, pin_schema
+    from elevant_ray.stages.util import cogroup_join, pin_schema, scale_cutoff
 
     pair_schema = pa.schema([("left", pa.string()), ("right", pa.string())])
+
+    pred_pairs = pred_pairs.select_columns(["left", "right"]).materialize()
+    gold_pairs = gold_pairs.select_columns(["left", "right"]).materialize()
+    if pred_pairs.size_bytes() + gold_pairs.size_bytes() \
+            <= scale_cutoff(64 << 20):
+        def pairset(ds):
+            s = set()
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                s.update(zip(b.column("left").to_pylist(),
+                             b.column("right").to_pylist()))
+            return s
+
+        ps, gs = pairset(pred_pairs), pairset(gold_pairs)
+        tp = len(ps & gs)
+        return f1_dict(tp, len(ps) - tp, len(gs) - tp)
 
     def tag(ds, name):
         return ds.map_batches(

@@ -34,7 +34,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "docs_weighted_sample", "docs_incremental_new",
                   "embedding_neighbor_dot", "sessions_peak_concurrency",
                   "supplier_clustering_coeff", "embedding_top_pairs"]
-PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore"]
+PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
+                "blocking_quality", "linkage_ari"]
 
 
 @pytest.fixture(scope="module")
