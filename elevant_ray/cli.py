@@ -61,6 +61,7 @@ def cmd_link(args) -> int:
     import pyarrow as pa
     import ray
 
+    from elevant_ray.functions.tokens import convert_to_filename
     from elevant_ray.registry import apply_stage
 
     _init_ray()
@@ -142,6 +143,9 @@ def cmd_link(args) -> int:
     out.write_parquet(mentions_dir)
     meta = {
         "experiment_name": args.experiment,
+        # sanitized form used for derived paths — the reference's
+        # convert_to_filename (link_benchmark.py:53-56)
+        "experiment_filename": convert_to_filename(args.experiment or ""),
         "linker_name": args.linker,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "linking_time": round(time.time() - t0, 3),

@@ -108,3 +108,12 @@ def rolling_fingerprints(text: str, window: int = 8, base: int = 1_000_003,
         if i >= window - 1:
             hs.append(acc)
     return hs
+
+
+def convert_to_filename(string: str) -> str:
+    """Lowercased string with every non-alphanumeric character except
+    "-" replaced by "_" — the experiment/prediction name sanitizer used
+    for output paths (``src/elevant/utils/utils.py:4-9``,
+    ``link_benchmark.py:53-56``)."""
+    return "".join(c if c.isalnum() or c == "-" else "_"
+                   for c in string.lower())

@@ -251,3 +251,45 @@ def test_dense_cooccurrence_counts_respects_bounds():
                     dtype=np.int64)
     assert dense_cooccurrence_counts(comp, max_nodes=1) is None
     assert dense_cooccurrence_counts(comp, max_groups=0) is None
+
+
+def test_convert_to_filename_reference_parity():
+    """utils.py:4-9 — lowercase, keep alnum and '-', everything else
+    becomes '_' (differential vs the reference function with its
+    import graph stubbed)."""
+    import importlib.util
+    import sys
+    import types
+    from pathlib import Path
+
+    from elevant_ray.functions.tokens import convert_to_filename
+
+    assert convert_to_filename("My Experiment v2!") == "my_experiment_v2_"
+    assert convert_to_filename("UPPER-lower_123") == "upper-lower_123"
+    ref_path = Path("/root/reference/src/elevant/utils/utils.py")
+    if not ref_path.exists():
+        return
+    saved = {}
+    for n, attrs in {
+            "elevant": {}, "elevant.evaluation": {},
+            "elevant.evaluation.mention_type": {
+                "is_non_named_entity": lambda s: False}}.items():
+        saved[n] = sys.modules.get(n)
+        m = types.ModuleType(n)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[n] = m
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_utils", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        for c in ["My Experiment v2!", "Ünïcode-Tëst Name", "a.b/c\\d:e",
+                  "UPPER-lower_123", "", "  spaces  ", "emoji 🙂 x",
+                  "straße"]:
+            assert convert_to_filename(c) == ref.convert_to_filename(c), c
+    finally:
+        for n, old in saved.items():
+            if old is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = old
