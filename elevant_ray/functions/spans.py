@@ -47,3 +47,39 @@ def spans_overlap(a: Span, b: Span) -> bool:
 
 def span_contains(outer: Span, inner: Span) -> bool:
     return outer[0] <= inner[0] and inner[1] <= outer[1]
+
+
+def offset_to_token_idx(offsets, token_spans):
+    """Vectorized OffsetConverter.get_token_idx
+    (``src/elevant/utils/offset_converter.py:8-32``): for each char
+    offset, the first token whose last character sits at or after the
+    offset — which is the containing token for in-token offsets and,
+    by the reference's own binary-search fallthrough, the FOLLOWING
+    token for offsets inside inter-token whitespace; -1 (the
+    reference's None) only past the last token.  One ``searchsorted``
+    over the sorted token ends for the whole batch of offsets — the
+    engine's per-batch replacement for the per-call binary search."""
+    import numpy as np
+
+    offs = np.asarray(offsets, dtype=np.int64)
+    if len(token_spans) == 0:
+        return np.full(len(offs), -1, np.int64)
+    ends = np.asarray([e for _, e in token_spans], np.int64)
+    idx = np.searchsorted(ends, offs, side="right")
+    return np.where(idx < len(ends), idx, -1).astype(np.int64)
+
+
+def tokens_in_span(span, token_spans):
+    """Vectorized OffsetConverter.get_tokens_in_span
+    (``offset_converter.py:43-60``): indices of tokens FULLY contained
+    in ``span`` (tokens straddling either edge excluded), as a
+    (start, stop) index range into ``token_spans``."""
+    import numpy as np
+
+    if not token_spans:
+        return (0, 0)
+    begins = np.asarray([b for b, _ in token_spans], np.int64)
+    ends = np.asarray([e for _, e in token_spans], np.int64)
+    lo = int(np.searchsorted(begins, span[0], side="left"))
+    hi = int(np.searchsorted(ends, span[1], side="right"))
+    return (lo, hi) if hi > lo else (lo, lo)

@@ -293,3 +293,75 @@ def test_convert_to_filename_reference_parity():
                 sys.modules.pop(n, None)
             else:
                 sys.modules[n] = old
+
+
+def test_offset_converter_parity():
+    """spans.offset_to_token_idx / tokens_in_span vs the reference
+    OffsetConverter run on a fake spaCy doc (offset_converter.py:8-60).
+    Covers in-token hits, inter-token gaps (reference → None, engine →
+    -1), and span-edge containment."""
+    import importlib.util
+    from pathlib import Path
+
+    from elevant_ray.functions.prior import tokenize_with_offsets
+    from elevant_ray.functions.spans import (offset_to_token_idx,
+                                             tokens_in_span)
+
+    text = "The quick  brown fox, jumps over the lazy dog."
+    spans = tokenize_with_offsets(text)
+    ref_path = Path("/root/reference/src/elevant/utils/offset_converter.py")
+    if ref_path.exists():
+        import sys
+        import types
+
+        saved = sys.modules.get("spacy.tokens"), sys.modules.get("spacy")
+        spacy_mod = types.ModuleType("spacy")
+        tok_mod = types.ModuleType("spacy.tokens")
+
+        class _Tok:
+            def __init__(self, idx, text):
+                self.idx, self.text = idx, text
+
+        class _Doc:
+            def __init__(self, text, spans):
+                self._toks = [_Tok(b, text[b:e]) for b, e in spans]
+
+            def __len__(self):
+                return len(self._toks)
+
+            def __getitem__(self, i):
+                return (self._toks[i] if isinstance(i, int)
+                        else self._toks[i])
+
+        tok_mod.Doc = object
+        tok_mod.Token = object
+        tok_mod.Span = object
+        sys.modules["spacy"] = spacy_mod
+        sys.modules["spacy.tokens"] = tok_mod
+        try:
+            spec = importlib.util.spec_from_file_location("_ref_oc", ref_path)
+            ref = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(ref)
+            doc = _Doc(text, spans)
+            offs = list(range(len(text)))
+            got = offset_to_token_idx(offs, spans)
+            for o, g in zip(offs, got):
+                want = ref.OffsetConverter.get_token_idx(o, doc)
+                assert (want if want is not None else -1) == g, o
+            for sp in [(0, 9), (4, 9), (4, 10), (0, len(text)),
+                       (10, 20), (22, 33)]:
+                lo, hi = tokens_in_span(sp, spans)
+                want_toks = ref.OffsetConverter.get_tokens_in_span(sp, doc)
+                want_idx = [spans.index((t.idx, t.idx + len(t.text)))
+                            for t in want_toks]
+                assert list(range(lo, hi)) == want_idx, sp
+        finally:
+            for name, old in zip(("spacy.tokens", "spacy"), saved[::-1]):
+                if old is None:
+                    sys.modules.pop(name, None)
+                else:
+                    sys.modules[name] = old
+    # engine-only invariants: gap offsets bind to the FOLLOWING token
+    # (the reference quirk), past-the-end → -1
+    assert offset_to_token_idx([0, 3, 4, 9, 10, len(text)],
+                               spans).tolist() == [0, 1, 1, 2, 2, -1]
