@@ -467,19 +467,33 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     from elevant_ray.stages.util import pin_schema
 
     def gram_partials(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch.column(text_col).to_pylist():
-            c.update(_gram_hashes(text, n).tolist())
-        return pa.table({"gram": pa.array(list(c.keys()), pa.int64()),
-                         "partial": pa.array(list(c.values()), pa.int64())})
+        parts = [_gram_hashes(text, n) for text
+                 in batch.column(text_col).to_pylist()]
+        allg = (np.concatenate(parts) if parts
+                else np.array([], np.int64))
+        u, c = np.unique(allg, return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.int64()),
+                         "partial": pa.array(c.astype(np.int64),
+                                             pa.int64())})
 
-    freq: Counter = Counter()
+    # vectorized driver merge (concat + unique + bincount), NOT a
+    # per-gram Python Counter — the Counter form cost seconds of
+    # serial driver time on ~1M gram partials (the same Amdahl tax the
+    # LSH sampler paid before round 2)
+    _gs, _cs = [], []
     for b in ds.map_batches(gram_partials, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
-        for g, c in zip(b.column("gram").to_pylist(),
-                        b.column("partial").to_pylist()):
-            freq[g] += c
-    freq = {g: c for g, c in freq.items() if c >= 2}
+        _gs.append(b.column("gram").to_numpy(zero_copy_only=False))
+        _cs.append(b.column("partial").to_numpy(zero_copy_only=False))
+    if _gs:
+        _g_all = np.concatenate(_gs)
+        _uniq, _inv = np.unique(_g_all, return_inverse=True)
+        _tot = np.bincount(_inv, weights=np.concatenate(_cs)) \
+            .astype(np.int64)
+        _keep = _tot >= 2
+        freq = dict(zip(_uniq[_keep].tolist(), _tot[_keep].tolist()))
+    else:
+        freq = {}
     freq_ref = ray.put(freq)
 
     # one fused per-doc pass: prefix grams (exploded rows) + full
@@ -685,19 +699,33 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
     from elevant_ray.stages.util import cogroup_join, pin_schema
 
     def gram_partials(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch.column(text_col).to_pylist():
-            c.update(_gram_hashes(text, n).tolist())
-        return pa.table({"gram": pa.array(list(c.keys()), pa.int64()),
-                         "partial": pa.array(list(c.values()), pa.int64())})
+        parts = [_gram_hashes(text, n) for text
+                 in batch.column(text_col).to_pylist()]
+        allg = (np.concatenate(parts) if parts
+                else np.array([], np.int64))
+        u, c = np.unique(allg, return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.int64()),
+                         "partial": pa.array(c.astype(np.int64),
+                                             pa.int64())})
 
-    freq: Counter = Counter()
+    # vectorized driver merge (concat + unique + bincount), NOT a
+    # per-gram Python Counter — the Counter form cost seconds of
+    # serial driver time on ~1M gram partials (the same Amdahl tax the
+    # LSH sampler paid before round 2)
+    _gs, _cs = [], []
     for b in ds.map_batches(gram_partials, batch_format="pyarrow") \
                .iter_batches(batch_format="pyarrow"):
-        for g, c in zip(b.column("gram").to_pylist(),
-                        b.column("partial").to_pylist()):
-            freq[g] += c
-    freq = {g: c for g, c in freq.items() if c >= 2}
+        _gs.append(b.column("gram").to_numpy(zero_copy_only=False))
+        _cs.append(b.column("partial").to_numpy(zero_copy_only=False))
+    if _gs:
+        _g_all = np.concatenate(_gs)
+        _uniq, _inv = np.unique(_g_all, return_inverse=True)
+        _tot = np.bincount(_inv, weights=np.concatenate(_cs)) \
+            .astype(np.int64)
+        _keep = _tot >= 2
+        freq = dict(zip(_uniq[_keep].tolist(), _tot[_keep].tolist()))
+    else:
+        freq = {}
     freq_ref = ray.put(freq)
 
     def doc_pass(batch: pa.Table) -> pa.Table:
