@@ -224,7 +224,8 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
                           vec_col: str = "embedding",
                           bands: int = 32, rows_per_band: int = None,
                           seed: int = 13, max_block: int = 256,
-                          num_partitions: int = 16):
+                          num_partitions: int = 16,
+                          carry_vectors: str = "auto"):
     """Distributed embedding near-dup: random-hyperplane (sign) LSH.
 
     The 10^9+-row replacement for the exact broadcast path (this is
@@ -255,10 +256,32 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
     Recall is probabilistic — ≥ 0.999 per pair at the threshold under
     the auto band geometry (`_auto_rows_per_band`), recall→1 above
     it; precision is exactly 1.0 (every emitted pair re-verified).
-    Requires integer ids (cast upstream)."""
+    Requires integer ids (cast upstream).
+
+    ``carry_vectors``: the explode above ships each vector once PER
+    BAND — fine for small d, but at real embedding dims (d ≥ 256,
+    bands=32 → ~64 KB of exploded traffic per row) the duplication
+    dominates the exchange.  ``False`` switches to the join-verify
+    plan: slim (band_key, id) explode → bucketed candidate pairs →
+    global distinct FIRST → vectors attached to the (much smaller)
+    distinct pair set by two co-group joins → batch einsum verify.
+    ``"auto"`` carries for d ≤ 64 and joins beyond."""
     from ray.data.aggregate import Max
 
     from elevant_ray.stages.util import cogroup_join, pin_schema
+
+    if carry_vectors == "auto":
+        probe = embeddings.limit(1).take(1)
+        dim = len(probe[0][vec_col]) if probe else 0
+        carry = dim <= 64
+    else:
+        carry = bool(carry_vectors)
+    if not carry:
+        return _signlsh_join_verify(
+            embeddings, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, bands=bands, rows_per_band=rows_per_band,
+            seed=seed, max_block=max_block,
+            num_partitions=num_partitions)
 
     r = rows_per_band or _auto_rows_per_band(threshold, bands)
     nbits = bands * r
@@ -405,6 +428,144 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
     out = pin_schema(pairs, pair_schema) \
         .groupby(["left", "right"]).aggregate(Max("sim", alias_name="sim"))
     return pin_schema(out, pair_schema)
+
+
+def _signlsh_join_verify(embeddings, threshold: float, id_col: str,
+                         vec_col: str, bands: int, rows_per_band,
+                         seed: int, max_block: int,
+                         num_partitions: int):
+    """High-dimension sign-LSH plan (see signlsh_neardup_pairs
+    ``carry_vectors=False``): vectors never ride the band explode.
+
+    1. slim explode (band_key int64, id int64) — 16 bytes/row/band;
+    2. ONE bucketed shuffle expands candidate pairs in-bucket with
+       exact per-key counts (sorted-run within_group_pairs; hub-star +
+       chain beyond ``max_block`` — same contract as the text LSH);
+    3. global distinct BEFORE any vector movement (a pair hit by k
+       bands is fetched once, not k times);
+    4. vectors attach to the distinct pair set via two co-group joins
+       (normalized float64 bytes payload — Acero takes binary), then a
+       vectorized einsum verify: precision 1.0.
+    Exchange volume: O(N·bands·16 B) + O(|pairs|·d) — at d=768 and a
+    few candidate pairs per row this is ~30× less traffic than the
+    carrying plan."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from elevant_ray.stages.util import (bucketed_group_apply,
+                                         cogroup_join, pin_schema,
+                                         within_group_pairs)
+
+    r = rows_per_band or _auto_rows_per_band(threshold, bands)
+    nbits = bands * r
+    pow2 = (1 << np.arange(r, dtype=np.int64))[::-1]
+
+    pair_schema = pa.schema([("left", pa.int64()), ("right", pa.int64()),
+                             ("sim", pa.float64())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"_bkey": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        mat = _as_matrix(batch.column(vec_col).to_pylist())
+        planes = _sign_planes(seed, mat.shape[1], nbits)
+        bits = (mat @ planes.T) >= 0.0
+        vals = bits.reshape(n, bands, r).astype(np.int64) @ pow2
+        keys = ((np.arange(bands, dtype=np.int64) << np.int64(r))
+                | vals).ravel()
+        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
+        return pa.table({"_bkey": pa.array(keys, pa.int64()),
+                         id_col: pa.array(np.repeat(ids, bands),
+                                          pa.int64())})
+
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_empty = pd.DataFrame({"left": pd.Series([], dtype="int64"),
+                                  "right": pd.Series([], dtype="int64")})
+        if not len(df):
+            return out_empty
+        k = df["_bkey"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, k))
+        k = k[order]
+        ids = ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sizes = np.diff(np.append(starts, len(k)))
+        small = sizes <= max_block
+        i, j = within_group_pairs(starts[small], sizes[small])
+        lefts = [ids[i]]
+        rights = [ids[j]]
+        for st, sz in zip(starts[~small].tolist(), sizes[~small].tolist()):
+            ms = np.unique(ids[st:st + sz])
+            if len(ms) < 2:
+                continue
+            lefts.append(np.full(len(ms) - 1, ms[0], np.int64))
+            rights.append(ms[1:])
+            lefts.append(ms[1:-1])
+            rights.append(ms[2:])
+        left = np.concatenate(lefts)
+        right = np.concatenate(rights)
+        keep = left != right
+        res = pd.DataFrame({"left": left[keep], "right": right[keep]})
+        return res.drop_duplicates(ignore_index=True)
+
+    cand = bucketed_group_apply(exploded, "_bkey", bucket_pairs,
+                                buckets=max(64, num_partitions * 4))
+    distinct = pin_schema(
+        cand.groupby(["left", "right"]).aggregate(
+            Count(alias_name="_n")),
+        pa.schema([("left", pa.int64()), ("right", pa.int64())]))
+
+    def pack_vecs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_vec": pa.array([], pa.binary())})
+        mat = _as_matrix(b.column(vec_col).to_pylist())
+        return pa.table({
+            id_col: pc_cast_int64(b.column(id_col)),
+            "_vec": pa.array([m.tobytes() for m in mat], pa.binary())})
+
+    vecs = embeddings.map_batches(pack_vecs, batch_format="pyarrow")
+    lvec = vecs.rename_columns({id_col: "left", "_vec": "_lvec"})
+    rvec = vecs.rename_columns({id_col: "right", "_vec": "_rvec"})
+    j1 = cogroup_join(
+        distinct, lvec, on="left", num_partitions=num_partitions,
+        left_schema=pa.schema([("left", pa.int64()),
+                               ("right", pa.int64())]),
+        right_schema=pa.schema([("left", pa.int64()),
+                                ("_lvec", pa.binary())]))
+    j2 = cogroup_join(
+        j1, rvec, on="right", num_partitions=num_partitions,
+        left_schema=pa.schema([("right", pa.int64()),
+                               ("left", pa.int64()),
+                               ("_lvec", pa.binary())]),
+        right_schema=pa.schema([("right", pa.int64()),
+                                ("_rvec", pa.binary())]))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        lv = np.stack([np.frombuffer(v, np.float64)
+                       for v in b.column("_lvec").to_pylist()])
+        rv = np.stack([np.frombuffer(v, np.float64)
+                       for v in b.column("_rvec").to_pylist()])
+        sims = np.einsum("ij,ij->i", lv, rv)
+        m = sims >= threshold
+        return pa.table({
+            "left": b.column("left").filter(pa.array(m)),
+            "right": b.column("right").filter(pa.array(m)),
+            "sim": pa.array(sims[m], pa.float64())})
+
+    return pin_schema(j2.map_batches(verify, batch_format="pyarrow"),
+                      pair_schema)
+
+
+def pc_cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
 
 
 def ivf_topk(embeddings, query_ids: List[int], k: int = 5,

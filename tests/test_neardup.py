@@ -174,6 +174,39 @@ class TestEmbeddingNearDup:
         for k, v in lsh.items():
             assert v == pytest.approx(exact[k], abs=1e-12)
 
+    def test_signlsh_join_verify_high_dim(self, ray_session):
+        """carry_vectors auto-dispatch: at d=128 the vectors must NOT
+        ride the band explode — the join-verify plan (slim explode →
+        distinct candidates → vector attach joins → einsum) must agree
+        with the exact path and with the carrying variant."""
+        import ray.data as rd
+
+        from elevant_ray.stages.knn import (cosine_neardup_pairs,
+                                            signlsh_neardup_pairs)
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(200, 128)
+        for a, b in [(7, 3), (25, 11), (100, 101), (150, 149)]:
+            vecs[a] = vecs[b] + 0.01 * rng.randn(128)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        })).repartition(5)
+        exact = {(r["left"], r["right"]): r["sim"] for r in
+                 cosine_neardup_pairs(ds, threshold=0.9,
+                                      method="exact").take_all()}
+        join = {(r["left"], r["right"]): r["sim"] for r in
+                signlsh_neardup_pairs(ds, threshold=0.9).take_all()}
+        carry = {(r["left"], r["right"]): r["sim"] for r in
+                 signlsh_neardup_pairs(ds, threshold=0.9,
+                                       carry_vectors=True).take_all()}
+        assert set(join) <= set(exact)
+        assert len(join) >= 0.95 * len(exact)
+        assert set(join) == set(carry)
+        for k, v in join.items():
+            assert v == pytest.approx(exact[k], abs=1e-12)
+
     def test_signlsh_hot_bucket_star_chain(self, ray_session):
         """A mega-cluster of identical vectors overflows `max_block`:
         the bucket degrades to verified hub-star + adjacent-chain
