@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "model_ner_linking",
     "entity_dims_load",
     "coref_types_mapping",
+    "dedup_embedding_clusters",
     "customer_except",
     "customer_first_order",
     "customer_running_max",

@@ -35,7 +35,7 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "embedding_neighbor_dot", "sessions_peak_concurrency",
                   "supplier_clustering_coeff", "embedding_top_pairs"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
-                "blocking_quality", "linkage_ari",
+                "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
                 "abstracts_mapping", "coref_types_mapping",
                 "neardup_embedding"]
