@@ -118,25 +118,44 @@ def gold_pairs_from_doc_ids(pages_with_doc_id):
 
 def run_record_linkage(sf_dir: str, threshold: float = 0.75,
                        num_partitions: int = 16,
-                       checkpoint_dir: Optional[str] = None):
+                       checkpoint_dir: Optional[str] = None,
+                       pages_shards: int = 0):
     """End-to-end on synthesized pages; returns dict with labels dataset,
     pairwise-F1 dict, and row counts.  With `checkpoint_dir`, each stage
-    checkpoints to Parquet and a rerun resumes (state/checkpoint.py)."""
+    checkpoints to Parquet and a rerun resumes (state/checkpoint.py).
+    With `pages_shards=N > 0` the pages stage additionally checkpoints
+    per doc-shard (partition-granular lineage): losing one shard's
+    output re-runs only that shard on resume.  Safe because every
+    synthesized url embeds its doc_id, so url-dedup inside a doc-shard
+    equals global url-dedup (see sources/pages.synth_pages)."""
     from elevant_ray.sources.pages import synth_pages
     from elevant_ray.stages.evaluation import pairwise_f1
 
-    pages_raw = synth_pages(sf_dir, include_doc_id=True)
-    pages = prepare_pages(pages_raw)
+    rebuilt_shards = None
+    if not (checkpoint_dir and pages_shards):
+        pages_raw = synth_pages(sf_dir, include_doc_id=True)
+        pages = prepare_pages(pages_raw)
 
     if checkpoint_dir:
         # every wide stage checkpoints: a rerun after a crash reads back
         # the finished stages' Parquet (+ manifest lineage) and re-runs
         # only what's missing
-        from elevant_ray.state.checkpoint import fingerprint_paths, run_stage
+        from elevant_ray.state.checkpoint import (fingerprint_paths,
+                                                  run_partitioned_stage,
+                                                  run_stage)
 
         fp = fingerprint_paths(f"{sf_dir}/documents.parquet")
-        pages, _ = run_stage(lambda: pages, f"{checkpoint_dir}/pages",
-                             "prepare_pages", fp)
+        if pages_shards:
+            pages, rebuilt_shards = run_partitioned_stage(
+                [(str(k), f"{fp}:{k}/{pages_shards}")
+                 for k in range(pages_shards)],
+                lambda k: prepare_pages(
+                    synth_pages(sf_dir, include_doc_id=True,
+                                shard=(int(k), pages_shards))),
+                f"{checkpoint_dir}/pages", "prepare_pages")
+        else:
+            pages, _ = run_stage(lambda: pages, f"{checkpoint_dir}/pages",
+                                 "prepare_pages", fp)
         scored, _ = run_stage(
             lambda: match_edges(pages, threshold, num_partitions),
             f"{checkpoint_dir}/edges", "match_edges", fp)
@@ -157,4 +176,7 @@ def run_record_linkage(sf_dir: str, threshold: float = 0.75,
     # the corpus itself contains legitimate cross-document near-dups.
     gold = gold_pairs_from_doc_ids(pages)
     planted = pairwise_f1(pred_pairs, gold, num_partitions=num_partitions)
-    return {"labels": labels, "scored": scored, "planted_pairs": planted}
+    out = {"labels": labels, "scored": scored, "planted_pairs": planted}
+    if rebuilt_shards is not None:
+        out["rebuilt_shards"] = rebuilt_shards
+    return out

@@ -138,17 +138,34 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def synth_pages(sf_dir: str, include_doc_id: bool = False):
+def synth_pages(sf_dir: str, include_doc_id: bool = False,
+                shard=None):
     """`documents.parquet` → streaming pages Dataset.
 
     ``doc_id`` is kept only when asked for (test joins); production
     pipelines key on ``url`` as the north rule intends.
+
+    ``shard=(k, n)`` keeps only documents with ``doc_id % n == k`` —
+    the unit of partition-granular checkpointing
+    (state/checkpoint.run_partitioned_stage).  Every synthesized url
+    embeds its doc_id (page_url / the mirror url), so a url never
+    crosses shards and per-shard url-dedup equals global url-dedup;
+    that is the partitioning assumption the resumable pages stage
+    relies on.
     """
     import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
+    if shard is not None:
+        k, n = shard
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % n == k))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
     # the testdata is ONE small parquet file (often one row group) → the
     # read yields one block and every downstream map would run on one
     # core.  Split to ~2×CPUs blocks so synth/extract parallelize.  At

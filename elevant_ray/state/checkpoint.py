@@ -83,6 +83,38 @@ def run_stage(build_fn, out_dir: str, stage: str, input_fingerprint: str):
     return write_checkpoint(ds, out_dir, stage, input_fingerprint), False
 
 
+def run_partitioned_stage(shards, build_shard, out_root: str, stage: str):
+    """Partition-granular resume (north rule: per-partition lineage).
+
+    ``shards`` is a list of ``(shard_key, fingerprint)``;
+    ``build_shard(shard_key)`` returns that shard's Dataset.  Each
+    shard checkpoints independently to ``{out_root}/shard={key}`` with
+    its own manifest, so a rerun after a crash (or after losing
+    individual output partitions) re-executes ONLY the shards whose
+    manifest is missing, incomplete, or fingerprint-stale — finished
+    partitions are read back from Parquet untouched.  Shards run
+    sequentially on the driver; each shard's Dataset saturates the
+    cluster internally, and at multi-node scale a bounded pool of
+    concurrent shard submissions drops in without changing the
+    manifest protocol.
+
+    Returns ``(dataset, rebuilt_keys)`` — ``dataset`` reads the union
+    of all shard directories; ``rebuilt_keys`` lists the shards that
+    actually re-executed (empty on a fully-resumed rerun).
+    """
+    import ray.data as rd
+
+    rebuilt = []
+    dirs = []
+    for key, fp in shards:
+        d = os.path.join(out_root, f"shard={key}")
+        dirs.append(d)
+        if not is_complete(d, fp):
+            write_checkpoint(build_shard(key), d, f"{stage}[{key}]", fp)
+            rebuilt.append(key)
+    return rd.read_parquet(dirs, file_extensions=["parquet"]), rebuilt
+
+
 def fingerprint_paths(*paths: str) -> str:
     """Input fingerprint = stable hash over (path, size, mtime) triples."""
     import hashlib

@@ -31,6 +31,11 @@ def main() -> None:
                     help="write cluster labels Parquet here (else count only)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="per-stage Parquet checkpoints (resume on re-submit)")
+    ap.add_argument("--pages-shards", type=int, default=0,
+                    help="with --checkpoint-dir: checkpoint the pages "
+                         "stage per doc-shard; resume re-runs only "
+                         "missing/stale shards (partition-granular "
+                         "lineage)")
     ap.add_argument("--threshold", type=float, default=0.75)
     ap.add_argument("--num-partitions", type=int, default=16)
     args = ap.parse_args()
@@ -45,7 +50,8 @@ def main() -> None:
     t0 = time.time()
     result = run_record_linkage(args.sf_dir, threshold=args.threshold,
                                 num_partitions=args.num_partitions,
-                                checkpoint_dir=args.checkpoint_dir)
+                                checkpoint_dir=args.checkpoint_dir,
+                                pages_shards=args.pages_shards)
     labels = result["labels"]
     if args.out:
         labels.write_parquet(args.out)
@@ -59,6 +65,8 @@ def main() -> None:
         "wall_s": round(time.time() - t0, 3),
         "sf_dir": args.sf_dir, "out": args.out,
         "checkpoint_dir": args.checkpoint_dir,
+        **({"rebuilt_shards": result["rebuilt_shards"]}
+           if "rebuilt_shards" in result else {}),
     }))
 
 

@@ -103,3 +103,88 @@ class TestLinkageResume:
             p = os.path.join(ck, stage, "manifest.json")
             # untouched manifests ⇒ the stages were resumed, not re-run
             assert os.path.getmtime(p) == manifests[stage][0]
+
+
+class TestPartitionedStage:
+    def test_only_missing_shards_rebuild(self, ray_session, tmp_path):
+        from elevant_ray.state.checkpoint import run_partitioned_stage
+
+        built = []
+
+        def build(key):
+            built.append(key)
+            v = int(key)
+            return _ds(pa.table({"shard": [v] * 3, "x": [v, v + 1, v + 2]}))
+
+        shards = [(str(k), f"fp:{k}") for k in range(4)]
+        out = str(tmp_path / "pstage")
+        ds1, rebuilt1 = run_partitioned_stage(shards, build, out, "p")
+        assert rebuilt1 == ["0", "1", "2", "3"] and built == rebuilt1
+        assert ds1.count() == 12
+
+        # full resume: nothing rebuilds
+        ds2, rebuilt2 = run_partitioned_stage(shards, build, out, "p")
+        assert rebuilt2 == [] and len(built) == 4
+        assert ds2.count() == 12
+
+        # lose ONE shard's output → only that shard re-executes
+        import shutil
+        shutil.rmtree(os.path.join(out, "shard=2"))
+        ds3, rebuilt3 = run_partitioned_stage(shards, build, out, "p")
+        assert rebuilt3 == ["2"] and built == ["0", "1", "2", "3", "2"]
+        assert ds3.count() == 12
+        rows = sorted((r["shard"], r["x"]) for r in ds3.take_all())
+        assert rows == sorted((k, k + d) for k in range(4)
+                              for d in range(3))
+
+        # per-shard manifests carry lineage
+        m = json.load(open(os.path.join(out, "shard=1", "manifest.json")))
+        assert m["input_fingerprint"] == "fp:1"
+        assert m["row_count"] == 3
+
+    def test_stale_fingerprint_rebuilds_one_shard(self, ray_session,
+                                                  tmp_path):
+        from elevant_ray.state.checkpoint import run_partitioned_stage
+
+        built = []
+
+        def build(key):
+            built.append(key)
+            return _ds(pa.table({"x": [len(built)]}))
+
+        out = str(tmp_path / "pstage2")
+        run_partitioned_stage([("0", "a"), ("1", "b")], build, out, "p")
+        _, rebuilt = run_partitioned_stage([("0", "a"), ("1", "B")],
+                                           build, out, "p")
+        assert rebuilt == ["1"] and built == ["0", "1", "1"]
+
+
+class TestLinkagePartitionedResume:
+    def test_shard_loss_resumes_minimally(self, ray_session, tmp_path):
+        import shutil
+
+        from elevant_ray.pipelines.record_linkage import run_record_linkage
+
+        sf = "/root/testdata/sf0.001"
+        ck = str(tmp_path / "ck")
+        r1 = run_record_linkage(sf, checkpoint_dir=ck, pages_shards=4)
+        assert sorted(r1["rebuilt_shards"]) == ["0", "1", "2", "3"]
+        labels1 = sorted((r["node"], r["label"])
+                         for r in r1["labels"].take_all())
+
+        # crash scenario: one pages shard lost; downstream stage
+        # checkpoints intact → resume re-runs ONLY the lost shard
+        shutil.rmtree(os.path.join(ck, "pages", "shard=2"))
+        r2 = run_record_linkage(sf, checkpoint_dir=ck, pages_shards=4)
+        assert r2["rebuilt_shards"] == ["2"]
+        labels2 = sorted((r["node"], r["label"])
+                         for r in r2["labels"].take_all())
+        assert labels1 == labels2
+        assert r1["planted_pairs"] == r2["planted_pairs"]
+
+        # sharded pages == unsharded pages (the url-never-crosses-shards
+        # partitioning assumption, end to end)
+        r3 = run_record_linkage(sf, checkpoint_dir=str(tmp_path / "ck2"))
+        labels3 = sorted((r["node"], r["label"])
+                         for r in r3["labels"].take_all())
+        assert labels1 == labels3
