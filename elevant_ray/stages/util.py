@@ -234,6 +234,36 @@ def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
             [renames.get(n, n) for n in t.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if combine == "auto":
+        # size-gated driver combine with the distributed path as the
+        # scale fallback: materialize the partials (cheap — already
+        # reduced to ≤ batches × groups rows), stream them to the
+        # driver when they fit the broadcast cutoff, else run the
+        # distributed combine and stream its (group-bounded) result.
+        # Either way the caller gets a pandas frame; the conformance
+        # suite forces the fallback via ELEVANT_RAY_BROADCAST_CUTOFF=0.
+        m = partials.materialize()
+        if m.size_bytes() <= scale_cutoff(256 << 20):
+            partials = m
+            combine = "driver"
+        else:
+            import pandas as pd
+
+            final_aggs = [Sum(c, alias_name=c) for c in sum_cols]
+            final_aggs += [Max(c, alias_name=c) for c in max_cols]
+            final_aggs += [Min(c, alias_name=c) for c in min_cols]
+            if count_alias:
+                final_aggs.append(Sum(count_alias,
+                                      alias_name=count_alias))
+            gb = (m.groupby(keys, num_partitions=num_partitions)
+                  if num_partitions else m.groupby(keys))
+            parts = [b.to_pandas() for b in gb.aggregate(*final_aggs)
+                     .iter_batches(batch_format="pyarrow")]
+            if parts:
+                return (pd.concat(parts, ignore_index=True)
+                        .sort_values(keys).reset_index(drop=True))
+            partials = m          # empty input: typed-empty via driver path
+            combine = "driver"
     if combine == "driver":
         # hard-bounded group count ⇒ the partial table is tiny
         # (≤ batches × groups rows): stream it to the driver and combine

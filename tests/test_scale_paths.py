@@ -33,7 +33,11 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "supplier_neighborhood_jaccard",
                   "docs_weighted_sample", "docs_incremental_new",
                   "embedding_neighbor_dot", "sessions_peak_concurrency",
-                  "supplier_clustering_coeff", "embedding_top_pairs"]
+                  "supplier_clustering_coeff", "embedding_top_pairs",
+                  # combine="auto" users (driver merge ↔ distributed
+                  # combine inside partial_group_agg)
+                  "part_xyz_classes", "orders_backlog_monthly",
+                  "unit_price_variance_decomposition"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
