@@ -37,7 +37,9 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   # combine="auto" users (driver merge ↔ distributed
                   # combine inside partial_group_agg)
                   "part_xyz_classes", "orders_backlog_monthly",
-                  "unit_price_variance_decomposition"]
+                  "unit_price_variance_decomposition",
+                  "basket_size_by_priority",
+                  "yearly_laspeyres_price_index"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
