@@ -472,6 +472,7 @@ BENCH_QUERIES = [
     "link_frequencies",
     "entity_linking",
     "linkage_clusters",
+    "linkage_incremental",
     "part_name_damerau",
     "user_seq_pattern",
     "error_next_purchase_asof",

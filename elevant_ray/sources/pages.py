@@ -139,7 +139,7 @@ def synth_pages_batch(batch: pa.Table) -> pa.Table:
 
 
 def synth_pages(sf_dir: str, include_doc_id: bool = False,
-                shard=None):
+                shard=None, shard_invert: bool = False):
     """`documents.parquet` → streaming pages Dataset.
 
     ``doc_id`` is kept only when asked for (test joins); production
@@ -163,7 +163,8 @@ def synth_pages(sf_dir: str, include_doc_id: bool = False,
 
         def keep(b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(ids % n == k))
+            m = ids % n == k
+            return b.filter(pa.array(~m if shard_invert else m))
 
         ds = ds.map_batches(keep, batch_format="pyarrow")
     # the testdata is ONE small parquet file (often one row group) → the

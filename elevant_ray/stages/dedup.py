@@ -235,45 +235,68 @@ def add_minhash_columns(batch: pa.Table, text_col: str = "text",
     return batch.append_column("band_key", pa.array(keys_col, pa.list_(pa.string())))
 
 
-def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
-                        max_block: int = 64, canon_col: str = None,
-                        num_partitions: int = 16, **minhash_kwargs):
-    """pages → distinct candidate pairs (left < right) from shared
-    blocking keys.
+def blocking_keys(ds, id_col: str, text_col: str = "text",
+                  canon_col: str = None, **minhash_kwargs):
+    """pages → exploded blocking-key rows (band_key, id).
 
-    Channels, all emitted by ONE map + ONE groupby (minimizing the
-    shuffle count — each extra all-to-all costs a full exchange):
+    Channels, all from ONE map:
     - MinHash-LSH band keys over text shingles ("<band>:<hash>");
     - optionally, a canonical-url key ("c:<canon>") when `canon_col` is
       given — pages sharing a canonical url become candidates without
       any content similarity.
 
+    Deterministic per page, so an incremental batch emits exactly the
+    keys the full-batch run would (state/linkage_state.py probes a
+    persisted key index with these)."""
+    return ds.map_batches(
+        lambda b: explode_keys_table(
+            add_minhash_columns(b, text_col=text_col, **minhash_kwargs),
+            id_col, canon_col=canon_col),
+        batch_format="pyarrow")
+
+
+def explode_keys_table(batch: pa.Table, id_col: str,
+                       canon_col: str = None) -> pa.Table:
+    """Table-level kernel behind `blocking_keys`: one row per
+    (band_key, id) — also called in-process by the incremental
+    delta fast path (state/linkage_state.py)."""
+    ids, keys = [], []
+    canon = (batch.column(canon_col).to_pylist()
+             if canon_col else [None] * batch.num_rows)
+    for rid, ks, cn in zip(batch.column(id_col).to_pylist(),
+                           batch.column("band_key").to_pylist(),
+                           canon):
+        for k in ks:
+            ids.append(rid)
+            keys.append(k)
+        if cn is not None:
+            ids.append(rid)
+            keys.append(f"c:{cn}")
+    return pa.table({"band_key": pa.array(keys, pa.string()),
+                     id_col: pa.array(ids, batch.column(id_col).type)})
+
+
+def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
+                        max_block: int = 64, canon_col: str = None,
+                        num_partitions: int = 16, **minhash_kwargs):
+    """pages → distinct candidate pairs (left < right) from shared
+    blocking keys (see `blocking_keys` for the key channels; one map +
+    one groupby total — each extra all-to-all costs a full exchange).
+
     Blocks larger than `max_block` are broken into a star + adjacent
     chain (skew guard — connectivity preserved for CC, quadratic blowup
     avoided).  Final distinct-pair dedup is one groupby on (left, right).
     """
-    with_keys = ds.map_batches(
-        lambda b: add_minhash_columns(b, text_col=text_col, **minhash_kwargs),
-        batch_format="pyarrow")
+    exploded = blocking_keys(ds, id_col, text_col=text_col,
+                             canon_col=canon_col, **minhash_kwargs)
+    return pairs_from_keys(exploded, id_col, max_block=max_block,
+                           num_partitions=num_partitions)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        canon = (batch.column(canon_col).to_pylist()
-                 if canon_col else [None] * batch.num_rows)
-        for rid, ks, cn in zip(batch.column(id_col).to_pylist(),
-                               batch.column("band_key").to_pylist(),
-                               canon):
-            for k in ks:
-                ids.append(rid)
-                keys.append(k)
-            if cn is not None:
-                ids.append(rid)
-                keys.append(f"c:{cn}")
-        return pa.table({"band_key": pa.array(keys, pa.string()),
-                         id_col: pa.array(ids, batch.column(id_col).type)})
 
-    exploded = with_keys.map_batches(explode, batch_format="pyarrow")
-
+def pairs_from_keys(exploded, id_col: str, max_block: int = 64,
+                    num_partitions: int = 16):
+    """Exploded (band_key, id) rows → distinct candidate pairs
+    (left < right)."""
     # ---- ONE bucketed shuffle: in-bucket vectorized pair expansion -----
     # Every row of a band key hashes to one bucket, so each bucket holds
     # WHOLE key groups and can expand pairs locally with exact per-key
@@ -286,55 +309,63 @@ def lsh_candidate_pairs(ds, id_col: str, text_col: str = "text",
     # sampler merged ~1M keys serially on the driver — together ~10 s of
     # the flagship's blocking phase and pure Amdahl tax at 8→32 cpus.
     # Exact counts also remove the sampler's miss probability entirely.
-    import pandas as pd
-
-    from elevant_ray.stages.util import (as_arrow, bucketed_group_apply,
-                                         within_group_pairs)
-
-    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        out_empty = pd.DataFrame({"left": pd.Series([], dtype=object),
-                                  "right": pd.Series([], dtype=object)})
-        if not len(df):
-            return out_empty
-        k = df["band_key"].to_numpy()
-        ids = df[id_col].astype(str).to_numpy()
-        order = np.lexsort((ids, k))
-        k = k[order]
-        ids = ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
-        sizes = np.diff(np.append(starts, len(k)))
-        small = sizes <= max_block
-        i, j = within_group_pairs(starts[small], sizes[small])
-        lefts = [ids[i]]
-        rights = [ids[j]]
-        for st, sz in zip(starts[~small].tolist(), sizes[~small].tolist()):
-            ms = np.unique(ids[st:st + sz])
-            if len(ms) < 2:
-                continue
-            if len(ms) <= max_block:   # duplicate ids inflated the run
-                ii, jj = within_group_pairs(np.array([0]),
-                                            np.array([len(ms)]))
-                lefts.append(ms[ii])
-                rights.append(ms[jj])
-            else:
-                lefts.append(np.full(len(ms) - 1, ms[0], dtype=object))
-                rights.append(ms[1:])
-                lefts.append(ms[1:-1])
-                rights.append(ms[2:])
-        left = np.concatenate(lefts)
-        right = np.concatenate(rights)
-        if not len(left):
-            return out_empty
-        keep = left != right
-        res = pd.DataFrame({"left": left[keep], "right": right[keep]})
-        # ids are sorted within runs so left < right already; local
-        # dedup shrinks the global distinct shuffle
-        return res.drop_duplicates(ignore_index=True)
+    from elevant_ray.stages.util import as_arrow, bucketed_group_apply
 
     pairs = as_arrow(bucketed_group_apply(
-        exploded, "band_key", bucket_pairs,
+        exploded, "band_key",
+        lambda df: expand_pairs_frame(df, id_col, max_block=max_block),
         buckets=max(64, num_partitions * 4)))
     return distinct_pairs(pairs)
+
+
+def expand_pairs_frame(df, id_col: str, max_block: int = 64):
+    """Frame-level pair expansion over WHOLE key groups (the in-bucket
+    kernel of `pairs_from_keys`; also called in-process on sub-cutoff
+    incremental deltas).  Requires every row of a band key to be
+    present in `df` — bucketing guarantees it distributed; the delta
+    fast path passes the full probed key set."""
+    import pandas as pd
+
+    from elevant_ray.stages.util import within_group_pairs
+
+    out_empty = pd.DataFrame({"left": pd.Series([], dtype=object),
+                              "right": pd.Series([], dtype=object)})
+    if not len(df):
+        return out_empty
+    k = df["band_key"].to_numpy()
+    ids = df[id_col].astype(str).to_numpy()
+    order = np.lexsort((ids, k))
+    k = k[order]
+    ids = ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    sizes = np.diff(np.append(starts, len(k)))
+    small = sizes <= max_block
+    i, j = within_group_pairs(starts[small], sizes[small])
+    lefts = [ids[i]]
+    rights = [ids[j]]
+    for st, sz in zip(starts[~small].tolist(), sizes[~small].tolist()):
+        ms = np.unique(ids[st:st + sz])
+        if len(ms) < 2:
+            continue
+        if len(ms) <= max_block:   # duplicate ids inflated the run
+            ii, jj = within_group_pairs(np.array([0]),
+                                        np.array([len(ms)]))
+            lefts.append(ms[ii])
+            rights.append(ms[jj])
+        else:
+            lefts.append(np.full(len(ms) - 1, ms[0], dtype=object))
+            rights.append(ms[1:])
+            lefts.append(ms[1:-1])
+            rights.append(ms[2:])
+    left = np.concatenate(lefts)
+    right = np.concatenate(rights)
+    if not len(left):
+        return out_empty
+    keep = left != right
+    res = pd.DataFrame({"left": left[keep], "right": right[keep]})
+    # ids are sorted within runs so left < right already; local
+    # dedup shrinks the global distinct shuffle
+    return res.drop_duplicates(ignore_index=True)
 
 
 def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",

@@ -1,0 +1,518 @@
+"""Incremental record linkage against persisted cluster state.
+
+At 10^12 documents a daily crawl delta is ~10^9 pages; re-clustering
+the full corpus per delta is not an option.  This module persists the
+flagship's linkage state as bucketed Parquet and folds a new page
+batch in by touching only the buckets the batch actually hits.
+
+State layout (all Parquet, shared-FS / object-store friendly)::
+
+    state/pages/bkt=<k>/    (url, canon, text)   hash(url) buckets
+    state/bands/bkt=<k>/    (band_key, url)      hash(band_key) buckets
+    state/labels/bkt=<k>/   (node, label)        hash(node) buckets
+    state/remap.parquet     (old_label, new_label) alias chain
+    state/manifest.json     counts, bucket count, update sequence
+
+Update path (`update_linkage_state`):
+
+1. urls already in state are dropped (first-crawl wins — the same node
+   identity rule as the flagship's url-dedup); the membership probe
+   reads ONLY the page buckets the new urls hash into.
+2. the batch's blocking keys (deterministic per page —
+   `stages/dedup.blocking_keys`) probe ONLY the band buckets its keys
+   hash into; probed state rows are filtered to the batch's key set.
+3. candidate pairs expand with the same skew-guarded bucket kernel as
+   the full batch (`stages/dedup.pairs_from_keys`), then keep only
+   pairs touching >= 1 new url (old-old connectivity is already in the
+   labels).
+4. scoring (`stages/scoring.verify_pairs`) sees old texts only for
+   touched endpoints (pruned page-bucket read).
+5. the merge runs connected components over new nodes + old LABEL
+   ROOTS as virtual nodes, so an old component enters as one node and
+   old connectivity costs nothing.  Labels stay "min url of the
+   component" exactly as in the full batch, so incremental state ==
+   full-batch clustering, label for label (tests/test_linkage_state.py
+   asserts equality).
+6. cluster merges append (old_label -> new_label) alias rows instead
+   of rewriting every label bucket; readers resolve the alias chain
+   (driver-side path compression over the small remap table) and
+   `compact_linkage_state` folds it back into the buckets as an
+   explicit, schedulable O(state) pass.
+
+Scale assumptions (explicit, per the north rule): the DELTA is small
+relative to state — its url set, key set and touched-endpoint texts
+ride in broadcasts bounded by the delta, never by the state.  State
+reads are always bucket-pruned.  A delta comparable to the state is a
+rebuild (`build_linkage_state`), not an update.
+
+Reference anchor: the reference re-links whole corpora per run
+(link_benchmark.py:63, link_text.py:77 — full rescans, no state); the
+incremental path is the engine-side answer to the same workload
+arriving as a stream of crawl batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import pyarrow as pa
+
+_MANIFEST = "manifest.json"
+
+
+def _hash_np(values, buckets: int):
+    """Stable crc32 bucket per string value (matches
+    util.hash_bucket_array semantics for strings)."""
+    import zlib
+
+    import numpy as np
+
+    return np.asarray([zlib.crc32(str(v).encode("utf-8")) % buckets
+                       for v in values], dtype=np.int64)
+
+
+def _write_bucketed(ds, root: str, key: str, buckets: int):
+    """Write `ds` partitioned by hash(key) bucket (hive dirs bkt=<k>)."""
+    from elevant_ray.stages.util import hash_bucket_array
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        return b.append_column("bkt", hash_bucket_array(b.column(key),
+                                                        buckets))
+
+    ds.map_batches(add_bkt, batch_format="pyarrow") \
+        .write_parquet(root, partition_cols=["bkt"])
+
+
+def _append_bucketed_table(tbl: pa.Table, root: str, key: str,
+                           buckets: int, seq: int):
+    """Driver-side bucketed append of a (small) delta table: one new
+    file per touched bucket, named by update sequence (single-writer
+    protocol — concurrent updates would need a coordinator)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    bk = _hash_np(tbl.column(key).to_pylist(), buckets)
+    for k in np.unique(bk):
+        sub = tbl.filter(pa.array(bk == k))
+        d = os.path.join(root, f"bkt={int(k)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"delta-{seq}.parquet"))
+
+
+def _read_buckets(root: str, bucket_ids=None, drop=("bkt",)):
+    """Dataset over the given bucket dirs (all when None); missing
+    dirs are skipped (empty buckets are simply never written)."""
+    import ray.data as rd
+
+    if bucket_ids is None:
+        dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+                if d.startswith("bkt=")]
+    else:
+        dirs = [os.path.join(root, f"bkt={int(k)}")
+                for k in sorted(set(int(x) for x in bucket_ids))]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+    ds = rd.read_parquet(dirs, file_extensions=["parquet"])
+    cols = [c for c in ds.schema().names if c not in drop]
+    return ds.select_columns(cols)
+
+
+def _resolve_remap(state_dir: str) -> dict:
+    """Alias chain -> root map with path compression (remap rows are
+    per-merge, so the table is tiny relative to state)."""
+    path = os.path.join(state_dir, "remap.parquet")
+    if not os.path.exists(path):
+        return {}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    m = dict(zip(t.column("old_label").to_pylist(),
+                 t.column("new_label").to_pylist()))
+
+    def root(x):
+        seen = []
+        while x in m:
+            seen.append(x)
+            x = m[x]
+        for s in seen:
+            m[s] = x
+        return x
+
+    return {k: root(k) for k in list(m)}
+
+
+def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
+                        num_partitions: int = 16, buckets: int = 32):
+    """Full-batch clustering of prepared pages (url, canon, text) →
+    persisted state.  Returns the labels Dataset."""
+    import ray
+
+    from elevant_ray.stages.clustering import connected_components
+    from elevant_ray.stages.dedup import blocking_keys, pairs_from_keys
+    from elevant_ray.stages.scoring import verify_pairs
+    from elevant_ray.stages.util import cached_get
+
+    pages = pages.materialize()
+    # ONE minhash/key pass serves both the pair expansion and the
+    # persisted band index (cluster_pages + a separate blocking_keys
+    # call would scan and hash the corpus twice)
+    keys = blocking_keys(pages, id_col="url",
+                         canon_col="canon").materialize()
+    pairs = pairs_from_keys(keys, "url", num_partitions=num_partitions)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    scored = verify_pairs(pairs, pages, id_col="url",
+                          threshold=threshold,
+                          num_partitions=num_partitions,
+                          score_parallelism=2 * cpus)
+    labels = connected_components(
+        scored.map_batches(
+            lambda b: b.filter(b.column("is_match"))
+            .select(["left", "right"]), batch_format="pyarrow"),
+        num_partitions=num_partitions)
+    # state invariant: EVERY ingested url carries a label (CC labels
+    # only matched nodes; singletons label themselves) — the same
+    # "every doc labeled" convention as the dedup cluster queries.
+    # The matched-label table is ≪ corpus; broadcast it and self-label
+    # the rest in one map.
+    lref = ray.put({r["node"]: r["label"] for r in labels.take_all()})
+
+    def all_labels(b: pa.Table) -> pa.Table:
+        lm = cached_get(lref)
+        urls = b.column("url").to_pylist()
+        return pa.table({
+            "node": pa.array(urls, pa.string()),
+            "label": pa.array([lm.get(u, u) for u in urls],
+                              pa.string())})
+
+    labels = pages.map_batches(all_labels,
+                               batch_format="pyarrow").materialize()
+    os.makedirs(state_dir, exist_ok=True)
+    _write_bucketed(pages.select_columns(["url", "canon", "text"]),
+                    os.path.join(state_dir, "pages"), "url", buckets)
+    _write_bucketed(keys, os.path.join(state_dir, "bands"), "band_key",
+                    buckets)
+    _write_bucketed(labels, os.path.join(state_dir, "labels"), "node",
+                    buckets)
+    with open(os.path.join(state_dir, _MANIFEST), "w") as f:
+        json.dump({"buckets": buckets, "threshold": threshold,
+                   "n_pages": pages.count(),
+                   "update_seq": 0}, f, indent=1)
+    return labels
+
+
+def read_labels(state_dir: str):
+    """Effective (node, label) pandas frame: stored labels with the
+    merge alias chain resolved."""
+    import pandas as pd
+
+    lab = _read_buckets(os.path.join(state_dir, "labels")).to_pandas()
+    remap = _resolve_remap(state_dir)
+    if remap:
+        lab["label"] = lab["label"].map(lambda x: remap.get(x, x))
+    return lab.sort_values("node").reset_index(drop=True)
+
+
+def compact_linkage_state(state_dir: str):
+    """Fold the remap alias chain into the label buckets (the explicit
+    O(state) pass; schedule it when the chain grows)."""
+    remap = _resolve_remap(state_dir)
+    if not remap:
+        return 0
+    import pyarrow.parquet as pq
+
+    root = os.path.join(state_dir, "labels")
+    n = 0
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("bkt="):
+            continue
+        bdir = os.path.join(root, d)
+        t = pa.concat_tables([pq.read_table(os.path.join(bdir, f))
+                              for f in sorted(os.listdir(bdir))
+                              if f.endswith(".parquet")])
+        labs = [remap.get(x, x) for x in t.column("label").to_pylist()]
+        out = pa.table({"node": t.column("node"),
+                        "label": pa.array(labs, pa.string())})
+        for f in list(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(bdir, f))
+        pq.write_table(out, os.path.join(bdir, "compact-0.parquet"))
+        n += out.num_rows
+    os.remove(os.path.join(state_dir, "remap.parquet"))
+    return n
+
+
+def update_linkage_state(new_pages, state_dir: str,
+                         num_partitions: int = 16,
+                         threshold: Optional[float] = None):
+    """Fold a prepared new-page batch (url, canon, text) into the
+    state.  Returns dict(new_nodes, merged_labels, dropped_known)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from elevant_ray.stages.clustering import connected_components
+    from elevant_ray.stages.dedup import blocking_keys, pairs_from_keys
+    from elevant_ray.stages.scoring import verify_pairs
+    from elevant_ray.stages.util import cached_get
+
+    with open(os.path.join(state_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    buckets = int(man["buckets"])
+    if threshold is None:
+        threshold = float(man.get("threshold", 0.75))
+
+    new_pages = new_pages.materialize()
+    new_urls = np.unique(np.concatenate(
+        [b.column("url").to_numpy(zero_copy_only=False)
+         for b in new_pages.iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=object)]))
+    if len(new_urls) == 0:
+        return {"new_nodes": 0, "merged_labels": 0, "dropped_known": 0}
+
+    # 1. drop urls already in state (pruned membership probe)
+    page_root = os.path.join(state_dir, "pages")
+    known = _read_buckets(page_root, _hash_np(new_urls, buckets)) \
+        .to_pandas()
+    known_urls = set(known["url"]) & set(new_urls.tolist()) \
+        if len(known) else set()
+    if known_urls:
+        ref = ray.put(known_urls)
+
+        def drop_known(b: pa.Table) -> pa.Table:
+            ks = cached_get(ref)
+            keep = [u not in ks for u in b.column("url").to_pylist()]
+            return b.filter(pa.array(keep))
+
+        new_pages = new_pages.map_batches(
+            drop_known, batch_format="pyarrow").materialize()
+        new_urls = np.asarray(
+            [u for u in new_urls.tolist() if u not in known_urls],
+            dtype=object)
+    if len(new_urls) == 0:
+        return {"new_nodes": 0, "merged_labels": 0,
+                "dropped_known": len(known_urls)}
+    new_url_set = set(new_urls.tolist())
+
+    # sub-cutoff deltas run IN PROCESS with the exact distributed
+    # kernels (explode_keys_table / expand_pairs_frame /
+    # score_pair_batch / _local_contract): the only Dataset executions
+    # left are the three bucket-pruned state reads, so the update costs
+    # seconds instead of a dozen fixed-latency exchanges.  Beyond the
+    # cutoff (delta comparable to a corpus) the distributed path below
+    # runs — the conformance suite forces it via
+    # ELEVANT_RAY_BROADCAST_CUTOFF=0 and asserts identical labels.
+    from elevant_ray.stages.util import scale_cutoff
+
+    new_tbl = pa.concat_tables(
+        [b.select(["url", "canon", "text"])
+         for b in new_pages.iter_batches(batch_format="pyarrow")])
+    fast = new_tbl.nbytes <= scale_cutoff(64 << 20)
+
+    if fast:
+        from elevant_ray.stages.dedup import (add_minhash_columns,
+                                              expand_pairs_frame,
+                                              explode_keys_table)
+        from elevant_ray.stages.scoring import score_pair_batch
+
+        keys_tbl = explode_keys_table(
+            add_minhash_columns(new_tbl, text_col="text"), "url",
+            canon_col="canon")
+        keys_new_df = keys_tbl.to_pandas()
+        key_set = set(keys_new_df["band_key"])
+        old_keys_df = _read_buckets(
+            os.path.join(state_dir, "bands"),
+            _hash_np(sorted(key_set), buckets)).to_pandas()
+        if len(old_keys_df):
+            old_keys_df = old_keys_df[
+                old_keys_df["band_key"].isin(key_set)]
+        cand = expand_pairs_frame(
+            pd.concat([keys_new_df, old_keys_df], ignore_index=True),
+            "url").drop_duplicates(ignore_index=True)
+        cand = cand[cand["left"].isin(new_url_set)
+                    | cand["right"].isin(new_url_set)]
+        old_ends = sorted((set(cand["left"]) | set(cand["right"]))
+                          - new_url_set)
+        texts = dict(zip(new_tbl.column("url").to_pylist(),
+                         new_tbl.column("text").to_pylist()))
+        canons = dict(zip(new_tbl.column("url").to_pylist(),
+                          new_tbl.column("canon").to_pylist()))
+        if old_ends:
+            op = _read_buckets(page_root,
+                               _hash_np(old_ends, buckets)).to_pandas()
+            op = op[op["url"].isin(old_ends)]
+            texts.update(zip(op["url"], op["text"]))
+            canons.update(zip(op["url"], op["canon"]))
+        if len(cand):
+            lv = cand["left"].tolist()
+            rv = cand["right"].tolist()
+            scored = score_pair_batch(pa.table({
+                "left": pa.array(lv, pa.string()),
+                "right": pa.array(rv, pa.string()),
+                "text_l": pa.array([texts[u] for u in lv], pa.string()),
+                "text_r": pa.array([texts[u] for u in rv], pa.string()),
+                "canon_l": pa.array([canons[u] for u in lv],
+                                    pa.string()),
+                "canon_r": pa.array([canons[u] for u in rv],
+                                    pa.string())}), threshold=threshold)
+            edges = scored.filter(scored.column("is_match")) \
+                .select(["left", "right"]).to_pandas()
+        else:
+            edges = pd.DataFrame({"left": [], "right": []})
+    else:
+        # 2. blocking keys of the batch probe only their band buckets
+        keys_new = blocking_keys(new_pages, id_col="url",
+                                 canon_col="canon").materialize()
+        nk = pa.concat_tables(
+            list(keys_new.iter_batches(batch_format="pyarrow")))
+        key_set = set(nk.column("band_key").to_pylist())
+        kref = ray.put(key_set)
+
+        def keep_probed(b: pa.Table) -> pa.Table:
+            ks = cached_get(kref)
+            keep = [k in ks for k in b.column("band_key").to_pylist()]
+            return b.filter(pa.array(keep))
+
+        old_keys = _read_buckets(
+            os.path.join(state_dir, "bands"),
+            _hash_np(sorted(key_set), buckets)) \
+            .map_batches(keep_probed, batch_format="pyarrow")
+
+        # 3. pair expansion over (new ∪ probed-old) keys; keep pairs
+        #    touching >= 1 new url
+        uref = ray.put(new_url_set)
+
+        def keep_new_touching(b: pa.Table) -> pa.Table:
+            us = cached_get(uref)
+            keep = [(l in us) or (r in us)
+                    for l, r in zip(b.column("left").to_pylist(),
+                                    b.column("right").to_pylist())]
+            return b.filter(pa.array(keep))
+
+        cand = pairs_from_keys(keys_new.union(old_keys), "url",
+                               num_partitions=num_partitions) \
+            .map_batches(keep_new_touching, batch_format="pyarrow") \
+            .materialize()
+
+        # 4. scoring side: new texts + touched old endpoints only
+        ends = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            ends.update(b.column("left").to_pylist())
+            ends.update(b.column("right").to_pylist())
+        old_ends = sorted(ends - new_url_set)
+        side = new_pages.select_columns(["url", "canon", "text"])
+        if old_ends:
+            eref = ray.put(set(old_ends))
+
+            def keep_ends(b: pa.Table) -> pa.Table:
+                es = cached_get(eref)
+                keep = [u in es for u in b.column("url").to_pylist()]
+                return b.filter(pa.array(keep))
+
+            side = side.union(
+                _read_buckets(page_root, _hash_np(old_ends, buckets))
+                .map_batches(keep_ends, batch_format="pyarrow")
+                .select_columns(["url", "canon", "text"]))
+        side = side.materialize()
+        edges = pd.concat(
+            [b.to_pandas() for b in
+             verify_pairs(cand, side, id_col="url", threshold=threshold,
+                          num_partitions=num_partitions)
+             .map_batches(lambda b: b.filter(b.column("is_match"))
+                          .select(["left", "right"]),
+                          batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")] or
+            [pd.DataFrame({"left": [], "right": []})], ignore_index=True)
+
+    # 5. old endpoints enter CC as their label roots (virtual nodes)
+    remap = _resolve_remap(state_dir)
+    old_lab = _read_buckets(os.path.join(state_dir, "labels"),
+                            _hash_np(old_ends, buckets)).to_pandas() \
+        if old_ends else pd.DataFrame({"node": [], "label": []})
+    lmap = {n: remap.get(l, l)
+            for n, l in zip(old_lab["node"], old_lab["label"])}
+    missing = [u for u in old_ends if u not in lmap]
+    if missing:
+        # every ingested url is labeled at write time, so a miss means
+        # torn/foreign state — fail loudly rather than silently
+        # re-clustering
+        raise RuntimeError(f"state labels missing for {missing[:5]}")
+    sub = lambda u: lmap.get(u, u)
+    ev = pd.DataFrame({"left": [sub(u) for u in edges["left"]],
+                       "right": [sub(u) for u in edges["right"]]})
+    import ray.data as rd
+
+    if fast:
+        from elevant_ray.stages.clustering import _local_contract
+
+        lab_t = _local_contract(pa.table({
+            "left": pa.array(ev["left"].tolist(), pa.string()),
+            "right": pa.array(ev["right"].tolist(), pa.string())}))
+        comp = dict(zip(lab_t.column("left").to_pylist(),
+                        lab_t.column("right").to_pylist()))
+    else:
+        labels_new = connected_components(
+            rd.from_pandas(ev) if len(ev) else
+            rd.from_arrow(pa.table({"left": pa.array([], pa.string()),
+                                    "right": pa.array([], pa.string())})),
+            num_partitions=num_partitions).to_pandas()
+        comp = dict(zip(labels_new["node"], labels_new["label"]))
+
+    # every new url gets a label (singletons label themselves); an old
+    # root whose component label moved is a cluster merge -> alias row
+    out_nodes, out_labels = [], []
+    for u in new_urls.tolist():
+        out_nodes.append(u)
+        out_labels.append(comp.get(u, u))
+    merges = {}
+    for u in set(lmap.values()):
+        r = comp.get(u, u)
+        if r != u:
+            merges[u] = r
+
+    # 6. persist: append pages/bands/labels, extend the alias chain
+    lab_tbl = pa.table({"node": pa.array(out_nodes, pa.string()),
+                        "label": pa.array(out_labels, pa.string())})
+    if fast:
+        seq = int(man.get("update_seq", 0)) + 1
+        _append_bucketed_table(new_tbl, page_root, "url", buckets, seq)
+        _append_bucketed_table(keys_tbl,
+                               os.path.join(state_dir, "bands"),
+                               "band_key", buckets, seq)
+        _append_bucketed_table(lab_tbl,
+                               os.path.join(state_dir, "labels"),
+                               "node", buckets, seq)
+    else:
+        _write_bucketed(
+            new_pages.select_columns(["url", "canon", "text"]),
+            page_root, "url", buckets)
+        _write_bucketed(keys_new, os.path.join(state_dir, "bands"),
+                        "band_key", buckets)
+        _write_bucketed(rd.from_arrow(lab_tbl),
+                        os.path.join(state_dir, "labels"), "node",
+                        buckets)
+    if merges or remap:
+        allmap = dict(remap)
+        allmap.update(merges)
+        # re-resolve through the new merges so chains stay shallow
+        def root(x):
+            while x in allmap and allmap[x] != x:
+                x = allmap[x]
+            return x
+
+        rows = [(k, root(v)) for k, v in allmap.items()]
+        pq.write_table(
+            pa.table({"old_label": pa.array([r[0] for r in rows],
+                                            pa.string()),
+                      "new_label": pa.array([r[1] for r in rows],
+                                            pa.string())}),
+            os.path.join(state_dir, "remap.parquet"))
+    man["n_pages"] = int(man.get("n_pages", 0)) + len(new_urls)
+    man["update_seq"] = int(man.get("update_seq", 0)) + 1
+    with open(os.path.join(state_dir, _MANIFEST), "w") as f:
+        json.dump(man, f, indent=1)
+    return {"new_nodes": len(new_urls), "merged_labels": len(merges),
+            "dropped_known": len(known_urls)}

@@ -1,0 +1,134 @@
+"""Incremental linkage state (state/linkage_state.py): build from one
+crawl batch, fold a second batch in, and assert the effective labels
+equal the full-batch clustering label for label — plus re-ingest
+idempotence and alias-chain compaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _prepared(shard=None):
+    from elevant_ray.pipelines.record_linkage import prepare_pages
+    from elevant_ray.sources.pages import synth_pages
+
+    return prepare_pages(synth_pages(SF, shard=shard))
+
+
+def _labels_df(labels_ds) -> pd.DataFrame:
+    df = labels_ds.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def full_batch_labels(ray_session):
+    from elevant_ray.pipelines.record_linkage import cluster_pages
+
+    labels, _ = cluster_pages(_prepared(), num_partitions=8)
+    return _labels_df(labels)
+
+
+class TestIncrementalLinkage:
+    def test_update_equals_full_batch(self, ray_session, tmp_path,
+                                      full_batch_labels):
+        from elevant_ray.state.linkage_state import (build_linkage_state,
+                                                     read_labels,
+                                                     update_linkage_state)
+
+        state = str(tmp_path / "state")
+        build_linkage_state(_prepared(shard=(0, 2)), state,
+                            num_partitions=8, buckets=8)
+        res = update_linkage_state(_prepared(shard=(1, 2)), state,
+                                   num_partitions=8)
+        assert res["new_nodes"] > 0 and res["dropped_known"] == 0
+
+        got = read_labels(state)
+        want = full_batch_labels
+        # state labels EVERY url (self for singletons); the full-batch
+        # CC labels only matched nodes — compare on its domain, and
+        # assert self-labels elsewhere
+        assert len(got) == _prepared().count()
+        merged = got.merge(want, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        mism = merged[on_full & (merged["label_inc"]
+                                 != merged["label_full"])]
+        assert len(mism) == 0, mism.head()
+        singles = merged[~on_full]
+        assert (singles["label_inc"] == singles["node"]).all()
+        assert on_full.sum() == len(want)
+
+        man = json.load(open(os.path.join(state, "manifest.json")))
+        assert man["update_seq"] == 1
+        assert man["n_pages"] == len(got)
+
+        # re-ingesting the same batch is a no-op (first-crawl wins)
+        res2 = update_linkage_state(_prepared(shard=(1, 2)), state,
+                                    num_partitions=8)
+        assert res2["new_nodes"] == 0
+        assert res2["dropped_known"] > 0
+        again = read_labels(state)
+        pd.testing.assert_frame_equal(again, got)
+
+    def test_distributed_fallback_same_labels(self, ray_session,
+                                              tmp_path,
+                                              full_batch_labels,
+                                              monkeypatch):
+        """ELEVANT_RAY_BROADCAST_CUTOFF=0 forces the distributed delta
+        path (Dataset blocking/scoring/CC + distributed writes); labels
+        must equal the in-process fast path's."""
+        from elevant_ray.state.linkage_state import (build_linkage_state,
+                                                     read_labels,
+                                                     update_linkage_state)
+
+        monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+        state = str(tmp_path / "state3")
+        build_linkage_state(_prepared(shard=(0, 2)), state,
+                            num_partitions=8, buckets=8)
+        res = update_linkage_state(_prepared(shard=(1, 2)), state,
+                                   num_partitions=8)
+        assert res["new_nodes"] > 0
+        got = read_labels(state)
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+        assert (merged.loc[~on_full, "label_inc"]
+                == merged.loc[~on_full, "node"]).all()
+
+    def test_compaction_preserves_labels(self, ray_session, tmp_path,
+                                         full_batch_labels):
+        from elevant_ray.state.linkage_state import (build_linkage_state,
+                                                     compact_linkage_state,
+                                                     read_labels,
+                                                     update_linkage_state)
+
+        state = str(tmp_path / "state2")
+        # three-way split: two updates so cluster merges (an entity
+        # split across batches) exercise the alias chain
+        build_linkage_state(_prepared(shard=(0, 3)), state,
+                            num_partitions=8, buckets=8)
+        update_linkage_state(_prepared(shard=(1, 3)), state,
+                             num_partitions=8)
+        update_linkage_state(_prepared(shard=(2, 3)), state,
+                             num_partitions=8)
+        before = read_labels(state)
+        merged = before.merge(full_batch_labels, on="node", how="left",
+                              suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+        assert (merged.loc[~on_full, "label_inc"]
+                == merged.loc[~on_full, "node"]).all()
+
+        compact_linkage_state(state)
+        assert not os.path.exists(os.path.join(state, "remap.parquet"))
+        after = read_labels(state)
+        pd.testing.assert_frame_equal(after, before)
