@@ -132,3 +132,29 @@ class TestIncrementalLinkage:
         assert not os.path.exists(os.path.join(state, "remap.parquet"))
         after = read_labels(state)
         pd.testing.assert_frame_equal(after, before)
+
+    def test_out_of_order_five_way_ingest(self, ray_session, tmp_path,
+                                          full_batch_labels):
+        """Five doc-shards ingested out of order (0, then 3,1,4,2):
+        alias chains stack across updates; the final effective labels
+        must still equal the full-batch clustering."""
+        from elevant_ray.state.linkage_state import (build_linkage_state,
+                                                     read_labels,
+                                                     update_linkage_state)
+
+        state = str(tmp_path / "state5")
+        build_linkage_state(_prepared(shard=(0, 5)), state,
+                            num_partitions=8, buckets=8)
+        for k in (3, 1, 4, 2):
+            update_linkage_state(_prepared(shard=(k, 5)), state,
+                                 num_partitions=8)
+        got = read_labels(state)
+        assert len(got) == _prepared().count()
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        mism = merged[on_full & (merged["label_inc"]
+                                 != merged["label_full"])]
+        assert len(mism) == 0, mism.head()
+        assert (merged.loc[~on_full, "label_inc"]
+                == merged.loc[~on_full, "node"]).all()
