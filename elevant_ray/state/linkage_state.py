@@ -175,30 +175,62 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
     # state invariant: EVERY ingested url carries a label (CC labels
     # only matched nodes; singletons label themselves) — the same
     # "every doc labeled" convention as the dedup cluster queries.
-    # The matched-label table is ≪ corpus; broadcast it and self-label
-    # the rest in one map.
-    lref = ray.put({r["node"]: r["label"] for r in labels.take_all()})
+    lm = {r["node"]: r["label"] for r in labels.take_all()}
+    os.makedirs(state_dir, exist_ok=True)
 
-    def all_labels(b: pa.Table) -> pa.Table:
-        lm = cached_get(lref)
-        urls = b.column("url").to_pylist()
-        return pa.table({
+    from elevant_ray.stages.util import scale_cutoff
+
+    pages_sel = pages.select_columns(["url", "canon", "text"])
+    if pages.size_bytes() <= scale_cutoff(64 << 20):
+        # sub-cutoff corpus: the three bucketed persists run in process
+        # (one parquet file per touched bucket) — three Dataset write
+        # executions saved; beyond the cutoff the distributed writes
+        # below run (conformance-forced via ELEVANT_RAY_BROADCAST_CUTOFF)
+        pages_tbl = pa.concat_tables(
+            [b for b in pages_sel.iter_batches(batch_format="pyarrow")])
+        keys_tbl = pa.concat_tables(
+            [b for b in keys.iter_batches(batch_format="pyarrow")])
+        urls = pages_tbl.column("url").to_pylist()
+        lab_tbl = pa.table({
             "node": pa.array(urls, pa.string()),
             "label": pa.array([lm.get(u, u) for u in urls],
                               pa.string())})
+        _append_bucketed_table(pages_tbl,
+                               os.path.join(state_dir, "pages"),
+                               "url", buckets, 0)
+        _append_bucketed_table(keys_tbl,
+                               os.path.join(state_dir, "bands"),
+                               "band_key", buckets, 0)
+        _append_bucketed_table(lab_tbl,
+                               os.path.join(state_dir, "labels"),
+                               "node", buckets, 0)
+        import ray.data as rd
 
-    labels = pages.map_batches(all_labels,
-                               batch_format="pyarrow").materialize()
-    os.makedirs(state_dir, exist_ok=True)
-    _write_bucketed(pages.select_columns(["url", "canon", "text"]),
-                    os.path.join(state_dir, "pages"), "url", buckets)
-    _write_bucketed(keys, os.path.join(state_dir, "bands"), "band_key",
-                    buckets)
-    _write_bucketed(labels, os.path.join(state_dir, "labels"), "node",
-                    buckets)
+        labels = rd.from_arrow(lab_tbl)
+        n_pages = pages_tbl.num_rows
+    else:
+        lref = ray.put(lm)
+
+        def all_labels(b: pa.Table) -> pa.Table:
+            m = cached_get(lref)
+            urls = b.column("url").to_pylist()
+            return pa.table({
+                "node": pa.array(urls, pa.string()),
+                "label": pa.array([m.get(u, u) for u in urls],
+                                  pa.string())})
+
+        labels = pages.map_batches(all_labels,
+                                   batch_format="pyarrow").materialize()
+        _write_bucketed(pages_sel, os.path.join(state_dir, "pages"),
+                        "url", buckets)
+        _write_bucketed(keys, os.path.join(state_dir, "bands"),
+                        "band_key", buckets)
+        _write_bucketed(labels, os.path.join(state_dir, "labels"),
+                        "node", buckets)
+        n_pages = pages.count()
     with open(os.path.join(state_dir, _MANIFEST), "w") as f:
         json.dump({"buckets": buckets, "threshold": threshold,
-                   "n_pages": pages.count(),
+                   "n_pages": n_pages,
                    "update_seq": 0}, f, indent=1)
     return labels
 
