@@ -38,6 +38,15 @@ def main() -> None:
                          "lineage)")
     ap.add_argument("--threshold", type=float, default=0.75)
     ap.add_argument("--num-partitions", type=int, default=16)
+    ap.add_argument("--state-dir", default=None,
+                    help="persisted incremental-linkage state "
+                         "(state/linkage_state.py): with --delta-shard "
+                         "K/N folds that doc-shard in as a crawl "
+                         "delta; without it builds the state from the "
+                         "full corpus")
+    ap.add_argument("--delta-shard", default=None, metavar="K/N",
+                    help="with --state-dir: ingest only documents with "
+                         "doc_id %% N == K as the incremental delta")
     args = ap.parse_args()
 
     import ray
@@ -48,6 +57,40 @@ def main() -> None:
     from elevant_ray.pipelines.record_linkage import run_record_linkage
 
     t0 = time.time()
+    if args.state_dir:
+        from elevant_ray.pipelines.record_linkage import prepare_pages
+        from elevant_ray.sources.pages import synth_pages
+        from elevant_ray.state.linkage_state import (build_linkage_state,
+                                                     read_labels,
+                                                     update_linkage_state)
+
+        if args.delta_shard:
+            k, n = (int(x) for x in args.delta_shard.split("/"))
+            res = update_linkage_state(
+                prepare_pages(synth_pages(args.sf_dir, shard=(k, n))),
+                args.state_dir, num_partitions=args.num_partitions,
+                threshold=args.threshold)
+            out = {"metric": "linkage_state_update", **res}
+        else:
+            labels = build_linkage_state(
+                prepare_pages(synth_pages(args.sf_dir)),
+                args.state_dir, threshold=args.threshold,
+                num_partitions=args.num_partitions)
+            out = {"metric": "linkage_state_build",
+                   "rows": labels.count()}
+        if args.out:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            lab = read_labels(args.state_dir)
+            pq.write_table(pa.Table.from_pandas(lab, preserve_index=False),
+                           args.out)
+        print(json.dumps({**out, "wall_s": round(time.time() - t0, 3),
+                          "sf_dir": args.sf_dir,
+                          "state_dir": args.state_dir,
+                          "delta_shard": args.delta_shard,
+                          "out": args.out}))
+        return
     result = run_record_linkage(args.sf_dir, threshold=args.threshold,
                                 num_partitions=args.num_partitions,
                                 checkpoint_dir=args.checkpoint_dir,

@@ -88,6 +88,7 @@ class TestIncrementalLinkage:
                                                      update_linkage_state)
 
         monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+        monkeypatch.setenv("ELEVANT_RAY_READ_BLOCKS", "4")
         state = str(tmp_path / "state3")
         build_linkage_state(_prepared(shard=(0, 2)), state,
                             num_partitions=8, buckets=8)
