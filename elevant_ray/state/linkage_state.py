@@ -32,7 +32,14 @@ Update path (`update_linkage_state`):
    old connectivity costs nothing.  Labels stay "min url of the
    component" exactly as in the full batch, so incremental state ==
    full-batch clustering, label for label (tests/test_linkage_state.py
-   asserts equality).
+   asserts equality).  Caveat: the equality contract holds while no
+   blocking-key group crosses ``max_block`` between builds — beyond
+   it the skew-guard star+chain pair set is membership-dependent, and
+   incremental ingest is then MONOTONE (it keeps every match the
+   state already scored, never splitting past clusters), which can
+   retain a borderline edge a from-scratch run of the combined corpus
+   would not have generated.  That is the standard incremental-ER
+   contract; a periodic `build_linkage_state` rebuild reconciles.
 6. cluster merges append (old_label -> new_label) alias rows instead
    of rewriting every label bucket; readers resolve the alias chain
    (driver-side path compression over the small remap table) and
@@ -101,23 +108,37 @@ def _append_bucketed_table(tbl: pa.Table, root: str, key: str,
         pq.write_table(sub, os.path.join(d, f"delta-{seq}.parquet"))
 
 
-def _read_buckets(root: str, bucket_ids=None, drop=("bkt",)):
+def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
+                  empty_schema: pa.Schema = None):
     """Dataset over the given bucket dirs (all when None); missing
-    dirs are skipped (empty buckets are simply never written)."""
+    dirs are skipped (empty buckets are simply never written).  When
+    nothing exists on disk, returns an empty Dataset with
+    `empty_schema` so downstream column selects / unions still
+    typecheck."""
     import ray.data as rd
 
     if bucket_ids is None:
-        dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+        names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        dirs = [os.path.join(root, d) for d in names
                 if d.startswith("bkt=")]
     else:
         dirs = [os.path.join(root, f"bkt={int(k)}")
                 for k in sorted(set(int(x) for x in bucket_ids))]
         dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
-        return rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+        schema = empty_schema or pa.schema([("url", pa.string())])
+        return rd.from_arrow(schema.empty_table())
     ds = rd.read_parquet(dirs, file_extensions=["parquet"])
     cols = [c for c in ds.schema().names if c not in drop]
     return ds.select_columns(cols)
+
+
+_PAGES_SCHEMA = pa.schema([("url", pa.string()), ("canon", pa.string()),
+                           ("text", pa.string())])
+_BANDS_SCHEMA = pa.schema([("band_key", pa.string()),
+                           ("url", pa.string())])
+_LABELS_SCHEMA = pa.schema([("node", pa.string()),
+                            ("label", pa.string())])
 
 
 def _resolve_remap(state_dir: str) -> dict:
@@ -156,6 +177,15 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
     from elevant_ray.stages.util import cached_get
 
     pages = pages.materialize()
+    if pages.count() == 0:
+        import ray.data as rd
+
+        for sub in ("pages", "bands", "labels"):
+            os.makedirs(os.path.join(state_dir, sub), exist_ok=True)
+        with open(os.path.join(state_dir, _MANIFEST), "w") as f:
+            json.dump({"buckets": buckets, "threshold": threshold,
+                       "n_pages": 0, "update_seq": 0}, f, indent=1)
+        return rd.from_arrow(_LABELS_SCHEMA.empty_table())
     # ONE minhash/key pass serves both the pair expansion and the
     # persisted band index (cluster_pages + a separate blocking_keys
     # call would scan and hash the corpus twice)
@@ -240,7 +270,12 @@ def read_labels(state_dir: str):
     merge alias chain resolved."""
     import pandas as pd
 
-    lab = _read_buckets(os.path.join(state_dir, "labels")).to_pandas()
+    lab = _read_buckets(os.path.join(state_dir, "labels"),
+                        empty_schema=_LABELS_SCHEMA).to_pandas()
+    if "node" not in lab.columns:
+        # Ray's to_pandas() on a fully-empty dataset drops the schema
+        lab = pd.DataFrame({"node": pd.Series([], dtype=object),
+                            "label": pd.Series([], dtype=object)})
     remap = _resolve_remap(state_dir)
     if remap:
         lab["label"] = lab["label"].map(lambda x: remap.get(x, x))
@@ -307,8 +342,8 @@ def update_linkage_state(new_pages, state_dir: str,
 
     # 1. drop urls already in state (pruned membership probe)
     page_root = os.path.join(state_dir, "pages")
-    known = _read_buckets(page_root, _hash_np(new_urls, buckets)) \
-        .to_pandas()
+    known = _read_buckets(page_root, _hash_np(new_urls, buckets),
+                          empty_schema=_PAGES_SCHEMA).to_pandas()
     known_urls = set(known["url"]) & set(new_urls.tolist()) \
         if len(known) else set()
     if known_urls:
@@ -339,12 +374,16 @@ def update_linkage_state(new_pages, state_dir: str,
     # ELEVANT_RAY_BROADCAST_CUTOFF=0 and asserts identical labels.
     from elevant_ray.stages.util import scale_cutoff
 
-    new_tbl = pa.concat_tables(
-        [b.select(["url", "canon", "text"])
-         for b in new_pages.iter_batches(batch_format="pyarrow")])
-    fast = new_tbl.nbytes <= scale_cutoff(64 << 20)
+    # gate on Dataset metadata BEFORE any driver materialization — the
+    # distributed branch exists precisely for deltas that don't fit
+    # the driver
+    fast = new_pages.size_bytes() <= scale_cutoff(64 << 20)
 
     if fast:
+        new_tbl = pa.concat_tables(
+            [b.select(["url", "canon", "text"])
+             for b in new_pages.iter_batches(batch_format="pyarrow")]
+            or [_PAGES_SCHEMA.empty_table()])
         from elevant_ray.stages.dedup import (add_minhash_columns,
                                               expand_pairs_frame,
                                               explode_keys_table)
@@ -357,7 +396,8 @@ def update_linkage_state(new_pages, state_dir: str,
         key_set = set(keys_new_df["band_key"])
         old_keys_df = _read_buckets(
             os.path.join(state_dir, "bands"),
-            _hash_np(sorted(key_set), buckets)).to_pandas()
+            _hash_np(sorted(key_set), buckets),
+            empty_schema=_BANDS_SCHEMA).to_pandas()
         if len(old_keys_df):
             old_keys_df = old_keys_df[
                 old_keys_df["band_key"].isin(key_set)]
@@ -374,7 +414,8 @@ def update_linkage_state(new_pages, state_dir: str,
                           new_tbl.column("canon").to_pylist()))
         if old_ends:
             op = _read_buckets(page_root,
-                               _hash_np(old_ends, buckets)).to_pandas()
+                               _hash_np(old_ends, buckets),
+                               empty_schema=_PAGES_SCHEMA).to_pandas()
             op = op[op["url"].isin(old_ends)]
             texts.update(zip(op["url"], op["text"]))
             canons.update(zip(op["url"], op["canon"]))
@@ -410,7 +451,8 @@ def update_linkage_state(new_pages, state_dir: str,
 
         old_keys = _read_buckets(
             os.path.join(state_dir, "bands"),
-            _hash_np(sorted(key_set), buckets)) \
+            _hash_np(sorted(key_set), buckets),
+            empty_schema=_BANDS_SCHEMA) \
             .map_batches(keep_probed, batch_format="pyarrow")
 
         # 3. pair expansion over (new ∪ probed-old) keys; keep pairs
@@ -445,7 +487,8 @@ def update_linkage_state(new_pages, state_dir: str,
                 return b.filter(pa.array(keep))
 
             side = side.union(
-                _read_buckets(page_root, _hash_np(old_ends, buckets))
+                _read_buckets(page_root, _hash_np(old_ends, buckets),
+                              empty_schema=_PAGES_SCHEMA)
                 .map_batches(keep_ends, batch_format="pyarrow")
                 .select_columns(["url", "canon", "text"]))
         side = side.materialize()
@@ -462,7 +505,8 @@ def update_linkage_state(new_pages, state_dir: str,
     # 5. old endpoints enter CC as their label roots (virtual nodes)
     remap = _resolve_remap(state_dir)
     old_lab = _read_buckets(os.path.join(state_dir, "labels"),
-                            _hash_np(old_ends, buckets)).to_pandas() \
+                            _hash_np(old_ends, buckets),
+                            empty_schema=_LABELS_SCHEMA).to_pandas() \
         if old_ends else pd.DataFrame({"node": [], "label": []})
     lmap = {n: remap.get(l, l)
             for n, l in zip(old_lab["node"], old_lab["label"])}
