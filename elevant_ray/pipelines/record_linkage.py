@@ -75,13 +75,81 @@ def match_edges(pages, threshold: float = 0.75, num_partitions: int = 16):
 
 
 def cluster_pages(pages, threshold: float = 0.75, num_partitions: int = 16):
-    """Full DAG → (labels Dataset(node, label), scored pairs Dataset)."""
+    """Full DAG → (labels Dataset(node, label), scored pairs Dataset).
+
+    Sub-cutoff corpora run the DAG in process with the SAME kernels
+    (explode_keys_table → expand_pairs_frame → score_pair_batch →
+    _local_contract): at bench scale every distributed pass costs a
+    fixed exchange that dwarfs the data — the same rationale as
+    connected_components' driver short-circuit.  Beyond the cutoff
+    (any real corpus, the 570k-page scaling input included) the
+    distributed path runs; the conformance suite forces it on small
+    data via ELEVANT_RAY_BROADCAST_CUTOFF=0 and re-checks label
+    equality and the F1 gates."""
+    from elevant_ray.stages.util import scale_cutoff
+
+    pages = pages.materialize()
+    if pages.size_bytes() <= scale_cutoff(64 << 20):
+        return _cluster_pages_inprocess(pages, threshold)
     scored = match_edges(pages, threshold, num_partitions)
     edges = scored.map_batches(
         lambda b: b.filter(b.column("is_match")).select(["left", "right"]),
         batch_format="pyarrow")
     labels = connected_components(edges, num_partitions=num_partitions)
     return labels, scored
+
+
+def _cluster_pages_inprocess(pages, threshold: float):
+    """Sub-cutoff flagship: identical kernels, zero exchanges."""
+    import ray.data as rd
+
+    from elevant_ray.stages.clustering import _local_contract
+    from elevant_ray.stages.dedup import (add_minhash_columns,
+                                          expand_pairs_frame,
+                                          explode_keys_table)
+    from elevant_ray.stages.scoring import score_pair_batch
+
+    empty_pages = pa.schema([("url", pa.string()),
+                             ("canon", pa.string()),
+                             ("text", pa.string())]).empty_table()
+    tbl = pa.concat_tables(
+        [b.select(["url", "canon", "text"])
+         for b in pages.iter_batches(batch_format="pyarrow")]
+        or [empty_pages])
+    keys_tbl = explode_keys_table(
+        add_minhash_columns(tbl, text_col="text"), "url",
+        canon_col="canon")
+    cand = expand_pairs_frame(keys_tbl.to_pandas(), "url") \
+        .drop_duplicates(ignore_index=True)
+    if len(cand):
+        urls = tbl.column("url").to_pylist()
+        texts = dict(zip(urls, tbl.column("text").to_pylist()))
+        canons = dict(zip(urls, tbl.column("canon").to_pylist()))
+        lv = cand["left"].tolist()
+        rv = cand["right"].tolist()
+        scored_tbl = score_pair_batch(pa.table({
+            "left": pa.array(lv, pa.string()),
+            "right": pa.array(rv, pa.string()),
+            "text_l": pa.array([texts[u] for u in lv], pa.string()),
+            "text_r": pa.array([texts[u] for u in rv], pa.string()),
+            "canon_l": pa.array([canons[u] for u in lv], pa.string()),
+            "canon_r": pa.array([canons[u] for u in rv], pa.string()),
+        }), threshold=threshold)
+        edges_tbl = scored_tbl.filter(scored_tbl.column("is_match")) \
+            .select(["left", "right"])
+    else:
+        scored_tbl = pa.schema(
+            [("left", pa.string()), ("right", pa.string()),
+             ("text_l", pa.string()), ("text_r", pa.string()),
+             ("canon_l", pa.string()), ("canon_r", pa.string()),
+             ("lev_sim", pa.float64()),
+             ("shingle_jaccard", pa.float64()),
+             ("url_equal", pa.bool_()),
+             ("is_match", pa.bool_())]).empty_table()
+        edges_tbl = scored_tbl.select(["left", "right"])
+    labels_tbl = _local_contract(edges_tbl) \
+        .rename_columns(["node", "label"])
+    return rd.from_arrow(labels_tbl), rd.from_arrow(scored_tbl)
 
 
 def gold_pairs_from_doc_ids(pages_with_doc_id):

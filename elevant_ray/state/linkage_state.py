@@ -186,6 +186,71 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
             json.dump({"buckets": buckets, "threshold": threshold,
                        "n_pages": 0, "update_seq": 0}, f, indent=1)
         return rd.from_arrow(_LABELS_SCHEMA.empty_table())
+    from elevant_ray.stages.util import scale_cutoff
+
+    if pages.size_bytes() <= scale_cutoff(64 << 20):
+        # sub-cutoff corpus: run blocking/scoring/CC in process with
+        # the exact distributed kernels (the same fast path as
+        # cluster_pages and the delta update) and persist driver-side
+        import ray.data as rd
+
+        from elevant_ray.stages.clustering import _local_contract
+        from elevant_ray.stages.dedup import (add_minhash_columns,
+                                              expand_pairs_frame,
+                                              explode_keys_table)
+        from elevant_ray.stages.scoring import score_pair_batch
+
+        tbl = pa.concat_tables(
+            [b.select(["url", "canon", "text"])
+             for b in pages.iter_batches(batch_format="pyarrow")]
+            or [_PAGES_SCHEMA.empty_table()])
+        keys_tbl = explode_keys_table(
+            add_minhash_columns(tbl, text_col="text"), "url",
+            canon_col="canon")
+        import pandas as pd  # noqa: F401  (expand returns a frame)
+
+        cand = expand_pairs_frame(keys_tbl.to_pandas(), "url") \
+            .drop_duplicates(ignore_index=True)
+        urls = tbl.column("url").to_pylist()
+        lm = {}
+        if len(cand):
+            texts = dict(zip(urls, tbl.column("text").to_pylist()))
+            canons = dict(zip(urls, tbl.column("canon").to_pylist()))
+            lv = cand["left"].tolist()
+            rv = cand["right"].tolist()
+            scored_tbl = score_pair_batch(pa.table({
+                "left": pa.array(lv, pa.string()),
+                "right": pa.array(rv, pa.string()),
+                "text_l": pa.array([texts[u] for u in lv], pa.string()),
+                "text_r": pa.array([texts[u] for u in rv], pa.string()),
+                "canon_l": pa.array([canons[u] for u in lv],
+                                    pa.string()),
+                "canon_r": pa.array([canons[u] for u in rv],
+                                    pa.string())}), threshold=threshold)
+            lab_t = _local_contract(
+                scored_tbl.filter(scored_tbl.column("is_match"))
+                .select(["left", "right"]))
+            lm = dict(zip(lab_t.column("left").to_pylist(),
+                          lab_t.column("right").to_pylist()))
+        lab_tbl = pa.table({
+            "node": pa.array(urls, pa.string()),
+            "label": pa.array([lm.get(u, u) for u in urls],
+                              pa.string())})
+        os.makedirs(state_dir, exist_ok=True)
+        _append_bucketed_table(tbl, os.path.join(state_dir, "pages"),
+                               "url", buckets, 0)
+        _append_bucketed_table(keys_tbl,
+                               os.path.join(state_dir, "bands"),
+                               "band_key", buckets, 0)
+        _append_bucketed_table(lab_tbl,
+                               os.path.join(state_dir, "labels"),
+                               "node", buckets, 0)
+        with open(os.path.join(state_dir, _MANIFEST), "w") as f:
+            json.dump({"buckets": buckets, "threshold": threshold,
+                       "n_pages": tbl.num_rows, "update_seq": 0},
+                      f, indent=1)
+        return rd.from_arrow(lab_tbl)
+
     # ONE minhash/key pass serves both the pair expansion and the
     # persisted band index (cluster_pages + a separate blocking_keys
     # call would scan and hash the corpus twice)
@@ -208,56 +273,26 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
     lm = {r["node"]: r["label"] for r in labels.take_all()}
     os.makedirs(state_dir, exist_ok=True)
 
-    from elevant_ray.stages.util import scale_cutoff
-
     pages_sel = pages.select_columns(["url", "canon", "text"])
-    if pages.size_bytes() <= scale_cutoff(64 << 20):
-        # sub-cutoff corpus: the three bucketed persists run in process
-        # (one parquet file per touched bucket) — three Dataset write
-        # executions saved; beyond the cutoff the distributed writes
-        # below run (conformance-forced via ELEVANT_RAY_BROADCAST_CUTOFF)
-        pages_tbl = pa.concat_tables(
-            [b for b in pages_sel.iter_batches(batch_format="pyarrow")])
-        keys_tbl = pa.concat_tables(
-            [b for b in keys.iter_batches(batch_format="pyarrow")])
-        urls = pages_tbl.column("url").to_pylist()
-        lab_tbl = pa.table({
+    lref = ray.put(lm)
+
+    def all_labels(b: pa.Table) -> pa.Table:
+        m = cached_get(lref)
+        urls = b.column("url").to_pylist()
+        return pa.table({
             "node": pa.array(urls, pa.string()),
-            "label": pa.array([lm.get(u, u) for u in urls],
+            "label": pa.array([m.get(u, u) for u in urls],
                               pa.string())})
-        _append_bucketed_table(pages_tbl,
-                               os.path.join(state_dir, "pages"),
-                               "url", buckets, 0)
-        _append_bucketed_table(keys_tbl,
-                               os.path.join(state_dir, "bands"),
-                               "band_key", buckets, 0)
-        _append_bucketed_table(lab_tbl,
-                               os.path.join(state_dir, "labels"),
-                               "node", buckets, 0)
-        import ray.data as rd
 
-        labels = rd.from_arrow(lab_tbl)
-        n_pages = pages_tbl.num_rows
-    else:
-        lref = ray.put(lm)
-
-        def all_labels(b: pa.Table) -> pa.Table:
-            m = cached_get(lref)
-            urls = b.column("url").to_pylist()
-            return pa.table({
-                "node": pa.array(urls, pa.string()),
-                "label": pa.array([m.get(u, u) for u in urls],
-                                  pa.string())})
-
-        labels = pages.map_batches(all_labels,
-                                   batch_format="pyarrow").materialize()
-        _write_bucketed(pages_sel, os.path.join(state_dir, "pages"),
-                        "url", buckets)
-        _write_bucketed(keys, os.path.join(state_dir, "bands"),
-                        "band_key", buckets)
-        _write_bucketed(labels, os.path.join(state_dir, "labels"),
-                        "node", buckets)
-        n_pages = pages.count()
+    labels = pages.map_batches(all_labels,
+                               batch_format="pyarrow").materialize()
+    _write_bucketed(pages_sel, os.path.join(state_dir, "pages"),
+                    "url", buckets)
+    _write_bucketed(keys, os.path.join(state_dir, "bands"),
+                    "band_key", buckets)
+    _write_bucketed(labels, os.path.join(state_dir, "labels"),
+                    "node", buckets)
+    n_pages = pages.count()
     with open(os.path.join(state_dir, _MANIFEST), "w") as f:
         json.dump({"buckets": buckets, "threshold": threshold,
                    "n_pages": n_pages,

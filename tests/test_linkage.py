@@ -123,3 +123,20 @@ def test_distributed_cc_long_chain_and_random_graph(ray_session):
                                         driver_cutoff=0))
     assert fast == dist
     assert dist["n0239"] == "n0000"
+
+
+def test_inprocess_flagship_matches_distributed(ray_session, monkeypatch):
+    # cluster_pages short-circuits sub-cutoff corpora to the in-process
+    # kernel path; force the distributed DAG on the same pages and
+    # assert identical labels (same kernels, same min-root contract).
+    from elevant_ray.pipelines.record_linkage import cluster_pages, prepare_pages
+    from elevant_ray.sources.pages import synth_pages
+
+    pages = prepare_pages(synth_pages(SF_DIR)).materialize()
+    fast, _ = cluster_pages(pages, num_partitions=4)
+    fast_labels = sorted((r["node"], r["label"]) for r in fast.take_all())
+
+    monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+    dist, _ = cluster_pages(pages, num_partitions=4)
+    dist_labels = sorted((r["node"], r["label"]) for r in dist.take_all())
+    assert fast_labels == dist_labels and len(fast_labels) > 0
