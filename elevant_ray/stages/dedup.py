@@ -448,6 +448,131 @@ def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
         Min("hamming", alias_name="hamming")))
 
 
+def _ngram_jaccard_inprocess(ds, id_col: str, text_col: str,
+                             n: int, threshold: float):
+    """In-process twin of the distributed Jaccard join: identical df
+    floor, both-side rarest-first prefixes, PPJoin length filter and
+    intersect verify over one concatenated table."""
+    import math
+
+    import ray.data as rd
+
+    ids, grams = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for rid, text in zip(b.column(id_col).to_pylist(),
+                             b.column(text_col).to_pylist()):
+            ids.append(str(rid))
+            grams.append(_gram_hashes(text, n))
+    out_schema = pa.schema([("left", pa.string()),
+                            ("right", pa.string()),
+                            ("jac", pa.float64())])
+    if not ids:
+        return rd.from_arrow(out_schema.empty_table())
+    allg = np.concatenate(grams)
+    u, c = np.unique(allg, return_counts=True)
+    keep = c >= 2
+    fr = dict(zip(u[keep].tolist(), c[keep].tolist()))
+    postings: dict = {}               # PREFIX grams only (both sides)
+    sizes = []
+    for i, gh in enumerate(grams):
+        gset = sorted(gh.tolist(), key=lambda g: (fr.get(g, 1), g))
+        k = len(gset) - math.ceil(threshold * len(gset)) + 1
+        sizes.append(len(gset))
+        for g in gset[:k]:
+            if g in fr:
+                postings.setdefault(g, []).append(i)
+    cand = set()
+    for docs_ in postings.values():
+        for x in range(len(docs_)):
+            for y in range(x + 1, len(docs_)):
+                i, j = docs_[x], docs_[y]
+                # PPJoin length filter: min/max >= t
+                if min(sizes[i], sizes[j]) \
+                        < threshold * max(sizes[i], sizes[j]):
+                    continue
+                a, b_ = ids[i], ids[j]
+                cand.add((a, b_) if a < b_ else (b_, a))
+    pos = {rid: i for i, rid in enumerate(ids)}
+    lefts, rights, js = [], [], []
+    for a, b_ in sorted(cand):
+        hl = grams[pos[a]]
+        hr = grams[pos[b_]]
+        inter = len(np.intersect1d(hl, hr, assume_unique=True))
+        denom = len(hl) + len(hr) - inter
+        if denom == 0:
+            continue
+        jv = inter / denom
+        if jv >= threshold:
+            lefts.append(a)
+            rights.append(b_)
+            js.append(round(jv, 6))
+    return rd.from_arrow(pa.table({
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "jac": pa.array(js, pa.float64())}))
+
+
+def _ngram_containment_inprocess(ds, id_col: str, text_col: str,
+                                 n: int, threshold: float):
+    """In-process twin of the distributed containment join: identical
+    df-floor / prefix / verify steps over one concatenated table."""
+    import math
+
+    import ray.data as rd
+
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    ids, grams = [], []
+    for b in batches:
+        for rid, text in zip(b.column(id_col).to_pylist(),
+                             b.column(text_col).to_pylist()):
+            ids.append(str(rid))
+            grams.append(_gram_hashes(text, n))
+    out_schema = pa.schema([("left", pa.string()),
+                            ("right", pa.string()),
+                            ("cont", pa.float64())])
+    if not ids:
+        return rd.from_arrow(out_schema.empty_table())
+    allg = np.concatenate(grams)
+    u, c = np.unique(allg, return_counts=True)
+    keep = c >= 2                     # singleton grams can never match
+    fr = dict(zip(u[keep].tolist(), c[keep].tolist()))
+    postings: dict = {}               # index side: ALL shared grams
+    shared_per_doc = []
+    for i, gh in enumerate(grams):
+        shared = [g for g in gh.tolist() if g in fr]
+        shared_per_doc.append(shared)
+        for g in shared:
+            postings.setdefault(g, []).append(i)
+    cand = set()
+    for i, gh in enumerate(grams):
+        gset = sorted(shared_per_doc[i], key=lambda g: (fr[g], g))
+        k = len(gh) - math.ceil(threshold * len(gh)) + 1
+        for g in gset[:k]:
+            for j in postings.get(g, ()):
+                if j == i:
+                    continue
+                a, b_ = ids[i], ids[j]
+                cand.add((a, b_) if a < b_ else (b_, a))
+    pos = {rid: i for i, rid in enumerate(ids)}
+    lefts, rights, cs = [], [], []
+    for a, b_ in sorted(cand):
+        hl = grams[pos[a]]
+        hr = grams[pos[b_]]
+        mn = min(len(hl), len(hr))
+        if mn == 0:
+            continue
+        inter = len(np.intersect1d(hl, hr, assume_unique=True))
+        cv = inter / mn
+        if cv >= threshold:
+            lefts.append(a)
+            rights.append(b_)
+            cs.append(round(cv, 6))
+    return rd.from_arrow(pa.table({
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "cont": pa.array(cs, pa.float64())}))
+
+
 def _gram_hashes(text: str, n: int) -> np.ndarray:
     """Sorted distinct signed-int64 hashes of the doc's token n-grams —
     the vectorized shingle mix (functions/minhash.py), not per-gram
@@ -488,7 +613,12 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
 
     At corpora where the non-singleton gram vocabulary outgrows a
     broadcast (~10⁸+), replace the ray.put dict with a join-based count
-    attach + per-doc regroup; same semantics, two more shuffles."""
+    attach + per-doc regroup; same semantics, two more shuffles.
+
+    Sub-cutoff inputs run the identical exact algorithm in process
+    (same df floor, both-side prefixes, PPJoin length filter, same
+    verify) — pair set is path-independent; the conformance suite
+    forces the distributed path via ELEVANT_RAY_BROADCAST_CUTOFF=0."""
     import math
     from collections import Counter
 
@@ -496,6 +626,14 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     import ray
 
     from elevant_ray.stages.util import pin_schema
+
+    ds = ds.materialize()
+    # explicit verify modes ("broadcast"/"join") are path selectors —
+    # tests use them to pin a distributed strategy — so only "auto"
+    # may take the in-process shortcut
+    if verify == "auto" and ds.size_bytes() <= _scale_cutoff(64 << 20):
+        return _ngram_jaccard_inprocess(ds, id_col, text_col, n,
+                                        threshold)
 
     def gram_partials(batch: pa.Table) -> pa.Table:
         parts = [_gram_hashes(text, n) for text
@@ -721,13 +859,24 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
     Verification is broadcast-side (one ray.put of the gram-hash blob
     dict, candidates re-verified in-place); beyond the broadcast cutoff
     use the same two co-group joins as ngram_jaccard_pairs — semantics
-    identical."""
+    identical.
+
+    Sub-cutoff inputs run the identical exact algorithm in process
+    (same doc-frequency floor, same rarest-first prefix, same
+    intersect verify) — the pair set is path-independent because the
+    algorithm is exact, and the conformance suite forces the
+    distributed path via ELEVANT_RAY_BROADCAST_CUTOFF=0."""
     import math
     from collections import Counter
 
     import ray
 
-    from elevant_ray.stages.util import cogroup_join, pin_schema
+    from elevant_ray.stages.util import cogroup_join, pin_schema, scale_cutoff
+
+    ds = ds.materialize()
+    if ds.size_bytes() <= scale_cutoff(64 << 20):
+        return _ngram_containment_inprocess(ds, id_col, text_col, n,
+                                            threshold)
 
     def gram_partials(batch: pa.Table) -> pa.Table:
         parts = [_gram_hashes(text, n) for text

@@ -40,7 +40,9 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "unit_price_variance_decomposition",
                   "basket_size_by_priority",
                   "yearly_laspeyres_price_index",
-                  "q18_large_volume", "q15_top_supplier"]
+                  "q18_large_volume", "q15_top_supplier",
+                  # exact pair joins with in-process sub-cutoff twins
+                  "dedup_containment", "dedup_ngram_jaccard"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
