@@ -630,8 +630,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     ds = ds.materialize()
     # explicit verify modes ("broadcast"/"join") are path selectors —
     # tests use them to pin a distributed strategy — so only "auto"
-    # may take the in-process shortcut
-    if verify == "auto" and ds.size_bytes() <= _scale_cutoff(64 << 20):
+    # may take the in-process shortcut.  512 KB gate: see
+    # ngram_containment_pairs for the rationale.
+    if verify == "auto" and ds.size_bytes() <= _scale_cutoff(512 << 10):
         return _ngram_jaccard_inprocess(ds, id_col, text_col, n,
                                         threshold)
 
@@ -874,7 +875,12 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
     from elevant_ray.stages.util import cogroup_join, pin_schema, scale_cutoff
 
     ds = ds.materialize()
-    if ds.size_bytes() <= scale_cutoff(64 << 20):
+    # 512 KB gate, deliberately tighter than the broadcast cutoff: the
+    # in-process twin verifies candidates single-threaded, which only
+    # beats the distributed parallel verify while the candidate set is
+    # small (measured: 500-doc corpora win ~10x; at 5000 docs the
+    # ~400k-candidate verify already wants the worker pool)
+    if ds.size_bytes() <= scale_cutoff(512 << 10):
         return _ngram_containment_inprocess(ds, id_col, text_col, n,
                                             threshold)
 
