@@ -42,7 +42,8 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "yearly_laspeyres_price_index",
                   "q18_large_volume", "q15_top_supplier",
                   # exact pair joins with in-process sub-cutoff twins
-                  "dedup_containment", "dedup_ngram_jaccard"]
+                  "dedup_containment", "dedup_ngram_jaccard",
+                  "order_basket_triples"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
