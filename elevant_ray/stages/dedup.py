@@ -128,6 +128,23 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
     if n_rows == 0:
         return ds
 
+    if ds.size_bytes() <= _scale_cutoff(32 << 20):
+        # sub-cutoff table: one in-process pack → groupby-min → unpack
+        # with the SAME kernels (pandas str min == Arrow byte min on
+        # this pure-ASCII packing), saving the hash-count pass, the
+        # routing maps and the packed-min exchange; the conformance
+        # suite forces the routed distributed path via
+        # ELEVANT_RAY_BROADCAST_CUTOFF=0
+        import ray.data as rd
+
+        tabs = list(ds.iter_batches(batch_format="pyarrow"))
+        whole = (pa.concat_tables(tabs) if tabs
+                 else arrow_schema.empty_table())
+        dfp = pack(whole).to_pandas()
+        win = dfp.groupby(key, as_index=False)["_packed"].min()
+        return rd.from_arrow(unpack(pa.table({
+            "_packed": pa.array(win["_packed"].tolist(), pa.string())})))
+
     def key_hashes(batch: pa.Table) -> "np.ndarray":
         col = batch.column(key).to_pylist()
         return np.fromiter(

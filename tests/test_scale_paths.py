@@ -43,7 +43,9 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "q18_large_volume", "q15_top_supplier",
                   # exact pair joins with in-process sub-cutoff twins
                   "dedup_containment", "dedup_ngram_jaccard",
-                  "order_basket_triples"]
+                  "order_basket_triples",
+                  # dedup_first_by's in-process pack/min/unpack twin
+                  "dedup_exact"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
