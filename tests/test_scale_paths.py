@@ -50,7 +50,10 @@ PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
                 "abstracts_mapping", "coref_types_mapping",
-                "neardup_embedding"]
+                "neardup_embedding",
+                # _stage_map users (in-process twin ↔ actor pool)
+                "prior_linking", "popular_linking", "entity_linking",
+                "coref_clusters"]
 
 
 @pytest.fixture(scope="module")
