@@ -141,7 +141,11 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
         whole = (pa.concat_tables(tabs) if tabs
                  else arrow_schema.empty_table())
         dfp = pack(whole).to_pandas()
-        win = dfp.groupby(key, as_index=False)["_packed"].min()
+        # dropna=False: the distributed Min-aggregate path keeps
+        # null-key groups, so the twin must too (path parity; mirrors
+        # partial_group_agg's driver combine)
+        win = dfp.groupby(key, as_index=False, dropna=False)["_packed"] \
+            .min()
         return rd.from_arrow(unpack(pa.table({
             "_packed": pa.array(win["_packed"].tolist(), pa.string())})))
 

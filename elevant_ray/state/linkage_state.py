@@ -46,6 +46,20 @@ Update path (`update_linkage_state`):
    `compact_linkage_state` folds it back into the buckets as an
    explicit, schedulable O(state) pass.
 
+Commit protocol (crash safety): every delta file is named with the
+update sequence that produced it (``delta-<seq>[-<i>].parquet``,
+``compact-<seq>.parquet``, ``remap-<seq>.parquet``) and readers only
+see files whose seq is <= the manifest's ``update_seq`` (labels
+additionally require seq >= ``compact_seq``).  The manifest itself is
+replaced atomically (tmp + ``os.replace``) and is written LAST, so an
+update that crashes mid-persist leaves only invisible files: a re-run
+re-ingests the same batch from scratch instead of half-seeing it
+(pages present but bands/labels missing would silently exclude those
+urls from candidate generation forever).  Distributed-path deltas are
+staged under ``_staging-<seq>/`` and moved into the bucket dirs under
+seq-tagged names before the manifest bump; single-writer protocol
+throughout (concurrent updates would need a coordinator).
+
 Scale assumptions (explicit, per the north rule): the DELTA is small
 relative to state — its url set, key set and touched-endpoint texts
 ride in broadcasts bounded by the delta, never by the state.  State
@@ -108,13 +122,31 @@ def _append_bucketed_table(tbl: pa.Table, root: str, key: str,
         pq.write_table(sub, os.path.join(d, f"delta-{seq}.parquet"))
 
 
+def _file_seq(fname: str) -> int:
+    """Update sequence encoded in a state file name; files without a
+    seq tag (distributed-build base files from ``_write_bucketed``)
+    are the seq-0 base."""
+    import re
+
+    m = re.match(r"(?:delta|compact)-(\d+)", fname)
+    return int(m.group(1)) if m else 0
+
+
 def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
-                  empty_schema: pa.Schema = None):
+                  empty_schema: pa.Schema = None, max_seq=None,
+                  compact_seq=None):
     """Dataset over the given bucket dirs (all when None); missing
-    dirs are skipped (empty buckets are simply never written).  When
-    nothing exists on disk, returns an empty Dataset with
-    `empty_schema` so downstream column selects / unions still
-    typecheck."""
+    dirs are skipped (empty buckets are simply never written).
+
+    Visibility (the commit protocol): delta/base files need
+    ``compact_seq <= seq <= max_seq`` (``max_seq`` = the manifest's
+    committed ``update_seq``; files beyond it are torn, uncommitted
+    deltas and MUST be ignored).  ``compact-<seq>`` files need
+    ``seq == compact_seq`` exactly — an uncommitted compaction's seq
+    can later be reused by an update's delta, so "<= max_seq" alone
+    would surface orphaned compact duplicates.  When nothing
+    qualifies, returns an empty Dataset with `empty_schema` so
+    downstream column selects / unions still typecheck."""
     import ray.data as rd
 
     if bucket_ids is None:
@@ -125,12 +157,40 @@ def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
         dirs = [os.path.join(root, f"bkt={int(k)}")
                 for k in sorted(set(int(x) for x in bucket_ids))]
         dirs = [d for d in dirs if os.path.isdir(d)]
-    if not dirs:
+    floor = compact_seq or 0
+    files = []
+    for d in dirs:
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            s = _file_seq(f)
+            if f.startswith("compact-"):
+                if compact_seq is None or s != compact_seq:
+                    continue
+            elif s < floor or (max_seq is not None and s > max_seq):
+                continue
+            files.append(os.path.join(d, f))
+    if not files:
         schema = empty_schema or pa.schema([("url", pa.string())])
         return rd.from_arrow(schema.empty_table())
-    ds = rd.read_parquet(dirs, file_extensions=["parquet"])
+    ds = rd.read_parquet(files, file_extensions=["parquet"])
     cols = [c for c in ds.schema().names if c not in drop]
     return ds.select_columns(cols)
+
+
+def _read_manifest(state_dir: str) -> dict:
+    with open(os.path.join(state_dir, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _write_manifest(state_dir: str, man: dict):
+    """Atomic manifest replace — the commit point of every mutation."""
+    tmp = os.path.join(state_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
 
 
 _PAGES_SCHEMA = pa.schema([("url", pa.string()), ("canon", pa.string()),
@@ -141,21 +201,46 @@ _LABELS_SCHEMA = pa.schema([("node", pa.string()),
                             ("label", pa.string())])
 
 
-def _resolve_remap(state_dir: str) -> dict:
+def _remap_path(state_dir: str, max_seq=None):
+    """Newest committed remap snapshot (each update writes the FULL
+    resolved map as ``remap-<seq>.parquet``; legacy un-tagged
+    ``remap.parquet`` counts as seq 0)."""
+    import re
+
+    best, best_seq = None, -1
+    for f in os.listdir(state_dir):
+        m = re.match(r"remap(?:-(\d+))?\.parquet$", f)
+        if not m:
+            continue
+        s = int(m.group(1)) if m.group(1) else 0
+        if s > best_seq and (max_seq is None or s <= max_seq):
+            best, best_seq = os.path.join(state_dir, f), s
+    return best
+
+
+def _resolve_remap(state_dir: str, max_seq=None) -> dict:
     """Alias chain -> root map with path compression (remap rows are
-    per-merge, so the table is tiny relative to state)."""
-    path = os.path.join(state_dir, "remap.parquet")
-    if not os.path.exists(path):
+    per-merge, so the table is tiny relative to state).  The chain is
+    monotone by the min-label merge contract, so a cycle can only come
+    from corrupted state — the walk is bounded and fails loudly rather
+    than hanging."""
+    path = _remap_path(state_dir, max_seq)
+    if path is None:
         return {}
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
     m = dict(zip(t.column("old_label").to_pylist(),
                  t.column("new_label").to_pylist()))
+    bound = len(m) + 1
 
     def root(x):
         seen = []
         while x in m:
+            if len(seen) >= bound:
+                raise RuntimeError(
+                    f"remap alias cycle at {x!r} ({path}): state is "
+                    "corrupt; rebuild or restore from a checkpoint")
             seen.append(x)
             x = m[x]
         for s in seen:
@@ -182,9 +267,10 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
 
         for sub in ("pages", "bands", "labels"):
             os.makedirs(os.path.join(state_dir, sub), exist_ok=True)
-        with open(os.path.join(state_dir, _MANIFEST), "w") as f:
-            json.dump({"buckets": buckets, "threshold": threshold,
-                       "n_pages": 0, "update_seq": 0}, f, indent=1)
+        _write_manifest(state_dir, {"buckets": buckets,
+                                    "threshold": threshold,
+                                    "n_pages": 0, "update_seq": 0,
+                                    "compact_seq": 0})
         return rd.from_arrow(_LABELS_SCHEMA.empty_table())
     from elevant_ray.stages.util import scale_cutoff
 
@@ -245,10 +331,10 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
         _append_bucketed_table(lab_tbl,
                                os.path.join(state_dir, "labels"),
                                "node", buckets, 0)
-        with open(os.path.join(state_dir, _MANIFEST), "w") as f:
-            json.dump({"buckets": buckets, "threshold": threshold,
-                       "n_pages": tbl.num_rows, "update_seq": 0},
-                      f, indent=1)
+        _write_manifest(state_dir, {"buckets": buckets,
+                                    "threshold": threshold,
+                                    "n_pages": tbl.num_rows,
+                                    "update_seq": 0, "compact_seq": 0})
         return rd.from_arrow(lab_tbl)
 
     # ONE minhash/key pass serves both the pair expansion and the
@@ -270,22 +356,31 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
     # state invariant: EVERY ingested url carries a label (CC labels
     # only matched nodes; singletons label themselves) — the same
     # "every doc labeled" convention as the dedup cluster queries.
-    lm = {r["node"]: r["label"] for r in labels.take_all()}
+    # The attach is a bucketed left-outer cogroup of pages against the
+    # CC labels (null -> self), NOT a driver dict: on this path the
+    # corpus is by definition too large for driver materialization,
+    # and the module's scale contract is "broadcasts bounded by the
+    # delta, never by the state".
+    import pyarrow.compute as pc
+
+    from elevant_ray.stages.util import cogroup_join
+
     os.makedirs(state_dir, exist_ok=True)
-
     pages_sel = pages.select_columns(["url", "canon", "text"])
-    lref = ray.put(lm)
 
-    def all_labels(b: pa.Table) -> pa.Table:
-        m = cached_get(lref)
-        urls = b.column("url").to_pylist()
+    nodes = pages.select_columns(["url"]).map_batches(
+        lambda b: b.rename_columns(["node"]), batch_format="pyarrow")
+
+    def fill_self(b: pa.Table) -> pa.Table:
         return pa.table({
-            "node": pa.array(urls, pa.string()),
-            "label": pa.array([m.get(u, u) for u in urls],
-                              pa.string())})
+            "node": b.column("node"),
+            "label": pc.coalesce(b.column("label"), b.column("node"))})
 
-    labels = pages.map_batches(all_labels,
-                               batch_format="pyarrow").materialize()
+    labels = cogroup_join(
+        nodes, labels, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.string())]),
+        right_schema=_LABELS_SCHEMA, how="left_outer") \
+        .map_batches(fill_self, batch_format="pyarrow").materialize()
     _write_bucketed(pages_sel, os.path.join(state_dir, "pages"),
                     "url", buckets)
     _write_bucketed(keys, os.path.join(state_dir, "bands"),
@@ -293,25 +388,31 @@ def build_linkage_state(pages, state_dir: str, threshold: float = 0.75,
     _write_bucketed(labels, os.path.join(state_dir, "labels"),
                     "node", buckets)
     n_pages = pages.count()
-    with open(os.path.join(state_dir, _MANIFEST), "w") as f:
-        json.dump({"buckets": buckets, "threshold": threshold,
-                   "n_pages": n_pages,
-                   "update_seq": 0}, f, indent=1)
+    _write_manifest(state_dir, {"buckets": buckets,
+                                "threshold": threshold,
+                                "n_pages": n_pages, "update_seq": 0,
+                                "compact_seq": 0})
     return labels
 
 
 def read_labels(state_dir: str):
     """Effective (node, label) pandas frame: stored labels with the
-    merge alias chain resolved."""
+    merge alias chain resolved.  Only COMMITTED rows are visible —
+    delta files beyond the manifest's update_seq (a torn update) are
+    ignored, exactly as the update path ignores them."""
     import pandas as pd
 
+    man = _read_manifest(state_dir)
+    seq = int(man.get("update_seq", 0))
     lab = _read_buckets(os.path.join(state_dir, "labels"),
-                        empty_schema=_LABELS_SCHEMA).to_pandas()
+                        empty_schema=_LABELS_SCHEMA, max_seq=seq,
+                        compact_seq=int(man.get("compact_seq", 0))) \
+        .to_pandas()
     if "node" not in lab.columns:
         # Ray's to_pandas() on a fully-empty dataset drops the schema
         lab = pd.DataFrame({"node": pd.Series([], dtype=object),
                             "label": pd.Series([], dtype=object)})
-    remap = _resolve_remap(state_dir)
+    remap = _resolve_remap(state_dir, max_seq=seq)
     if remap:
         lab["label"] = lab["label"].map(lambda x: remap.get(x, x))
     return lab.sort_values("node").reset_index(drop=True)
@@ -319,30 +420,60 @@ def read_labels(state_dir: str):
 
 def compact_linkage_state(state_dir: str):
     """Fold the remap alias chain into the label buckets (the explicit
-    O(state) pass; schedule it when the chain grows)."""
-    remap = _resolve_remap(state_dir)
+    O(state) pass; schedule it when the chain grows).
+
+    Crash-safe: each bucket's compacted table is written as
+    ``compact-<newseq>.parquet`` — INVISIBLE until the manifest bumps
+    ``update_seq``/``compact_seq`` to newseq, because readers require
+    ``compact_seq <= seq <= update_seq`` on label files.  Only after
+    that atomic commit are the superseded files deleted (a crash
+    between commit and cleanup leaves stale files that the seq window
+    already excludes)."""
+    man = _read_manifest(state_dir)
+    cur_seq = int(man.get("update_seq", 0))
+    old_compact = int(man.get("compact_seq", 0))
+    remap = _resolve_remap(state_dir, max_seq=cur_seq)
     if not remap:
         return 0
     import pyarrow.parquet as pq
 
+    newseq = cur_seq + 1
     root = os.path.join(state_dir, "labels")
     n = 0
     for d in sorted(os.listdir(root)):
         if not d.startswith("bkt="):
             continue
         bdir = os.path.join(root, d)
-        t = pa.concat_tables([pq.read_table(os.path.join(bdir, f))
-                              for f in sorted(os.listdir(bdir))
-                              if f.endswith(".parquet")])
+        parts = [pq.read_table(os.path.join(bdir, f))
+                 for f in sorted(os.listdir(bdir))
+                 if f.endswith(".parquet")
+                 and old_compact <= _file_seq(f) <= cur_seq]
+        if not parts:
+            continue
+        t = pa.concat_tables(parts)
         labs = [remap.get(x, x) for x in t.column("label").to_pylist()]
         out = pa.table({"node": t.column("node"),
                         "label": pa.array(labs, pa.string())})
-        for f in list(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                os.remove(os.path.join(bdir, f))
-        pq.write_table(out, os.path.join(bdir, "compact-0.parquet"))
+        tmp = os.path.join(bdir, f"compact-{newseq}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(bdir, f"compact-{newseq}.parquet"))
         n += out.num_rows
-    os.remove(os.path.join(state_dir, "remap.parquet"))
+    man["update_seq"] = newseq
+    man["compact_seq"] = newseq
+    _write_manifest(state_dir, man)  # <- the commit point
+    # post-commit cleanup: superseded label files + remap snapshots
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("bkt="):
+            continue
+        bdir = os.path.join(root, d)
+        for f in list(os.listdir(bdir)):
+            if f.endswith(".parquet") and _file_seq(f) < newseq:
+                os.remove(os.path.join(bdir, f))
+    import re
+
+    for f in list(os.listdir(state_dir)):
+        if re.match(r"remap(?:-\d+)?\.parquet$", f):
+            os.remove(os.path.join(state_dir, f))
     return n
 
 
@@ -361,9 +492,11 @@ def update_linkage_state(new_pages, state_dir: str,
     from elevant_ray.stages.scoring import verify_pairs
     from elevant_ray.stages.util import cached_get
 
-    with open(os.path.join(state_dir, _MANIFEST)) as f:
-        man = json.load(f)
+    man = _read_manifest(state_dir)
     buckets = int(man["buckets"])
+    cur_seq = int(man.get("update_seq", 0))
+    compact_seq = int(man.get("compact_seq", 0))
+    seq = cur_seq + 1  # this update's (uncommitted until manifest bump)
     if threshold is None:
         threshold = float(man.get("threshold", 0.75))
 
@@ -378,7 +511,8 @@ def update_linkage_state(new_pages, state_dir: str,
     # 1. drop urls already in state (pruned membership probe)
     page_root = os.path.join(state_dir, "pages")
     known = _read_buckets(page_root, _hash_np(new_urls, buckets),
-                          empty_schema=_PAGES_SCHEMA).to_pandas()
+                          empty_schema=_PAGES_SCHEMA,
+                          max_seq=cur_seq).to_pandas()
     known_urls = set(known["url"]) & set(new_urls.tolist()) \
         if len(known) else set()
     if known_urls:
@@ -432,7 +566,7 @@ def update_linkage_state(new_pages, state_dir: str,
         old_keys_df = _read_buckets(
             os.path.join(state_dir, "bands"),
             _hash_np(sorted(key_set), buckets),
-            empty_schema=_BANDS_SCHEMA).to_pandas()
+            empty_schema=_BANDS_SCHEMA, max_seq=cur_seq).to_pandas()
         if len(old_keys_df):
             old_keys_df = old_keys_df[
                 old_keys_df["band_key"].isin(key_set)]
@@ -450,7 +584,8 @@ def update_linkage_state(new_pages, state_dir: str,
         if old_ends:
             op = _read_buckets(page_root,
                                _hash_np(old_ends, buckets),
-                               empty_schema=_PAGES_SCHEMA).to_pandas()
+                               empty_schema=_PAGES_SCHEMA,
+                               max_seq=cur_seq).to_pandas()
             op = op[op["url"].isin(old_ends)]
             texts.update(zip(op["url"], op["text"]))
             canons.update(zip(op["url"], op["canon"]))
@@ -487,7 +622,7 @@ def update_linkage_state(new_pages, state_dir: str,
         old_keys = _read_buckets(
             os.path.join(state_dir, "bands"),
             _hash_np(sorted(key_set), buckets),
-            empty_schema=_BANDS_SCHEMA) \
+            empty_schema=_BANDS_SCHEMA, max_seq=cur_seq) \
             .map_batches(keep_probed, batch_format="pyarrow")
 
         # 3. pair expansion over (new ∪ probed-old) keys; keep pairs
@@ -523,7 +658,8 @@ def update_linkage_state(new_pages, state_dir: str,
 
             side = side.union(
                 _read_buckets(page_root, _hash_np(old_ends, buckets),
-                              empty_schema=_PAGES_SCHEMA)
+                              empty_schema=_PAGES_SCHEMA,
+                              max_seq=cur_seq)
                 .map_batches(keep_ends, batch_format="pyarrow")
                 .select_columns(["url", "canon", "text"]))
         side = side.materialize()
@@ -538,10 +674,12 @@ def update_linkage_state(new_pages, state_dir: str,
             [pd.DataFrame({"left": [], "right": []})], ignore_index=True)
 
     # 5. old endpoints enter CC as their label roots (virtual nodes)
-    remap = _resolve_remap(state_dir)
+    remap = _resolve_remap(state_dir, max_seq=cur_seq)
     old_lab = _read_buckets(os.path.join(state_dir, "labels"),
                             _hash_np(old_ends, buckets),
-                            empty_schema=_LABELS_SCHEMA).to_pandas() \
+                            empty_schema=_LABELS_SCHEMA,
+                            max_seq=cur_seq,
+                            compact_seq=compact_seq).to_pandas() \
         if old_ends else pd.DataFrame({"node": [], "label": []})
     lmap = {n: remap.get(l, l)
             for n, l in zip(old_lab["node"], old_lab["label"])}
@@ -584,11 +722,32 @@ def update_linkage_state(new_pages, state_dir: str,
         if r != u:
             merges[u] = r
 
-    # 6. persist: append pages/bands/labels, extend the alias chain
+    # 6. persist: append pages/bands/labels, extend the alias chain.
+    #    Every file lands under a seq-tagged name FIRST (invisible to
+    #    readers: seq > the manifest's update_seq); the atomic
+    #    manifest replace at the end is the commit point.  First purge
+    #    any uncommitted orphans a crashed prior update left at
+    #    seq > cur_seq — they belong to an abandoned batch and would
+    #    otherwise become visible when THIS update commits their seq.
+    import re as _re
+
+    for sub in ("pages", "bands", "labels"):
+        sroot = os.path.join(state_dir, sub)
+        if not os.path.isdir(sroot):
+            continue
+        for d in os.listdir(sroot):
+            if not d.startswith("bkt="):
+                continue
+            for f in list(os.listdir(os.path.join(sroot, d))):
+                if f.endswith(".parquet") and _file_seq(f) > cur_seq:
+                    os.remove(os.path.join(sroot, d, f))
+    for f in list(os.listdir(state_dir)):
+        m = _re.match(r"remap-(\d+)\.parquet$", f)
+        if m and int(m.group(1)) > cur_seq:
+            os.remove(os.path.join(state_dir, f))
     lab_tbl = pa.table({"node": pa.array(out_nodes, pa.string()),
                         "label": pa.array(out_labels, pa.string())})
     if fast:
-        seq = int(man.get("update_seq", 0)) + 1
         _append_bucketed_table(new_tbl, page_root, "url", buckets, seq)
         _append_bucketed_table(keys_tbl,
                                os.path.join(state_dir, "bands"),
@@ -597,33 +756,75 @@ def update_linkage_state(new_pages, state_dir: str,
                                os.path.join(state_dir, "labels"),
                                "node", buckets, seq)
     else:
+        # distributed delta: Ray writes uniquely-named (un-tagged)
+        # files, so stage under _staging-<seq>/ and move each file
+        # into its bucket dir under a delta-<seq>-<i> name (an
+        # O(buckets) driver admin pass, not a data-plane copy)
+        import shutil
+
+        stage_root = os.path.join(state_dir, f"_staging-{seq}")
+        shutil.rmtree(stage_root, ignore_errors=True)
         _write_bucketed(
             new_pages.select_columns(["url", "canon", "text"]),
-            page_root, "url", buckets)
-        _write_bucketed(keys_new, os.path.join(state_dir, "bands"),
+            os.path.join(stage_root, "pages"), "url", buckets)
+        _write_bucketed(keys_new, os.path.join(stage_root, "bands"),
                         "band_key", buckets)
         _write_bucketed(rd.from_arrow(lab_tbl),
-                        os.path.join(state_dir, "labels"), "node",
+                        os.path.join(stage_root, "labels"), "node",
                         buckets)
+        for sub in ("pages", "bands", "labels"):
+            sroot = os.path.join(stage_root, sub)
+            if not os.path.isdir(sroot):
+                continue
+            for d in sorted(os.listdir(sroot)):
+                if not d.startswith("bkt="):
+                    continue
+                dst = os.path.join(state_dir, sub, d)
+                os.makedirs(dst, exist_ok=True)
+                for i, f in enumerate(sorted(
+                        os.listdir(os.path.join(sroot, d)))):
+                    if f.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(sroot, d, f),
+                            os.path.join(dst,
+                                         f"delta-{seq}-{i}.parquet"))
+        shutil.rmtree(stage_root, ignore_errors=True)
     if merges or remap:
         allmap = dict(remap)
         allmap.update(merges)
-        # re-resolve through the new merges so chains stay shallow
+        # re-resolve through the new merges so chains stay shallow;
+        # bounded walk — a cycle here means corrupted input state
+        bound = len(allmap) + 1
+
         def root(x):
+            steps = 0
             while x in allmap and allmap[x] != x:
+                if steps > bound:
+                    raise RuntimeError(
+                        f"remap alias cycle at {x!r}: state is "
+                        "corrupt; rebuild or restore")
                 x = allmap[x]
+                steps += 1
             return x
 
         rows = [(k, root(v)) for k, v in allmap.items()]
+        # full snapshot under a seq name — invisible until the commit
         pq.write_table(
             pa.table({"old_label": pa.array([r[0] for r in rows],
                                             pa.string()),
                       "new_label": pa.array([r[1] for r in rows],
                                             pa.string())}),
-            os.path.join(state_dir, "remap.parquet"))
+            os.path.join(state_dir, f"remap-{seq}.parquet"))
     man["n_pages"] = int(man.get("n_pages", 0)) + len(new_urls)
-    man["update_seq"] = int(man.get("update_seq", 0)) + 1
-    with open(os.path.join(state_dir, _MANIFEST), "w") as f:
-        json.dump(man, f, indent=1)
+    man["update_seq"] = seq
+    _write_manifest(state_dir, man)  # <- the commit point
+    # post-commit cleanup: superseded remap snapshots (best-effort)
+    import re
+
+    for f in list(os.listdir(state_dir)):
+        m = re.match(r"remap(?:-(\d+))?\.parquet$", f)
+        if m and (int(m.group(1)) if m.group(1) else 0) < seq \
+                and (merges or remap):
+            os.remove(os.path.join(state_dir, f))
     return {"new_nodes": len(new_urls), "merged_labels": len(merges),
             "dropped_known": len(known_urls)}

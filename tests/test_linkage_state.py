@@ -134,6 +134,69 @@ class TestIncrementalLinkage:
         after = read_labels(state)
         pd.testing.assert_frame_equal(after, before)
 
+    def test_torn_update_invisible_and_reingestable(self, ray_session,
+                                                    tmp_path,
+                                                    full_batch_labels):
+        """A crash mid-persist (pages delta written, manifest NOT
+        bumped) must leave the state logically unchanged: the torn
+        urls are invisible to read_labels, are NOT treated as known by
+        a retry, and the retry fully ingests the batch to the same
+        labels as an uninterrupted run."""
+        import pyarrow as pa
+
+        from elevant_ray.state import linkage_state as L
+
+        state = str(tmp_path / "state_torn")
+        L.build_linkage_state(_prepared(shard=(0, 2)), state,
+                              num_partitions=8, buckets=8)
+        clean = L.read_labels(state)
+
+        # simulate the crash: append ONLY the pages delta at the next
+        # seq (exactly what a failure after step one of the persist
+        # leaves behind), no bands, no labels, no manifest bump
+        batch = _prepared(shard=(1, 2)).materialize()
+        tbl = pa.concat_tables(
+            [b.select(["url", "canon", "text"])
+             for b in batch.iter_batches(batch_format="pyarrow")])
+        L._append_bucketed_table(tbl, os.path.join(state, "pages"),
+                                 "url", 8, seq=1)
+
+        # torn rows invisible to readers
+        pd.testing.assert_frame_equal(L.read_labels(state), clean)
+
+        # retry ingests the full batch — nothing "known", no url lost
+        res = L.update_linkage_state(_prepared(shard=(1, 2)), state,
+                                     num_partitions=8)
+        assert res["dropped_known"] == 0
+        assert res["new_nodes"] == tbl.num_rows
+        got = L.read_labels(state)
+        assert len(got) == _prepared().count()
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+        assert (merged.loc[~on_full, "label_inc"]
+                == merged.loc[~on_full, "node"]).all()
+
+    def test_remap_cycle_fails_loudly(self, ray_session, tmp_path):
+        """A corrupted remap with an alias cycle must raise, not hang
+        (the chain is monotone under correct writes, so a cycle is
+        always torn/foreign state)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from elevant_ray.state import linkage_state as L
+
+        state = str(tmp_path / "state_cycle")
+        L.build_linkage_state(_prepared(shard=(0, 4)), state,
+                              num_partitions=8, buckets=8)
+        pq.write_table(
+            pa.table({"old_label": ["a", "b"], "new_label": ["b", "a"]}),
+            os.path.join(state, "remap-0.parquet"))
+        with pytest.raises(RuntimeError, match="cycle"):
+            L.read_labels(state)
+
     def test_out_of_order_five_way_ingest(self, ray_session, tmp_path,
                                           full_batch_labels):
         """Five doc-shards ingested out of order (0, then 3,1,4,2):
