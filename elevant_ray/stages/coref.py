@@ -30,8 +30,19 @@ documented lexical heuristics (``_HEURISTIC_VERBS`` + suffix test for
 the dep-parse "has subject and verb" check; last capitalized
 non-pronoun token for the ``nsubj`` speaker-candidate track).
 
+The "problematic it" filter (:268-277 +
+models/dependency_graph.py:186-202) IS ported as a parser-free
+surface approximation (``is_problematic_it_surface``): the reference
+drops an "it" that is the nsubj of a VB* head carrying a ccomp, or an
+anticipatory-it frame (head + acomp with xcomp/ccomp below).  Without
+a parse, the same frames surface as "it" + (optional adverb) +
+verb-like token + a complementizer ("that"/"whether"/wh-word) or an
+infinitival "to"+verb within the sentence window.  Parameterized
+(``problematic_it=True`` default, matching the reference's behavior);
+differential intuition tested on pronoun-heavy fixtures in
+tests/test_coref.py.
+
 Not ported (requires a dependency parse / POS tags; parameterized off):
-- the "problematic it" dependency-graph filter (:268-277);
 - ``is_first_subj_in_paragraph`` neutral-paragraph-subject shortcut.
 """
 
@@ -100,12 +111,58 @@ DIRECT_SPEECH_MIN_TOKENS = 4            # kb_coref_linker.py:23
 _HEURISTIC_VERBS = frozenset(
     "is am are was were be been being have has had do does did will "
     "would can could shall should may might must said say says go "
-    "goes went think thinks thought know knows knew want wants".split())
+    "goes went think thinks thought know knows knew want wants "
+    "seem seems appear appears remain remains become becomes".split())
 
 
 def _looks_like_verb(core: str) -> bool:
     low = core.lower()
     return low in _HEURISTIC_VERBS or low.endswith(("ed", "ing"))
+
+
+# complementizer cues that surface a clausal complement (the ccomp /
+# xcomp arcs the reference's dependency graph walks)
+_COMPLEMENTIZERS = frozenset(
+    {"that", "whether", "how", "why", "what", "who", "if"})
+_IT_SCAN_WINDOW = 6   # tokens after the verb to look for the cue
+
+
+def is_problematic_it_surface(text: str, tokens, ti: int,
+                              sent_flags) -> bool:
+    """Parser-free stand-in for the reference's ``is_problematic_it``
+    (kb_coref_linker.py:268-277 → models/dependency_graph.py:186-202):
+    an "it" that is the subject of a verb with a clausal complement
+    ("It said that …"), or an anticipatory it ("It is clear that …",
+    "It seems easy to win").  Surface signal: "it" directly followed
+    (one adverb may intervene, mirroring nsubj→head adjacency) by a
+    verb-like token, with a complementizer or an infinitival
+    "to"+verb within the next ``_IT_SCAN_WINDOW`` tokens of the same
+    sentence."""
+    j = ti + 1
+    n = len(tokens)
+
+    def core_at(k):
+        b, e = tokens[k]
+        return _strip_punct(text[b:e]).lstrip("\"'(“")
+
+    if j < n and not sent_flags[j] and core_at(j).lower().endswith("ly"):
+        j += 1                     # "It really seems that …"
+    if j >= n or sent_flags[j] or not _looks_like_verb(core_at(j)):
+        return False
+    for k in range(j + 1, min(j + 1 + _IT_SCAN_WINDOW, n)):
+        if sent_flags[k]:
+            break                  # complement must stay in-sentence
+        low = core_at(k).lower()
+        if low in _COMPLEMENTIZERS:
+            return True
+        # anticipatory acomp+xcomp frame ("It seems easy to win"):
+        # "to" with at least one token between it and the verb (the
+        # adjectival complement).  "to" directly after the verb ("It
+        # belongs to Alice") is a plain preposition — keep those.
+        if low == "to" and k > j + 1 and k + 1 < n \
+                and not sent_flags[k + 1]:
+            return True
+    return False
 
 
 def direct_speech_spans(text: str, tokens) -> List[dict]:
@@ -251,6 +308,7 @@ def kb_coref_clusters(
     coref_types: Optional[Dict[str, List[str]]] = None,
     type_qid_aliases: Optional[Dict[str, Set[str]]] = None,
     direct_speech: bool = True,
+    problematic_it: bool = True,
 ) -> List[dict]:
     """One document → coref clusters
     ``[{entity_id, main: (b, e), mentions: [(b, e), ...]}]``.
@@ -312,7 +370,13 @@ def kb_coref_clusters(
             span = (cb, cb + len(core))
             tok_ds = _containing_ds(cb, ds_list)
             p_gender = PRONOUN_GENDERS[core.lower()]
-            if p_gender != UNKNOWN or is_first_person_singular(core):
+            # don't cluster an "it" that doesn't refer to an object
+            # (kb_coref_linker.py:266-277)
+            problem = (problematic_it and core.lower() == "it"
+                       and is_problematic_it_surface(text, tokens, ti,
+                                                     sent_flags))
+            if not problem and (p_gender != UNKNOWN
+                                or is_first_person_singular(core)):
                 preceding = _preceding_entities(recent_per_sent,
                                                 gender=p_gender)
                 referenced = _referenced_entity(span, preceding,
@@ -347,7 +411,8 @@ class KBCorefStage:
     per actor from an object-store ref."""
 
     def __init__(self, dims_ref=None, id_col: str = "url",
-                 text_col: str = "text", mentions_col: str = "mentions"):
+                 text_col: str = "text", mentions_col: str = "mentions",
+                 problematic_it: bool = True):
         import ray
 
         d = ray.get(dims_ref) if dims_ref is not None else {}
@@ -356,6 +421,7 @@ class KBCorefStage:
         self.type_qid_aliases = d.get("type_qid_aliases", {})
         self.id_col, self.text_col = id_col, text_col
         self.mentions_col = mentions_col
+        self.problematic_it = problematic_it
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, qids, mains, begins, ends, kinds = [], [], [], [], [], []
@@ -366,7 +432,8 @@ class KBCorefStage:
             linked = {(m["begin"], m["end"]) for m in ments or ()}
             for cl in kb_coref_clusters(text, list(ments or ()),
                                         self.gender_map, self.coref_types,
-                                        self.type_qid_aliases):
+                                        self.type_qid_aliases,
+                                        problematic_it=self.problematic_it):
                 for (mb, me) in cl["mentions"]:
                     ids.append(rid)
                     qids.append(cl["entity_id"])

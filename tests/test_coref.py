@@ -229,3 +229,59 @@ def test_direct_speech_off_restores_old_behavior():
     she = text.index("she")
     # without the direct-speech rules the most recent female (Eve) wins
     assert (she, she + 3) in clusters["Q2"]
+
+
+# ---------------------------------------------------------------------------
+# "problematic it" filter (kb_coref_linker.py:266-277 →
+# models/dependency_graph.py:186-202, surface approximation)
+# ---------------------------------------------------------------------------
+
+
+def _probe_it(text):
+    """Run the surface filter on the first "it"/"It" token of text."""
+    from elevant_ray.functions.prior import (sentence_start_flags,
+                                             tokenize_with_offsets)
+    from elevant_ray.stages.coref import is_problematic_it_surface
+
+    toks = tokenize_with_offsets(text)
+    flags = sentence_start_flags(text, toks)
+    for ti, (b, e) in enumerate(toks):
+        if text[b:e].lower().rstrip(".,;:!?\"')") == "it":
+            return is_problematic_it_surface(text, toks, ti, flags)
+    raise AssertionError("no 'it' token in probe text")
+
+
+def test_problematic_it_frames():
+    # the reference's two drop frames: nsubj of a verb with a ccomp,
+    # and anticipatory it (verb + acomp + xcomp/ccomp)
+    assert _probe_it("It said that the market fell sharply today .")
+    assert _probe_it("It is clear that the plan failed .")
+    assert _probe_it("It seems easy to win the race .")
+    assert _probe_it("It really seems that nothing changed .")
+    # referential uses must survive
+    assert not _probe_it("Ada parked the car . It was red and shiny .")
+    assert not _probe_it("The engine stalled . It belongs to Alice .")
+    assert not _probe_it("The dog barked . Bob fed it quickly .")
+
+
+def test_problematic_it_not_clustered():
+    text = "The rover landed . It is clear that dust covered everything ."
+    mentions = [{"begin": 4, "end": 9, "entity_id": "Q5"}]
+    it_pos = text.index("It")
+    gm = {"Q5": NEUTRAL}
+    clusters = cluster_map(kb_coref_clusters(text, mentions,
+                                             gender_map=gm))
+    assert (it_pos, it_pos + 2) not in clusters["Q5"]
+    # parameterized off → old behavior (the "it" clusters again)
+    clusters_off = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map=gm, problematic_it=False))
+    assert (it_pos, it_pos + 2) in clusters_off["Q5"]
+
+
+def test_referential_it_still_clusters():
+    text = "The rover landed . It rolled forward across red dust ."
+    mentions = [{"begin": 4, "end": 9, "entity_id": "Q5"}]
+    it_pos = text.index("It")
+    clusters = cluster_map(kb_coref_clusters(
+        text, mentions, gender_map={"Q5": NEUTRAL}))
+    assert (it_pos, it_pos + 2) in clusters["Q5"]
