@@ -28,6 +28,14 @@ deterministic stand-in used by tests and the contract query: it tags
 every k-th whitespace token (k=13) plus every capitalized-run — real
 plumbing (schema, actor signature, batching, postprocess) with a fake
 brain, as SURVEY's multimodal stages do for decode.
+
+A real model plugs in without code changes:
+``model_loader="spacy:en_core_web_lg"`` loads the named spaCy pipeline
+once per actor and batches through ``nlp.pipe`` — the same
+load-once-score-many shape as the reference's process-global model
+(``baseline_linker.py:34``).  When spaCy (or the named pipeline) is
+absent the actor raises at construction — opt-in paths fail loudly,
+they never silently fall back to the fake.
 """
 
 from __future__ import annotations
@@ -79,6 +87,29 @@ def fake_ner_model(texts: List[str]) -> List[List[dict]]:
     return out
 
 
+def spacy_ner_loader(pipeline_name: str,
+                     batch_size: int = 64) -> Callable:
+    """Loader factory for ``model_loader="spacy:<pipeline>"``: imports
+    spaCy and loads the named pipeline ONCE (inside the actor's
+    ``__init__`` via ModelNERStage), returning a batched callable on
+    ``nlp.pipe`` — entity char spans map directly onto the stage's
+    mention contract.  Raises ImportError/OSError when spaCy or the
+    pipeline is unavailable (callers opt in explicitly; tests
+    ``importorskip``)."""
+    import spacy  # noqa: F401 — hard dependency of this opt-in path
+
+    nlp = spacy.load(pipeline_name)
+
+    def model(texts: List[str]) -> List[List[dict]]:
+        out: List[List[dict]] = []
+        for doc in nlp.pipe(texts, batch_size=batch_size):
+            out.append([{"begin": ent.start_char, "end": ent.end_char,
+                         "label": ent.label_} for ent in doc.ents])
+        return out
+
+    return model
+
+
 def ner_postprocess(text: str, begin: int, end: int) -> tuple:
     """Strip a leading "the " / "The " from a predicted span —
     reference parity: ``src/elevant/ner/ner_postprocessing.py:12-30``
@@ -105,8 +136,13 @@ class ModelNERStage:
         if model_loader is None:
             self.model = fake_ner_model
         elif isinstance(model_loader, str):
-            mod, attr = model_loader.rsplit(":", 1)
-            self.model = getattr(importlib.import_module(mod), attr)()
+            if model_loader.startswith("spacy:"):
+                self.model = spacy_ner_loader(
+                    model_loader.split(":", 1)[1])
+            else:
+                mod, attr = model_loader.rsplit(":", 1)
+                self.model = getattr(importlib.import_module(mod),
+                                     attr)()
         else:
             self.model = model_loader()
         self.id_col = id_col

@@ -78,3 +78,94 @@ def test_end_to_end_query(ray_session):
     d2 = m.queries()["model_ner_linking"]("/root/testdata/sf0.001")
     d2 = d2.to_pandas() if not isinstance(d2, pd.DataFrame) else d2
     assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# "spacy:<pipeline>" loader path (baseline_linker.py:34 load-once parity)
+# ---------------------------------------------------------------------------
+
+
+def test_spacy_loader_plumbing_with_stub(monkeypatch):
+    """End-to-end through the spacy: loader path with a stubbed spaCy
+    module: load called ONCE with the pipeline name, nlp.pipe batches
+    the texts, entity char spans land in the stage's mention schema
+    with postprocess applied."""
+    import sys
+    import types
+
+    calls = {"load": []}
+
+    class _Ent:
+        def __init__(self, s, e, label):
+            self.start_char, self.end_char, self.label_ = s, e, label
+
+    class _Doc:
+        def __init__(self, ents):
+            self.ents = ents
+
+    class _NLP:
+        def pipe(self, texts, batch_size=64):
+            for t in texts:
+                ents = []
+                if "Berlin" in t:
+                    i = t.index("Berlin")
+                    ents.append(_Ent(i, i + 6, "GPE"))
+                if "the Eiffel Tower" in t:
+                    i = t.index("the Eiffel Tower")
+                    ents.append(_Ent(i, i + 16, "FAC"))
+                yield _Doc(ents)
+
+    stub = types.ModuleType("spacy")
+
+    def _load(name):
+        calls["load"].append(name)
+        return _NLP()
+
+    stub.load = _load
+    monkeypatch.setitem(sys.modules, "spacy", stub)
+
+    stage = ModelNERStage(model_loader="spacy:en_core_web_lg")
+    assert calls["load"] == ["en_core_web_lg"]  # once, in __init__
+    batch = pa.table({
+        "url": ["u1", "u2"],
+        "text": ["We flew to Berlin in May",
+                 "saw the Eiffel Tower at night"]})
+    out = stage(batch)
+    rows = sorted(zip(out.column("url").to_pylist(),
+                      out.column("mention").to_pylist(),
+                      out.column("label").to_pylist()))
+    # postprocess strips the leading article from the FAC span
+    assert rows == [("u1", "Berlin", "GPE"),
+                    ("u2", "Eiffel Tower", "FAC")]
+    # a second batch re-uses the loaded model (no new load call)
+    stage(batch)
+    assert calls["load"] == ["en_core_web_lg"]
+
+
+def test_spacy_loader_real_pipeline_opt_in():
+    """Runs only where spaCy + a small English pipeline exist (not in
+    this sandbox) — keeps the real-model path exercised on dev boxes."""
+    import pytest
+
+    spacy = pytest.importorskip("spacy")
+    try:
+        spacy.load("en_core_web_sm")
+    except Exception:
+        pytest.skip("no en_core_web_sm pipeline installed")
+    stage = ModelNERStage(model_loader="spacy:en_core_web_sm")
+    out = stage(pa.table({"url": ["u"],
+                          "text": ["Barack Obama visited Berlin."]}))
+    assert out.num_rows >= 1
+
+
+def test_spacy_loader_missing_fails_loudly(monkeypatch):
+    """Opt-in path must raise when spaCy is absent, never fall back to
+    the fake model silently."""
+    import builtins
+    import sys
+
+    import pytest
+
+    monkeypatch.setitem(sys.modules, "spacy", None)
+    with pytest.raises((ImportError, TypeError, AttributeError)):
+        ModelNERStage(model_loader="spacy:en_core_web_lg")
