@@ -148,3 +148,62 @@ def test_sf001_corpus_byte_identity(reference_extractor):
             {"begin": b, "end": e} for b, e in ref_syn], row["url"]
         checked += 1
     assert checked >= 500
+
+
+def test_adversarial_fuzz_10k_matches_reference(reference_extractor):
+    """10k-case seeded differential on adversarial markup: unclosed /
+    nested / dangling tags, pseudo-tags adjacent to real tags and at
+    piece boundaries (the k==0 wipe quirk's neighborhood), headers
+    with embedded tags, empty and whitespace-only fragments — beyond
+    the curated BRANCH_CASES set."""
+    rng = random.Random(0xE1E7A)
+    atoms = [
+        "", " ", "\n", "\n\n", "w", "Word", "two words", "ö日°",
+        "<b>", "</b>", "<i>", "</i>", "</a>", '<a href="D%20x">',
+        "<b>x</b>", "<i>y</i>", '<a href="T">t</a>',
+        '<a href="">e</a>', "<a>bare</a>",
+        "< p >", "< >", "<  >", "<gt>", "<", ">", "<<", ">>",
+        "Section::::H.", "\nSection::::His<b>t</b>ory.\n",
+        "\nSection::::T.",
+        '<a href="N%C3%A9">ü</a>',
+        "<b><b>deep</b></b>", "<b><i>mix</b></i>",
+        '<a href="O"><b>in</b></a>',
+    ]
+    for case in range(10_000):
+        n = rng.randint(0, 14)
+        markup = "".join(rng.choice(atoms) for _ in range(n))
+        assert extract_page(markup) == \
+            _ref_extract(reference_extractor, markup), \
+            f"case {case}: {markup!r}"
+
+
+def test_hypothesis_markup_matches_reference(reference_extractor):
+    """Property-based differential: hypothesis composes markup from
+    text / tag / pseudo-tag / header fragments and shrinks any
+    mismatch to a minimal counterexample."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet="abWö 日\n.:'\"<>/%", min_size=0, max_size=8)
+    link = st.builds(
+        lambda t, b: f'<a href="{t}">{b}</a>',
+        st.sampled_from(["T", "A%20B", "", "X%C3%A9"]),
+        st.sampled_from(["x", "two words", "", "<b>in</b>"]))
+    frag = st.one_of(
+        text, link,
+        st.sampled_from([
+            "<b>", "</b>", "<i>", "</i>", "</a>", '<a href="D">',
+            "<b>bold</b>", "< p >", "< >", "<gt>",
+            "\nSection::::H.\n", "\nSection::::Hi<b>s</b>t.\n",
+            "\n\n"]))
+    markup_s = st.lists(frag, min_size=0, max_size=12).map("".join)
+
+    @settings(max_examples=1000, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(markup=markup_s)
+    def check(markup):
+        assert extract_page(markup) == \
+            _ref_extract(reference_extractor, markup), repr(markup)
+
+    check()

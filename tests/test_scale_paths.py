@@ -53,7 +53,10 @@ PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "neardup_embedding",
                 # _stage_map users (in-process twin ↔ actor pool)
                 "prior_linking", "popular_linking", "entity_linking",
-                "coref_clusters"]
+                "coref_clusters",
+                # incremental ER state: in-process delta fold ↔
+                # distributed blocking/scoring/CC + staged writes
+                "linkage_incremental"]
 
 
 @pytest.fixture(scope="module")
