@@ -691,6 +691,19 @@ def run_bench(sf_dir: str, num_cpus: int, names) -> dict:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    # warm each shared memo as its OWN row first: per-query numbers then
+    # measure the query's marginal work, not whichever shared build it
+    # happened to trigger first (round-3 deltas were attribution noise)
+    for mname, builder in getattr(entrymod, "memo_builders",
+                                  dict)().items():
+        t0 = time.perf_counter()
+        try:
+            builder(sf_dir)
+        except Exception as exc:  # a broken memo shows as its own row
+            print(f"# _memo:{mname} FAILED: {exc}", file=sys.stderr)
+        timings[f"_memo:{mname}"] = round(time.perf_counter() - t0, 3)
+        print(f"# _memo:{mname}: {timings[f'_memo:{mname}']:.3f}s",
+              file=sys.stderr)
     for name in names:
         t0 = time.perf_counter()
         n = _consume(qs[name](sf_dir))
