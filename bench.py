@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     "reader_xml",
     "reader_oke_nif",
     "reader_predictions_ambiverse",
+    "reader_tagme",
+    "reader_predictions_epgel",
+    "reader_predictions_wikifier",
+    "reader_predictions_wexea",
+    "reader_newscrawl",
+    "reader_refined",
     "predictions_text_align",
     "abstracts_mapping",
     "model_ner_linking",
