@@ -68,6 +68,26 @@ def _argmax_qid(freqs: Dict[str, int]) -> str:
     return min(q for q, f in freqs.items() if f == best)
 
 
+def build_first_token_index(
+        link_frequencies: Dict[str, Dict[str, int]]) -> Dict[str, int]:
+    """first token → max token count over the known mentions starting
+    with it.  A candidate window can only hit ``link_frequencies`` if
+    its text EQUALS a key, which requires the key to start with the
+    window's first token and have the window's token count — so the
+    sliding-window scan can skip (start, n_tokens) pairs the index
+    rules out without building the substring or probing the dict.
+    Keys not starting at a \\S character can never equal a window
+    (windows begin at token starts) and are omitted.  Build once per
+    dict (stage ``__init__``), pass as ``first_token_index``."""
+    idx: Dict[str, int] = {}
+    for key in link_frequencies:
+        toks = _TOKEN_RE.findall(key)
+        if not toks or not key.startswith(toks[0]):
+            continue
+        idx[toks[0]] = max(idx.get(toks[0], 0), len(toks))
+    return idx
+
+
 def prior_link_text(
     text: str,
     link_frequencies: Dict[str, Dict[str, int]],
@@ -77,6 +97,8 @@ def prior_link_text(
     max_tokens: int = 15,
     uppercase: bool = False,
     assume_nouns: bool = True,
+    first_token_index: Optional[Dict[str, int]] = None,
+    argmax_cache: Optional[Dict[str, str]] = None,
 ) -> List[dict]:
     """text → non-overlapping mention predictions
     ``[{begin, end, mention, entity_id, n_tokens}]``, sorted by begin.
@@ -104,7 +126,11 @@ def prior_link_text(
         freqs = link_frequencies.get(mention)
         if not freqs:
             return None
-        qid = _argmax_qid(freqs)
+        # the argmax is a pure function of the static dict — callers
+        # that scan many pages pass a precomputed cache (stage
+        # __init__) so it isn't recomputed per occurrence
+        qid = (argmax_cache[mention] if argmax_cache is not None
+               else _argmax_qid(freqs))
         is_upper = mention[:1].isupper()
         if has_whitelist_type(qid) and (
                 (is_upper and not is_sent_start)
@@ -116,8 +142,28 @@ def prior_link_text(
     annotated = np.zeros(len(text), dtype=np.int64)
     spans: Dict[int, Tuple[Tuple[int, int], int]] = {}
 
+    # pruning index (see build_first_token_index): a window whose first
+    # token caps out below n_tokens cannot hit link_frequencies — skip
+    # it before substring construction and the dict probe.  One lookup
+    # per TOKEN here replaces one per (token × window length) below.
+    if first_token_index is not None:
+        ft_cap = np.fromiter(
+            (first_token_index.get(text[b:e], 0) for b, e in tokens),
+            np.int64, len(tokens))
+    else:
+        ft_cap = None
+
     for n_tokens in range(max_tokens, 0, -1):
-        for start in range(0, len(tokens) - n_tokens + 1):
+        limit = len(tokens) - n_tokens + 1
+        if limit <= 0:
+            continue
+        if ft_cap is not None:
+            # vectorized start selection: the Python loop only visits
+            # windows the index can't rule out (ascending order kept)
+            starts = np.nonzero(ft_cap[:limit] >= n_tokens)[0].tolist()
+        else:
+            starts = range(limit)
+        for start in starts:
             span = (tokens[start][0], tokens[start + n_tokens - 1][1])
             mention = text[span[0]:span[1]]
             if len(mention) <= 1:

@@ -504,6 +504,8 @@ class PriorLinkerStage:
                  uppercase: bool = False, assume_nouns: bool = True):
         import ray
 
+        from elevant_ray.functions.prior import build_first_token_index
+
         self.link_freq: Dict[str, Dict[str, int]] = ray.get(link_freq_ref)
         self.aliases: Dict[str, Set[str]] = (
             ray.get(aliases_ref) if aliases_ref is not None else {})
@@ -511,6 +513,14 @@ class PriorLinkerStage:
         self.text_col = text_col
         self.uppercase = uppercase
         self.assume_nouns = assume_nouns
+        # once per actor: prunes the sliding-window scan to windows
+        # whose first token can actually start a known mention, and
+        # pins the per-mention frequency argmax (static dict)
+        from elevant_ray.functions.prior import _argmax_qid
+
+        self.ft_index = build_first_token_index(self.link_freq)
+        self.argmax_cache = {m: _argmax_qid(f)
+                             for m, f in self.link_freq.items() if f}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from elevant_ray.functions.prior import prior_link_text
@@ -521,7 +531,9 @@ class PriorLinkerStage:
             for p in prior_link_text(text, self.link_freq,
                                      entity_aliases=self.aliases,
                                      uppercase=self.uppercase,
-                                     assume_nouns=self.assume_nouns):
+                                     assume_nouns=self.assume_nouns,
+                                     first_token_index=self.ft_index,
+                                     argmax_cache=self.argmax_cache):
                 ids.append(rid)
                 begins.append(p["begin"])
                 ends.append(p["end"])
