@@ -314,9 +314,6 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
                               np.repeat(np.arange(n), bands)],
                              pa.binary())})
 
-    exploded = embeddings.map_batches(explode, batch_format="pyarrow") \
-        .materialize()  # three consumers: sampler, cold path, hot path
-
     # ---- sampled hot-key detection (see dedup.lsh_candidate_pairs) ----
     sample_mod = 10
 
@@ -334,6 +331,127 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
                          "n": pa.array(cnt, pa.int64())})
 
     hot_threshold = max(2, int(max_block * 0.1 // 2))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        l = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rr = batch.column("_rid").to_numpy(zero_copy_only=False)
+        keep = l < rr
+        if not keep.any():
+            return _empty_pairs()
+        sub = batch.filter(pa.array(keep))
+        lv = np.stack([np.frombuffer(v, np.float64)
+                       for v in sub.column("_vec").to_pylist()])
+        rv = np.stack([np.frombuffer(v, np.float64)
+                       for v in sub.column("_rvec").to_pylist()])
+        sims = np.einsum("ij,ij->i", lv, rv)
+        m = sims >= threshold
+        return pa.table({
+            "left": pa.array(l[keep][m], pa.int64()),
+            "right": pa.array(rr[keep][m], pa.int64()),
+            "sim": pa.array(sims[m], pa.float64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty_pairs()
+        ids = np.asarray(g.column(id_col).to_pylist(), np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack([np.frombuffer(g.column("_vec")[int(i)].as_py(),
+                                      np.float64) for i in order])
+        if len(ids) <= max_block:
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), 1)
+            s = sims[iu, ju]
+            m = s >= threshold
+            return pa.table({"left": pa.array(ids[iu[m]], pa.int64()),
+                             "right": pa.array(ids[ju[m]], pa.int64()),
+                             "sim": pa.array(s[m], pa.float64())})
+        # mega-bucket: hub star + adjacent chain, verified
+        s_hub = mat[1:] @ mat[0]
+        s_adj = np.einsum("ij,ij->i", mat[1:-1], mat[2:])
+        lf = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:-1]])
+        rt = np.concatenate([ids[1:], ids[2:]])
+        sv = np.concatenate([s_hub, s_adj])
+        m = sv >= threshold
+        return pa.table({"left": pa.array(lf[m], pa.int64()),
+                         "right": pa.array(rt[m], pa.int64()),
+                         "sim": pa.array(sv[m], pa.float64())})
+
+    # ---- in-process sub-cutoff twin ----------------------------------
+    # The distributed DAG below costs ~5 fixed-latency executions
+    # (explode materialize, sample drain, co-group join, hot groupby,
+    # final distinct).  Sub-cutoff corpora run the SAME explode /
+    # sampled-hot-key / verify / bucket kernels on one concatenated
+    # table — identical pair set by construction; the conformance
+    # suite forces the distributed path via
+    # ELEVANT_RAY_BROADCAST_CUTOFF=0 and asserts equality
+    # (tests/test_scale_paths.py: neardup_embedding,
+    # dedup_embedding_clusters).
+    from elevant_ray.stages.util import scale_cutoff
+
+    if embeddings.size_bytes() <= scale_cutoff(8 << 20):
+        import pandas as pd
+        import ray.data as rd
+
+        tabs = [b.select([id_col, vec_col]) for b in
+                embeddings.iter_batches(batch_format="pyarrow")]
+        if not tabs or sum(t.num_rows for t in tabs) == 0:
+            return rd.from_arrow(pair_schema.empty_table())
+        ex = explode(pa.concat_tables(tabs).combine_chunks())
+        sp = sample_partials(ex)
+        hot_set = {k for k, n in zip(sp.column("_bkey").to_pylist(),
+                                     sp.column("n").to_pylist())
+                   if n >= hot_threshold}
+        keys = ex.column("_bkey").to_numpy(zero_copy_only=False)
+        ids = ex.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = ex.column("_vec").to_pylist()
+        hot_mask = (np.isin(keys, np.asarray(sorted(hot_set), np.int64))
+                    if hot_set else np.zeros(len(keys), np.bool_))
+        parts = []
+        cold_idx = np.nonzero(~hot_mask)[0]
+        if len(cold_idx):
+            cdf = pd.DataFrame({"_bkey": keys[cold_idx],
+                                "_i": cold_idx})
+            j = cdf.merge(cdf.rename(columns={"_i": "_ri"}), on="_bkey")
+            li = j["_i"].to_numpy()
+            ri = j["_ri"].to_numpy()
+            parts.append(verify(pa.table({
+                id_col: pa.array(ids[li], pa.int64()),
+                "_rid": pa.array(ids[ri], pa.int64()),
+                "_vec": pa.array([vecs[i] for i in li], pa.binary()),
+                "_rvec": pa.array([vecs[i] for i in ri],
+                                  pa.binary())})))
+        if hot_set:
+            hdf = pd.DataFrame({"_bkey": keys[hot_mask],
+                                "_i": np.nonzero(hot_mask)[0]})
+            for _k, g in hdf.groupby("_bkey", sort=False):
+                gi = g["_i"].to_numpy()
+                parts.append(bucket_pairs(pa.table({
+                    id_col: pa.array(ids[gi], pa.int64()),
+                    "_vec": pa.array([vecs[i] for i in gi],
+                                     pa.binary())})))
+        allp = pa.concat_tables(
+            [p for p in parts if p.num_rows] or
+            [pair_schema.empty_table()])
+        pdf = allp.to_pandas()
+        if len(pdf):
+            pdf = pdf.groupby(["left", "right"],
+                              as_index=False)["sim"].max() \
+                .sort_values(["left", "right"]).reset_index(drop=True)
+        return rd.from_arrow(pa.table({
+            "left": pa.array(pdf["left"].to_numpy(np.int64)
+                             if len(pdf) else [], pa.int64()),
+            "right": pa.array(pdf["right"].to_numpy(np.int64)
+                              if len(pdf) else [], pa.int64()),
+            "sim": pa.array(pdf["sim"].to_numpy(np.float64)
+                            if len(pdf) else [], pa.float64())}))
+
+    # ---- distributed path --------------------------------------------
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow") \
+        .materialize()  # three consumers: sampler, cold path, hot path
+
     from collections import Counter as _C
 
     counts: _C = _C()
@@ -365,61 +483,12 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
         right_schema=pa.schema([("_bkey", pa.int64()),
                                 ("_rid", pa.int64()),
                                 ("_rvec", pa.binary())]))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty_pairs()
-        l = batch.column(id_col).to_numpy(zero_copy_only=False)
-        rr = batch.column("_rid").to_numpy(zero_copy_only=False)
-        keep = l < rr
-        if not keep.any():
-            return _empty_pairs()
-        sub = batch.filter(pa.array(keep))
-        lv = np.stack([np.frombuffer(v, np.float64)
-                       for v in sub.column("_vec").to_pylist()])
-        rv = np.stack([np.frombuffer(v, np.float64)
-                       for v in sub.column("_rvec").to_pylist()])
-        sims = np.einsum("ij,ij->i", lv, rv)
-        m = sims >= threshold
-        return pa.table({
-            "left": pa.array(l[keep][m], pa.int64()),
-            "right": pa.array(rr[keep][m], pa.int64()),
-            "sim": pa.array(sims[m], pa.float64())})
-
     pairs = joined.map_batches(verify, batch_format="pyarrow")
 
     # ---- hot path: per-bucket dense verify (few groups) ---------------
     if hot_keys:
         hot = exploded.map_batches(lambda b: split(b, True),
                                    batch_format="pyarrow")
-
-        def bucket_pairs(g: pa.Table) -> pa.Table:
-            if g.num_rows < 2:
-                return _empty_pairs()
-            ids = np.asarray(g.column(id_col).to_pylist(), np.int64)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            mat = np.stack([np.frombuffer(g.column("_vec")[int(i)].as_py(),
-                                          np.float64) for i in order])
-            if len(ids) <= max_block:
-                sims = mat @ mat.T
-                iu, ju = np.triu_indices(len(ids), 1)
-                s = sims[iu, ju]
-                m = s >= threshold
-                return pa.table({"left": pa.array(ids[iu[m]], pa.int64()),
-                                 "right": pa.array(ids[ju[m]], pa.int64()),
-                                 "sim": pa.array(s[m], pa.float64())})
-            # mega-bucket: hub star + adjacent chain, verified
-            s_hub = mat[1:] @ mat[0]
-            s_adj = np.einsum("ij,ij->i", mat[1:-1], mat[2:])
-            lf = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:-1]])
-            rt = np.concatenate([ids[1:], ids[2:]])
-            sv = np.concatenate([s_hub, s_adj])
-            m = sv >= threshold
-            return pa.table({"left": pa.array(lf[m], pa.int64()),
-                             "right": pa.array(rt[m], pa.int64()),
-                             "sim": pa.array(sv[m], pa.float64())})
-
         hot_pairs = hot.groupby("_bkey").map_groups(
             bucket_pairs, batch_format="pyarrow")
         pairs = pairs.union(hot_pairs)
