@@ -341,10 +341,12 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
         if not keep.any():
             return _empty_pairs()
         sub = batch.filter(pa.array(keep))
-        lv = np.stack([np.frombuffer(v, np.float64)
-                       for v in sub.column("_vec").to_pylist()])
-        rv = np.stack([np.frombuffer(v, np.float64)
-                       for v in sub.column("_rvec").to_pylist()])
+        # fixed-width payload: one join + reshape decodes the whole
+        # column (a per-row frombuffer/stack loop dominated profiles)
+        lv = np.frombuffer(b"".join(sub.column("_vec").to_pylist()),
+                           np.float64).reshape(sub.num_rows, -1)
+        rv = np.frombuffer(b"".join(sub.column("_rvec").to_pylist()),
+                           np.float64).reshape(sub.num_rows, -1)
         sims = np.einsum("ij,ij->i", lv, rv)
         m = sims >= threshold
         return pa.table({
@@ -358,8 +360,8 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
         ids = np.asarray(g.column(id_col).to_pylist(), np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        mat = np.stack([np.frombuffer(g.column("_vec")[int(i)].as_py(),
-                                      np.float64) for i in order])
+        mat = np.frombuffer(b"".join(g.column("_vec").to_pylist()),
+                            np.float64).reshape(g.num_rows, -1)[order]
         if len(ids) <= max_block:
             sims = mat @ mat.T
             iu, ju = np.triu_indices(len(ids), 1)
@@ -407,6 +409,10 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
         keys = ex.column("_bkey").to_numpy(zero_copy_only=False)
         ids = ex.column(id_col).to_numpy(zero_copy_only=False)
         vecs = ex.column("_vec").to_pylist()
+        # decode every exploded vector once (fixed width): the cold
+        # verify below is then pure indexed einsum, no Arrow round trip
+        vmat = np.frombuffer(b"".join(vecs), np.float64) \
+            .reshape(len(vecs), -1) if vecs else np.zeros((0, 1))
         hot_mask = (np.isin(keys, np.asarray(sorted(hot_set), np.int64))
                     if hot_set else np.zeros(len(keys), np.bool_))
         parts = []
@@ -417,12 +423,14 @@ def signlsh_neardup_pairs(embeddings, threshold: float = 0.9,
             j = cdf.merge(cdf.rename(columns={"_i": "_ri"}), on="_bkey")
             li = j["_i"].to_numpy()
             ri = j["_ri"].to_numpy()
-            parts.append(verify(pa.table({
-                id_col: pa.array(ids[li], pa.int64()),
-                "_rid": pa.array(ids[ri], pa.int64()),
-                "_vec": pa.array([vecs[i] for i in li], pa.binary()),
-                "_rvec": pa.array([vecs[i] for i in ri],
-                                  pa.binary())})))
+            keep = ids[li] < ids[ri]
+            li, ri = li[keep], ri[keep]
+            sims = np.einsum("ij,ij->i", vmat[li], vmat[ri])
+            m = sims >= threshold
+            parts.append(pa.table({
+                "left": pa.array(ids[li][m], pa.int64()),
+                "right": pa.array(ids[ri][m], pa.int64()),
+                "sim": pa.array(sims[m], pa.float64())}))
         if hot_set:
             hdf = pd.DataFrame({"_bkey": keys[hot_mask],
                                 "_i": np.nonzero(hot_mask)[0]})
