@@ -471,11 +471,12 @@ def simhash_candidate_pairs(ds, id_col: str, text_col: str = "text",
 
 def _ngram_jaccard_inprocess(ds, id_col: str, text_col: str,
                              n: int, threshold: float):
-    """In-process twin of the distributed Jaccard join: identical df
-    floor, both-side rarest-first prefixes, PPJoin length filter and
-    intersect verify over one concatenated table."""
-    import math
-
+    """In-process twin of the distributed Jaccard join, fully
+    vectorized via the shared co-occurrence counter
+    (``_pair_intersections`` — see the containment twin): exact |∩|
+    per co-occurring pair, Jaccard on true sizes.  The distributed
+    path's prefix + PPJoin filters are recall-preserving, so both
+    paths emit the identical final pair set (conformance-forced)."""
     import ray.data as rd
 
     ids, grams = [], []
@@ -489,44 +490,29 @@ def _ngram_jaccard_inprocess(ds, id_col: str, text_col: str,
                             ("jac", pa.float64())])
     if not ids:
         return rd.from_arrow(out_schema.empty_table())
-    allg = np.concatenate(grams)
-    u, c = np.unique(allg, return_counts=True)
-    keep = c >= 2
-    fr = dict(zip(u[keep].tolist(), c[keep].tolist()))
-    postings: dict = {}               # PREFIX grams only (both sides)
-    sizes = []
-    for i, gh in enumerate(grams):
-        gset = sorted(gh.tolist(), key=lambda g: (fr.get(g, 1), g))
-        k = len(gset) - math.ceil(threshold * len(gset)) + 1
-        sizes.append(len(gset))
-        for g in gset[:k]:
-            if g in fr:
-                postings.setdefault(g, []).append(i)
-    cand = set()
-    for docs_ in postings.values():
-        for x in range(len(docs_)):
-            for y in range(x + 1, len(docs_)):
-                i, j = docs_[x], docs_[y]
-                # PPJoin length filter: min/max >= t
-                if min(sizes[i], sizes[j]) \
-                        < threshold * max(sizes[i], sizes[j]):
-                    continue
-                a, b_ = ids[i], ids[j]
-                cand.add((a, b_) if a < b_ else (b_, a))
-    pos = {rid: i for i, rid in enumerate(ids)}
+    try:
+        inter_keys, inter_cnt, sizes = _pair_intersections(grams)
+    except _CooccurrenceVolume:
+        return None                   # caller takes the distributed path
     lefts, rights, js = [], [], []
-    for a, b_ in sorted(cand):
-        hl = grams[pos[a]]
-        hr = grams[pos[b_]]
-        inter = len(np.intersect1d(hl, hr, assume_unique=True))
-        denom = len(hl) + len(hr) - inter
-        if denom == 0:
-            continue
-        jv = inter / denom
-        if jv >= threshold:
-            lefts.append(a)
-            rights.append(b_)
-            js.append(round(jv, 6))
+    if len(inter_keys):
+        n_docs = len(ids)
+        i_idx = (inter_keys // n_docs).astype(np.int64)
+        j_idx = (inter_keys % n_docs).astype(np.int64)
+        denom = sizes[i_idx] + sizes[j_idx] - inter_cnt
+        ok = (denom > 0) & (inter_cnt / np.maximum(denom, 1)
+                            >= threshold)
+        rows = []
+        for i, j, jv in zip(i_idx[ok], j_idx[ok],
+                            (inter_cnt[ok] / denom[ok])):
+            a, b_ = ids[i], ids[j]
+            if b_ < a:
+                a, b_ = b_, a
+            rows.append((a, b_, round(float(jv), 6)))
+        rows.sort()
+        lefts = [r[0] for r in rows]
+        rights = [r[1] for r in rows]
+        js = [r[2] for r in rows]
     return rd.from_arrow(pa.table({
         "left": pa.array(lefts, pa.string()),
         "right": pa.array(rights, pa.string()),
@@ -535,10 +521,16 @@ def _ngram_jaccard_inprocess(ds, id_col: str, text_col: str,
 
 def _ngram_containment_inprocess(ds, id_col: str, text_col: str,
                                  n: int, threshold: float):
-    """In-process twin of the distributed containment join: identical
-    df-floor / prefix / verify steps over one concatenated table."""
-    import math
-
+    """In-process twin of the distributed containment join, fully
+    vectorized: |∩(i,j)| for every co-occurring doc pair comes from
+    one sort + within-group pair expansion + ``np.unique`` multiplicity
+    count over the (gram → docs) incidence — no per-candidate Python
+    verify loop (the old per-pair ``intersect1d`` walk cost ~1.6 s on
+    ~400k candidates at sf0.1).  Exactness: a singleton gram can never
+    be shared, so counting over df≥2 grams IS the true intersection,
+    and the distributed prefix filter has recall 1.0 — both paths emit
+    the identical final pair set (conformance-forced in
+    tests/test_scale_paths.py)."""
     import ray.data as rd
 
     batches = list(ds.iter_batches(batch_format="pyarrow"))
@@ -553,45 +545,75 @@ def _ngram_containment_inprocess(ds, id_col: str, text_col: str,
                             ("cont", pa.float64())])
     if not ids:
         return rd.from_arrow(out_schema.empty_table())
-    allg = np.concatenate(grams)
-    u, c = np.unique(allg, return_counts=True)
-    keep = c >= 2                     # singleton grams can never match
-    fr = dict(zip(u[keep].tolist(), c[keep].tolist()))
-    postings: dict = {}               # index side: ALL shared grams
-    shared_per_doc = []
-    for i, gh in enumerate(grams):
-        shared = [g for g in gh.tolist() if g in fr]
-        shared_per_doc.append(shared)
-        for g in shared:
-            postings.setdefault(g, []).append(i)
-    cand = set()
-    for i, gh in enumerate(grams):
-        gset = sorted(shared_per_doc[i], key=lambda g: (fr[g], g))
-        k = len(gh) - math.ceil(threshold * len(gh)) + 1
-        for g in gset[:k]:
-            for j in postings.get(g, ()):
-                if j == i:
-                    continue
-                a, b_ = ids[i], ids[j]
-                cand.add((a, b_) if a < b_ else (b_, a))
-    pos = {rid: i for i, rid in enumerate(ids)}
-    lefts, rights, cs = [], [], []
-    for a, b_ in sorted(cand):
-        hl = grams[pos[a]]
-        hr = grams[pos[b_]]
-        mn = min(len(hl), len(hr))
-        if mn == 0:
-            continue
-        inter = len(np.intersect1d(hl, hr, assume_unique=True))
-        cv = inter / mn
-        if cv >= threshold:
-            lefts.append(a)
-            rights.append(b_)
-            cs.append(round(cv, 6))
+    try:
+        inter_keys, inter_cnt, sizes = _pair_intersections(grams)
+    except _CooccurrenceVolume:
+        return None                   # caller takes the distributed path
+    if not len(inter_keys):
+        return rd.from_arrow(out_schema.empty_table())
+    n_docs = len(ids)
+    i_idx = (inter_keys // n_docs).astype(np.int64)
+    j_idx = (inter_keys % n_docs).astype(np.int64)
+    mn = np.minimum(sizes[i_idx], sizes[j_idx])
+    ok = (mn > 0) & (inter_cnt / np.maximum(mn, 1) >= threshold)
+    rows = []
+    for i, j, cv in zip(i_idx[ok], j_idx[ok],
+                        (inter_cnt[ok] / mn[ok])):
+        a, b_ = ids[i], ids[j]
+        if b_ < a:
+            a, b_ = b_, a
+        rows.append((a, b_, round(float(cv), 6)))
+    rows.sort()
     return rd.from_arrow(pa.table({
-        "left": pa.array(lefts, pa.string()),
-        "right": pa.array(rights, pa.string()),
-        "cont": pa.array(cs, pa.float64())}))
+        "left": pa.array([r[0] for r in rows], pa.string()),
+        "right": pa.array([r[1] for r in rows], pa.string()),
+        "cont": pa.array([r[2] for r in rows], pa.float64())}))
+
+
+class _CooccurrenceVolume(Exception):
+    """Projected in-process co-occurrence volume too large — use the
+    distributed prefix-filtered path instead."""
+
+
+def _pair_intersections(grams, max_volume: int = 30_000_000):
+    """Shared-gram counts for every doc pair with ≥1 shared df≥2 gram.
+
+    Input: per-doc arrays of DISTINCT gram hashes.  Returns
+    ``(pair_keys, counts, sizes)`` where ``pair_keys = i * n_docs + j``
+    (doc indices, i < j by index), ``counts[k]`` = exact ``|∩|`` of the
+    pair, and ``sizes`` = per-doc distinct-gram counts.  One sort of
+    the (gram, doc) incidence + within-group pair expansion +
+    ``np.unique`` multiplicity — O(E log E) for E incidence entries
+    plus the co-occurrence volume, all in C."""
+    from elevant_ray.stages.util import within_group_pairs
+
+    sizes = np.array([len(g) for g in grams], dtype=np.int64)
+    if not len(grams):
+        return np.array([], np.int64), np.array([], np.int64), sizes
+    allg = np.concatenate(grams) if len(grams) else np.array([], np.int64)
+    doc_of = np.repeat(np.arange(len(grams), dtype=np.int64), sizes)
+    u, inv, cnt = np.unique(allg, return_inverse=True,
+                            return_counts=True)
+    kept = cnt[cnt >= 2].astype(np.int64)
+    if int((kept * (kept - 1) // 2).sum()) > max_volume:
+        raise _CooccurrenceVolume()
+    keep = cnt[inv] >= 2              # singleton grams can't be shared
+    g_k, d_k = inv[keep], doc_of[keep]
+    order = np.argsort(g_k, kind="stable")
+    g_k, d_k = g_k[order], d_k[order]
+    bounds = np.nonzero(np.diff(g_k))[0] + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    gsizes = np.diff(np.concatenate([starts, [len(g_k)]])).astype(np.int64)
+    li, ri = within_group_pairs(starts, gsizes)
+    if not len(li):
+        return np.array([], np.int64), np.array([], np.int64), sizes
+    a = d_k[li]
+    b = d_k[ri]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keys = lo * np.int64(len(grams)) + hi
+    pair_keys, counts = np.unique(keys, return_counts=True)
+    return pair_keys, counts.astype(np.int64), sizes
 
 
 def _gram_hashes(text: str, n: int) -> np.ndarray:
@@ -651,11 +673,13 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str = "text",
     ds = ds.materialize()
     # explicit verify modes ("broadcast"/"join") are path selectors —
     # tests use them to pin a distributed strategy — so only "auto"
-    # may take the in-process shortcut.  512 KB gate: see
-    # ngram_containment_pairs for the rationale.
-    if verify == "auto" and ds.size_bytes() <= _scale_cutoff(512 << 10):
-        return _ngram_jaccard_inprocess(ds, id_col, text_col, n,
-                                        threshold)
+    # may take the in-process shortcut.  8 MB gate + volume bail-out:
+    # see ngram_containment_pairs for the rationale.
+    if verify == "auto" and ds.size_bytes() <= _scale_cutoff(8 << 20):
+        out = _ngram_jaccard_inprocess(ds, id_col, text_col, n,
+                                       threshold)
+        if out is not None:
+            return out
 
     def gram_partials(batch: pa.Table) -> pa.Table:
         parts = [_gram_hashes(text, n) for text
@@ -896,14 +920,17 @@ def ngram_containment_pairs(ds, id_col: str, text_col: str = "text",
     from elevant_ray.stages.util import cogroup_join, pin_schema, scale_cutoff
 
     ds = ds.materialize()
-    # 512 KB gate, deliberately tighter than the broadcast cutoff: the
-    # in-process twin verifies candidates single-threaded, which only
-    # beats the distributed parallel verify while the candidate set is
-    # small (measured: 500-doc corpora win ~10x; at 5000 docs the
-    # ~400k-candidate verify already wants the worker pool)
-    if ds.size_bytes() <= scale_cutoff(512 << 10):
-        return _ngram_containment_inprocess(ds, id_col, text_col, n,
-                                            threshold)
+    # 8 MB gate (was 512 KB when the twin verified candidates with a
+    # per-pair Python loop): the twin's sort+unique co-occurrence count
+    # is all-C, so it now beats the ~6-execution distributed DAG well
+    # past sf0.1.  The twin bails out (None) when the co-occurrence
+    # volume explodes (df-heavy boilerplate) — the distributed path's
+    # probe-side prefix prune handles that regime.
+    if ds.size_bytes() <= scale_cutoff(8 << 20):
+        out = _ngram_containment_inprocess(ds, id_col, text_col, n,
+                                           threshold)
+        if out is not None:
+            return out
 
     def gram_partials(batch: pa.Table) -> pa.Table:
         parts = [_gram_hashes(text, n) for text
