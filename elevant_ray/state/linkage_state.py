@@ -134,7 +134,7 @@ def _file_seq(fname: str) -> int:
 
 def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
                   empty_schema: pa.Schema = None, max_seq=None,
-                  compact_seq=None):
+                  compact_seq=None, _want_files: bool = False):
     """Dataset over the given bucket dirs (all when None); missing
     dirs are skipped (empty buckets are simply never written).
 
@@ -173,9 +173,39 @@ def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
     if not files:
         schema = empty_schema or pa.schema([("url", pa.string())])
         return rd.from_arrow(schema.empty_table())
+    if _want_files:
+        return files
     ds = rd.read_parquet(files, file_extensions=["parquet"])
     cols = [c for c in ds.schema().names if c not in drop]
     return ds.select_columns(cols)
+
+
+def _read_buckets_df(root: str, bucket_ids=None, drop=("bkt",),
+                     empty_schema: pa.Schema = None, max_seq=None,
+                     compact_seq=None, local_cutoff: int = 64 << 20):
+    """Pandas twin of ``_read_buckets`` for the delta-bounded reads
+    that end in ``.to_pandas()`` anyway: when the visible files fit
+    ``local_cutoff`` bytes they're read with pyarrow directly — the
+    fast delta path was paying three fixed-latency Dataset executions
+    per update just to probe a few small bucket files.  Falls back to
+    the Dataset reader beyond the cutoff (same visibility rules)."""
+    import pyarrow.parquet as pq
+
+    ds = _read_buckets(root, bucket_ids, drop=drop,
+                       empty_schema=empty_schema, max_seq=max_seq,
+                       compact_seq=compact_seq, _want_files=True)
+    if isinstance(ds, list):                      # visible file list
+        if sum(os.path.getsize(f) for f in ds) <= local_cutoff:
+            tabs = [pq.read_table(f) for f in ds]
+            t = pa.concat_tables(tabs, promote_options="default")
+            cols = [c for c in t.column_names if c not in drop]
+            return t.select(cols).to_pandas()
+        import ray.data as rd
+
+        out = rd.read_parquet(ds, file_extensions=["parquet"])
+        cols = [c for c in out.schema().names if c not in drop]
+        return out.select_columns(cols).to_pandas()
+    return ds.to_pandas()                         # empty-schema Dataset
 
 
 def _read_manifest(state_dir: str) -> dict:
@@ -404,10 +434,9 @@ def read_labels(state_dir: str):
 
     man = _read_manifest(state_dir)
     seq = int(man.get("update_seq", 0))
-    lab = _read_buckets(os.path.join(state_dir, "labels"),
-                        empty_schema=_LABELS_SCHEMA, max_seq=seq,
-                        compact_seq=int(man.get("compact_seq", 0))) \
-        .to_pandas()
+    lab = _read_buckets_df(os.path.join(state_dir, "labels"),
+                           empty_schema=_LABELS_SCHEMA, max_seq=seq,
+                           compact_seq=int(man.get("compact_seq", 0)))
     if "node" not in lab.columns:
         # Ray's to_pandas() on a fully-empty dataset drops the schema
         lab = pd.DataFrame({"node": pd.Series([], dtype=object),
@@ -510,9 +539,9 @@ def update_linkage_state(new_pages, state_dir: str,
 
     # 1. drop urls already in state (pruned membership probe)
     page_root = os.path.join(state_dir, "pages")
-    known = _read_buckets(page_root, _hash_np(new_urls, buckets),
-                          empty_schema=_PAGES_SCHEMA,
-                          max_seq=cur_seq).to_pandas()
+    known = _read_buckets_df(page_root, _hash_np(new_urls, buckets),
+                             empty_schema=_PAGES_SCHEMA,
+                             max_seq=cur_seq)
     known_urls = set(known["url"]) & set(new_urls.tolist()) \
         if len(known) else set()
     if known_urls:
@@ -563,10 +592,10 @@ def update_linkage_state(new_pages, state_dir: str,
             canon_col="canon")
         keys_new_df = keys_tbl.to_pandas()
         key_set = set(keys_new_df["band_key"])
-        old_keys_df = _read_buckets(
+        old_keys_df = _read_buckets_df(
             os.path.join(state_dir, "bands"),
             _hash_np(sorted(key_set), buckets),
-            empty_schema=_BANDS_SCHEMA, max_seq=cur_seq).to_pandas()
+            empty_schema=_BANDS_SCHEMA, max_seq=cur_seq)
         if len(old_keys_df):
             old_keys_df = old_keys_df[
                 old_keys_df["band_key"].isin(key_set)]
@@ -582,10 +611,10 @@ def update_linkage_state(new_pages, state_dir: str,
         canons = dict(zip(new_tbl.column("url").to_pylist(),
                           new_tbl.column("canon").to_pylist()))
         if old_ends:
-            op = _read_buckets(page_root,
-                               _hash_np(old_ends, buckets),
-                               empty_schema=_PAGES_SCHEMA,
-                               max_seq=cur_seq).to_pandas()
+            op = _read_buckets_df(page_root,
+                                  _hash_np(old_ends, buckets),
+                                  empty_schema=_PAGES_SCHEMA,
+                                  max_seq=cur_seq)
             op = op[op["url"].isin(old_ends)]
             texts.update(zip(op["url"], op["text"]))
             canons.update(zip(op["url"], op["canon"]))
@@ -675,11 +704,11 @@ def update_linkage_state(new_pages, state_dir: str,
 
     # 5. old endpoints enter CC as their label roots (virtual nodes)
     remap = _resolve_remap(state_dir, max_seq=cur_seq)
-    old_lab = _read_buckets(os.path.join(state_dir, "labels"),
-                            _hash_np(old_ends, buckets),
-                            empty_schema=_LABELS_SCHEMA,
-                            max_seq=cur_seq,
-                            compact_seq=compact_seq).to_pandas() \
+    old_lab = _read_buckets_df(os.path.join(state_dir, "labels"),
+                               _hash_np(old_ends, buckets),
+                               empty_schema=_LABELS_SCHEMA,
+                               max_seq=cur_seq,
+                               compact_seq=compact_seq) \
         if old_ends else pd.DataFrame({"node": [], "label": []})
     lmap = {n: remap.get(l, l)
             for n, l in zip(old_lab["node"], old_lab["label"])}
