@@ -167,7 +167,8 @@ def hash_bucket_array(col, buckets: int):
         pa.int32())
 
 
-def bucketed_group_apply(ds, key: str, per_bucket, buckets: int = 64):
+def bucketed_group_apply(ds, key: str, per_bucket, buckets: int = 64,
+                         parallelism: int = None):
     """One hash shuffle on ``bucket(key)``; ``per_bucket(df)`` then runs
     once per bucket over the concatenated rows of MANY whole key groups
     and must implement the per-key logic vectorized (pandas groupby /
@@ -178,7 +179,15 @@ def bucketed_group_apply(ds, key: str, per_bucket, buckets: int = 64):
     format conversion PER KEY, which dominates wall time once there are
     more than a few thousand groups.  Co-location guarantee is the same
     (a key's rows all hash to one bucket); raise ``buckets`` if a bucket
-    outgrows a worker's heap."""
+    outgrows a worker's heap.
+
+    ``parallelism``: shuffle partition count.  The groupby inherits
+    the INPUT's block count, so a compute-heavy ``per_bucket`` fed by
+    a few-block read (small dimension table under the size-capped
+    reader) serializes onto those few slots — callers whose group
+    compute dominates should pass the cluster's slot count.  Only set
+    it for bounded inputs (dimension tables): on corpus-scale inputs
+    a fixed repartition would COALESCE, not spread."""
     import pandas as pd
     import pyarrow as pa
 
@@ -188,8 +197,10 @@ def bucketed_group_apply(ds, key: str, per_bucket, buckets: int = 64):
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return per_bucket(g.drop(columns=["bkt"]))
 
-    return (ds.map_batches(add_bkt, batch_format="pyarrow")
-            .groupby("bkt").map_groups(run, batch_format="pandas"))
+    keyed = ds.map_batches(add_bkt, batch_format="pyarrow")
+    if parallelism:
+        keyed = keyed.repartition(parallelism)
+    return keyed.groupby("bkt").map_groups(run, batch_format="pandas")
 
 
 def partial_group_agg(ds, keys, sum_cols=(), count_alias=None,
