@@ -691,7 +691,8 @@ def _num_pages(sf_dir: str) -> int:
     ).fetchone()[0]
 
 
-def run_bench(sf_dir: str, num_cpus: int, names) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, names,
+              warm_memos: bool = True) -> dict:
     _init_ray(num_cpus)
     import __ray_entry__ as entrymod
 
@@ -699,9 +700,12 @@ def run_bench(sf_dir: str, num_cpus: int, names) -> dict:
     timings: dict[str, float] = {}
     # warm each shared memo as its OWN row first: per-query numbers then
     # measure the query's marginal work, not whichever shared build it
-    # happened to trigger first (round-3 deltas were attribution noise)
-    for mname, builder in getattr(entrymod, "memo_builders",
-                                  dict)().items():
+    # happened to trigger first (round-3 deltas were attribution noise).
+    # Only for full-registry runs — a --queries subset shouldn't pay
+    # (or report) builds it never touches.
+    builders = (getattr(entrymod, "memo_builders", dict)()
+                if warm_memos else {})
+    for mname, builder in builders.items():
         t0 = time.perf_counter()
         try:
             builder(sf_dir)
@@ -877,7 +881,8 @@ def main() -> None:
                               replicate=args.replicate, repeats=args.repeats)
     else:
         names = args.queries.split(",") if args.queries else BENCH_QUERIES
-        payload = run_bench(args.sf_dir, args.num_cpus, names)
+        payload = run_bench(args.sf_dir, args.num_cpus, names,
+                            warm_memos=args.queries is None)
 
     print(json.dumps(payload))
 

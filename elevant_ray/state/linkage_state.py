@@ -208,6 +208,36 @@ def _read_buckets_df(root: str, bucket_ids=None, drop=("bkt",),
     return ds.to_pandas()                         # empty-schema Dataset
 
 
+def _purge_uncommitted(state_dir: str, cur_seq: int):
+    """Remove every file a crashed mutation left at seq > cur_seq —
+    delta/compact bucket files, remap snapshots and staging dirs.
+    MUST run before any mutation that will commit a seq above
+    cur_seq: an orphan at that seq would otherwise become visible the
+    moment the new mutation's manifest bump reaches it (the torn
+    batch's pages would then read as 'known' with no bands/labels —
+    permanent silent match loss)."""
+    import re
+    import shutil
+
+    for sub in ("pages", "bands", "labels"):
+        sroot = os.path.join(state_dir, sub)
+        if not os.path.isdir(sroot):
+            continue
+        for d in os.listdir(sroot):
+            if not d.startswith("bkt="):
+                continue
+            for f in list(os.listdir(os.path.join(sroot, d))):
+                if f.endswith(".parquet") and _file_seq(f) > cur_seq:
+                    os.remove(os.path.join(sroot, d, f))
+    for f in list(os.listdir(state_dir)):
+        m = re.match(r"remap-(\d+)\.parquet$", f)
+        if m and int(m.group(1)) > cur_seq:
+            os.remove(os.path.join(state_dir, f))
+        elif f.startswith("_staging-"):
+            shutil.rmtree(os.path.join(state_dir, f),
+                          ignore_errors=True)
+
+
 def _read_manifest(state_dir: str) -> dict:
     with open(os.path.join(state_dir, _MANIFEST)) as f:
         return json.load(f)
@@ -466,6 +496,9 @@ def compact_linkage_state(state_dir: str):
         return 0
     import pyarrow.parquet as pq
 
+    # a crashed update may have left orphan files at cur_seq+1 — they
+    # must not ride into visibility on THIS compaction's commit
+    _purge_uncommitted(state_dir, cur_seq)
     newseq = cur_seq + 1
     root = os.path.join(state_dir, "labels")
     n = 0
@@ -755,25 +788,11 @@ def update_linkage_state(new_pages, state_dir: str,
     #    Every file lands under a seq-tagged name FIRST (invisible to
     #    readers: seq > the manifest's update_seq); the atomic
     #    manifest replace at the end is the commit point.  First purge
-    #    any uncommitted orphans a crashed prior update left at
-    #    seq > cur_seq — they belong to an abandoned batch and would
-    #    otherwise become visible when THIS update commits their seq.
-    import re as _re
-
-    for sub in ("pages", "bands", "labels"):
-        sroot = os.path.join(state_dir, sub)
-        if not os.path.isdir(sroot):
-            continue
-        for d in os.listdir(sroot):
-            if not d.startswith("bkt="):
-                continue
-            for f in list(os.listdir(os.path.join(sroot, d))):
-                if f.endswith(".parquet") and _file_seq(f) > cur_seq:
-                    os.remove(os.path.join(sroot, d, f))
-    for f in list(os.listdir(state_dir)):
-        m = _re.match(r"remap-(\d+)\.parquet$", f)
-        if m and int(m.group(1)) > cur_seq:
-            os.remove(os.path.join(state_dir, f))
+    #    any uncommitted orphans a crashed prior mutation left at
+    #    seq > cur_seq (incl. staging dirs) — they belong to an
+    #    abandoned batch and would otherwise become visible when THIS
+    #    update commits their seq.
+    _purge_uncommitted(state_dir, cur_seq)
     lab_tbl = pa.table({"node": pa.array(out_nodes, pa.string()),
                         "label": pa.array(out_labels, pa.string())})
     if fast:

@@ -179,6 +179,49 @@ class TestIncrementalLinkage:
         assert (merged.loc[~on_full, "label_inc"]
                 == merged.loc[~on_full, "node"]).all()
 
+    def test_compaction_purges_torn_orphans(self, ray_session,
+                                            tmp_path,
+                                            full_batch_labels):
+        """A compaction after a torn update must NOT commit the
+        orphan delta files at its new seq: it purges them first, so
+        the torn batch stays invisible and fully re-ingestable."""
+        import pyarrow as pa
+
+        from elevant_ray.state import linkage_state as L
+
+        state = str(tmp_path / "state_compact_torn")
+        L.build_linkage_state(_prepared(shard=(0, 3)), state,
+                              num_partitions=8, buckets=8)
+        # an update so the remap chain is non-empty (else compaction
+        # is a no-op)
+        L.update_linkage_state(_prepared(shard=(1, 3)), state,
+                               num_partitions=8)
+        clean = L.read_labels(state)
+
+        # torn update at the NEXT seq: pages delta only
+        batch = _prepared(shard=(2, 3)).materialize()
+        tbl = pa.concat_tables(
+            [b.select(["url", "canon", "text"])
+             for b in batch.iter_batches(batch_format="pyarrow")])
+        seq = L._read_manifest(state)["update_seq"] + 1
+        L._append_bucketed_table(tbl, os.path.join(state, "pages"),
+                                 "url", 8, seq=seq)
+
+        n = L.compact_linkage_state(state)
+        # compaction committed seq — the orphan must be GONE, not
+        # promoted into visibility
+        pd.testing.assert_frame_equal(L.read_labels(state), clean)
+        res = L.update_linkage_state(_prepared(shard=(2, 3)), state,
+                                     num_partitions=8)
+        assert res["dropped_known"] == 0
+        assert res["new_nodes"] == tbl.num_rows
+        got = L.read_labels(state)
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+
     def test_remap_cycle_fails_loudly(self, ray_session, tmp_path):
         """A corrupted remap with an alias cycle must raise, not hang
         (the chain is monotone under correct writes, so a cycle is
