@@ -375,8 +375,12 @@ def verify_pairs(pairs, pages, id_col: str = "url",
             v = _BCAST_CACHE.get(key)
             if v is None:
                 tab = cached_get(ref)
+                # U-dtype, not object: searchsorted then compares with
+                # C unicode ops instead of per-element Python calls
+                # (code-point order == Arrow's UTF-8 byte order, which
+                # sorted the table)
                 ids = np.asarray(tab.column(id_col).to_pylist(),
-                                 dtype=object)
+                                 dtype=np.str_)
                 v = _BCAST_CACHE[key] = (tab, ids)
             return v
 
@@ -391,8 +395,10 @@ def verify_pairs(pairs, pages, id_col: str = "url",
                     "canon_r": pa.array([], pa.string())}),
                     threshold=threshold)
             tab, ids = _side_index(side_ref)
-            lefts = np.asarray(b.column("left").to_pylist(), dtype=object)
-            rights = np.asarray(b.column("right").to_pylist(), dtype=object)
+            lefts = np.asarray(b.column("left").to_pylist(),
+                               dtype=np.str_)
+            rights = np.asarray(b.column("right").to_pylist(),
+                                dtype=np.str_)
             li = pa.array(np.searchsorted(ids, lefts).astype(np.int64))
             ri = pa.array(np.searchsorted(ids, rights).astype(np.int64))
             t = pa.table({
