@@ -33,8 +33,17 @@ from elevant_ray.stages.coref import FEMALE, MALE, OTHER
 
 
 def _lines(path: str):
+    import os
+
     import ray.data as rd
 
+    # size-proportional block count (min 4, ~16 MB/block): Ray's
+    # CPU-count default shatters small dim TSVs into dozens of blocks
+    # whose task overhead dominates (same policy as the parquet
+    # reader); directory inputs keep Ray's default.
+    if os.path.isfile(path):
+        nb = max(4, os.path.getsize(path) // (16 << 20))
+        return rd.read_text(path, override_num_blocks=nb)
     return rd.read_text(path)
 
 
