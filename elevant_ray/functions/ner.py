@@ -22,8 +22,35 @@ def split_points(text: str) -> List[int]:
     return [-1] + [i for i, c in enumerate(text) if not c.isalnum()] + [len(text)]
 
 
+def alias_first_token_index(aliases: Collection[str]):
+    """first token → max token count over the aliases starting with
+    it, or ``None`` when the dictionary contains an alias that cannot
+    be first-token-indexed (empty / leading separator) — callers then
+    run unfiltered.  A candidate span can only equal an alias whose
+    first token matches the span's first token, so the matcher skips
+    positions (and bound lengths) the index rules out — one dict probe
+    per position instead of up-to-max_tokens substring probes.  Build
+    once per dictionary (stage ``__init__``)."""
+    idx = {}
+    for a in aliases:
+        if not a or not a[0].isalnum():
+            return None
+        ft = a
+        seps = 0
+        for i, c in enumerate(a):
+            if not c.isalnum():
+                if seps == 0:
+                    ft = a[:i]
+                seps += 1
+        ln = seps + 1
+        if ln > idx.get(ft, 0):
+            idx[ft] = ln
+    return idx
+
+
 def alias_mentions(text: str, aliases: Collection[str],
-                   max_tokens: int = MAX_MENTION_TOKENS) -> List[Tuple[int, int]]:
+                   max_tokens: int = MAX_MENTION_TOKENS,
+                   first_token_index=None) -> List[Tuple[int, int]]:
     """Greedy left-to-right longest-match spans of known aliases."""
     points = split_points(text)
     n = len(points)
@@ -31,7 +58,15 @@ def alias_mentions(text: str, aliases: Collection[str],
     i = 0
     while i < n - 1:
         start = points[i] + 1
-        for length in range(min(max_tokens, n - 1 - i), 0, -1):
+        cap = max_tokens
+        if first_token_index is not None:
+            ft_end = points[i + 1]
+            if ft_end > start:   # empty first token → no filter here
+                cap = first_token_index.get(text[start:ft_end], 0)
+                if cap == 0:
+                    i += 1
+                    continue
+        for length in range(min(cap, n - 1 - i), 0, -1):
             end = points[i + length]
             if end > start and text[start:end] in aliases:
                 spans.append((start, end))

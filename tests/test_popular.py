@@ -115,3 +115,37 @@ def test_query_runs_and_is_deterministic(ray_session):
     assert len(d1) > 0
     assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
     assert set(d1["recognized_by"].unique()) <= {"named", "lowercase"}
+
+
+def test_alias_first_token_index_equivalence():
+    """The first-token pruning must be invisible: filtered and
+    unfiltered alias_mentions agree on randomized texts/dicts,
+    including multi-token aliases and punctuation separators."""
+    import random
+
+    from elevant_ray.functions.ner import (alias_first_token_index,
+                                           alias_mentions)
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "Big", "Apple"]
+    for _ in range(300):
+        n_alias = rng.randint(0, 6)
+        aliases = set()
+        for _ in range(n_alias):
+            k = rng.randint(1, 3)
+            sep = rng.choice([" ", "-", ". "])
+            aliases.add(sep.join(rng.choice(words) for _ in range(k)))
+        text = " ".join(rng.choice(words + ["zzz", ".", "Big Apple"])
+                        for _ in range(rng.randint(0, 25)))
+        idx = alias_first_token_index(aliases)
+        assert alias_mentions(text, aliases) == \
+            alias_mentions(text, aliases, first_token_index=idx), \
+            (text, sorted(aliases))
+
+
+def test_alias_first_token_index_unindexable():
+    from elevant_ray.functions.ner import alias_first_token_index
+
+    assert alias_first_token_index({"ok", " leading"}) is None
+    assert alias_first_token_index({""}) is None
+    assert alias_first_token_index({"a b", "a-c d"}) == {"a": 3}
