@@ -157,7 +157,6 @@ def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
         dirs = [os.path.join(root, f"bkt={int(k)}")
                 for k in sorted(set(int(x) for x in bucket_ids))]
         dirs = [d for d in dirs if os.path.isdir(d)]
-    floor = compact_seq or 0
     files = []
     for d in dirs:
         for f in sorted(os.listdir(d)):
@@ -167,8 +166,15 @@ def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
             if f.startswith("compact-"):
                 if compact_seq is None or s != compact_seq:
                     continue
-            elif s < floor or (max_seq is not None and s > max_seq):
-                continue
+            else:
+                # a committed compaction at seq C subsumes every
+                # delta/base at s <= C (the purge guarantees no delta
+                # shares C, but exclude s == C too — defense in depth
+                # against double-counting)
+                if compact_seq and s <= compact_seq:
+                    continue
+                if max_seq is not None and s > max_seq:
+                    continue
             files.append(os.path.join(d, f))
     if not files:
         schema = empty_schema or pa.schema([("url", pa.string())])

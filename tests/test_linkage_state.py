@@ -265,3 +265,51 @@ class TestIncrementalLinkage:
         assert len(mism) == 0, mism.head()
         assert (merged.loc[~on_full, "label_inc"]
                 == merged.loc[~on_full, "node"]).all()
+
+
+class TestVisibilityRules:
+    """Unit tests for the seq-window file-visibility logic the commit
+    protocol rests on (no Ray needed beyond the session fixture)."""
+
+    def _mk(self, tmp_path, files):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path / "labels"
+        for fname in files:
+            d = root / "bkt=0"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.table({"node": [fname], "label": [fname]}),
+                           str(d / fname))
+        return str(root)
+
+    def test_seq_window(self, ray_session, tmp_path):
+        from elevant_ray.state import linkage_state as L
+
+        root = self._mk(tmp_path, [
+            "base.parquet",            # seq 0 (untagged)
+            "delta-1.parquet",
+            "delta-2-0.parquet",       # distributed delta at seq 2
+            "delta-3.parquet",         # uncommitted (beyond manifest)
+            "compact-2.parquet",       # committed compaction
+            "compact-3.parquet",       # orphaned compaction
+        ])
+        def vis(max_seq, compact_seq):
+            files = L._read_buckets(root, max_seq=max_seq,
+                                    compact_seq=compact_seq,
+                                    _want_files=True)
+            return sorted(os.path.basename(f) for f in files) \
+                if isinstance(files, list) else []
+
+        # no compaction committed: base + deltas <= max_seq
+        assert vis(2, 0) == ["base.parquet", "delta-1.parquet",
+                             "delta-2-0.parquet"]
+        # uncommitted delta-3 invisible at max_seq=2, visible at 3
+        assert "delta-3.parquet" in vis(3, 0)
+        # committed compaction at 2: ONLY compact-2 plus deltas > 2
+        assert vis(2, 2) == ["compact-2.parquet"]
+        assert vis(3, 2) == ["compact-2.parquet", "delta-3.parquet"]
+        # an orphaned compact-3 never becomes visible unless
+        # compact_seq itself is 3
+        assert "compact-3.parquet" not in vis(3, 2)
+        assert vis(3, 3) == ["compact-3.parquet"]

@@ -320,3 +320,50 @@ class TestMultimodal:
         b = m.queries()["multimodal_features"](SF_DIR).to_pandas()
         assert a.equals(b)
         assert (a["dim"] == 16).all()
+
+
+def test_pair_intersections_property():
+    """_pair_intersections (the shared counter behind the containment
+    and Jaccard twins) must agree with brute-force intersect1d on
+    randomized gram multisets, including empty docs and all-shared
+    grams."""
+    import numpy as np
+
+    from elevant_ray.stages.dedup import _pair_intersections
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n_docs = int(rng.integers(0, 12))
+        vocab = int(rng.integers(1, 14))
+        grams = []
+        for _ in range(n_docs):
+            k = int(rng.integers(0, vocab + 1))
+            g = rng.choice(vocab, size=k, replace=False).astype(np.int64)
+            grams.append(np.sort(g))
+        keys, counts, sizes = _pair_intersections(grams)
+        got = dict(zip(keys.tolist(), counts.tolist()))
+        want = {}
+        for i in range(n_docs):
+            for j in range(i + 1, n_docs):
+                inter = len(np.intersect1d(grams[i], grams[j],
+                                           assume_unique=True))
+                # singleton-gram shares are impossible by construction
+                # of the counter's df>=2 floor — but a gram shared by
+                # (i, j) has df >= 2 globally, so every nonzero
+                # intersection must be reported exactly
+                if inter:
+                    want[i * n_docs + j] = inter
+        assert got == want, (trial, got, want)
+        assert sizes.tolist() == [len(g) for g in grams]
+
+
+def test_pair_intersections_volume_bailout():
+    import numpy as np
+    import pytest
+
+    from elevant_ray.stages.dedup import (_CooccurrenceVolume,
+                                          _pair_intersections)
+
+    grams = [np.array([1, 2, 3], np.int64)] * 10
+    with pytest.raises(_CooccurrenceVolume):
+        _pair_intersections(grams, max_volume=10)
