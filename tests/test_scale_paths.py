@@ -45,7 +45,10 @@ ORACLE_CHECKED = ["region_revenue", "q3_top_orders", "customer_except",
                   "dedup_containment", "dedup_ngram_jaccard",
                   "order_basket_triples",
                   # dedup_first_by's in-process pack/min/unpack twin
-                  "dedup_exact"]
+                  "dedup_exact",
+                  # driver-combine distinct-pairs fast path ↔ two
+                  # keyed exchanges
+                  "customers_all_priorities"]
 PATH_VS_PATH = ["dedup_simhash", "dedup_minhash", "part_supplier_kcore",
                 "blocking_quality", "linkage_ari", "dedup_embedding_clusters",
                 "linking_eval_counts", "model_ner_linking",
