@@ -62,7 +62,11 @@ def alias_mentions(text: str, aliases: Collection[str],
         if first_token_index is not None:
             ft_end = points[i + 1]
             if ft_end > start:   # empty first token → no filter here
-                cap = first_token_index.get(text[start:ft_end], 0)
+                # min() with max_tokens: the index may know LONGER
+                # aliases than the matcher is allowed to match — the
+                # filter must never widen the search space
+                cap = min(max_tokens,
+                          first_token_index.get(text[start:ft_end], 0))
                 if cap == 0:
                     i += 1
                     continue

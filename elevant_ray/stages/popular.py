@@ -131,10 +131,6 @@ def select_entity(name_and_demonym_candidates: Set[str],
     return best_id
 
 
-def _overlaps_any(span: Tuple[int, int], spans) -> bool:
-    return any(not (span[1] <= b or e <= span[0]) for b, e in spans)
-
-
 def popular_link_text(
     text: str,
     ner_aliases: Set[str],

@@ -146,7 +146,11 @@ def grouped_weighted_median(ds, value_col: str, weight_col: str,
     cumg = cum - base[grp_of]
     hitpos = np.where(2 * cumg >= tot[grp_of], np.arange(n), n)
     first = np.minimum.reduceat(hitpos, starts)
-    meds = v_s[np.minimum(first, n - 1)]
+    # clamp to the group's OWN last row (float-weight rounding can
+    # leave a group with no satisfying row; n-1 would silently take a
+    # value from a different group)
+    last = np.append(starts[1:], n) - 1
+    meds = v_s[np.minimum(first, last)]
     # group ids in `starts` order are ascending (gid sorted), and
     # factorize(sort=True) made gid order == sorted-group order —
     # matching the old sorted(per_group) output order

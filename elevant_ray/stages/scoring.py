@@ -375,12 +375,14 @@ def verify_pairs(pairs, pages, id_col: str = "url",
             v = _BCAST_CACHE.get(key)
             if v is None:
                 tab = cached_get(ref)
-                # U-dtype, not object: searchsorted then compares with
-                # C unicode ops instead of per-element Python calls
-                # (code-point order == Arrow's UTF-8 byte order, which
-                # sorted the table)
-                ids = np.asarray(tab.column(id_col).to_pylist(),
-                                 dtype=np.str_)
+                # hash index, not a fixed-width numpy array: U/S dtype
+                # sizes every element to the LONGEST id, so one long
+                # outlier url multiplies the cached index by orders of
+                # magnitude; pd.Index.get_indexer probes a C hash
+                # table at object dtype with no width tax
+                import pandas as pd
+
+                ids = pd.Index(tab.column(id_col).to_pylist())
                 v = _BCAST_CACHE[key] = (tab, ids)
             return v
 
@@ -395,12 +397,10 @@ def verify_pairs(pairs, pages, id_col: str = "url",
                     "canon_r": pa.array([], pa.string())}),
                     threshold=threshold)
             tab, ids = _side_index(side_ref)
-            lefts = np.asarray(b.column("left").to_pylist(),
-                               dtype=np.str_)
-            rights = np.asarray(b.column("right").to_pylist(),
-                                dtype=np.str_)
-            li = pa.array(np.searchsorted(ids, lefts).astype(np.int64))
-            ri = pa.array(np.searchsorted(ids, rights).astype(np.int64))
+            li = pa.array(ids.get_indexer(
+                b.column("left").to_pylist()).astype(np.int64))
+            ri = pa.array(ids.get_indexer(
+                b.column("right").to_pylist()).astype(np.int64))
             t = pa.table({
                 "left": b.column("left"), "right": b.column("right"),
                 "text_l": tab.column("text").take(li),

@@ -49,8 +49,9 @@ Update path (`update_linkage_state`):
 Commit protocol (crash safety): every delta file is named with the
 update sequence that produced it (``delta-<seq>[-<i>].parquet``,
 ``compact-<seq>.parquet``, ``remap-<seq>.parquet``) and readers only
-see files whose seq is <= the manifest's ``update_seq`` (labels
-additionally require seq >= ``compact_seq``).  The manifest itself is
+see files whose seq is <= the manifest's ``update_seq`` (label deltas
+additionally require seq > ``compact_seq``; compact files require
+seq == ``compact_seq`` exactly).  The manifest itself is
 replaced atomically (tmp + ``os.replace``) and is written LAST, so an
 update that crashes mid-persist leaves only invisible files: a re-run
 re-ingests the same batch from scratch instead of half-seeing it
@@ -139,7 +140,7 @@ def _read_buckets(root: str, bucket_ids=None, drop=("bkt",),
     dirs are skipped (empty buckets are simply never written).
 
     Visibility (the commit protocol): delta/base files need
-    ``compact_seq <= seq <= max_seq`` (``max_seq`` = the manifest's
+    ``compact_seq < seq <= max_seq`` (``max_seq`` = the manifest's
     committed ``update_seq``; files beyond it are torn, uncommitted
     deltas and MUST be ignored).  ``compact-<seq>`` files need
     ``seq == compact_seq`` exactly — an uncommitted compaction's seq
@@ -490,7 +491,8 @@ def compact_linkage_state(state_dir: str):
     Crash-safe: each bucket's compacted table is written as
     ``compact-<newseq>.parquet`` — INVISIBLE until the manifest bumps
     ``update_seq``/``compact_seq`` to newseq, because readers require
-    ``compact_seq <= seq <= update_seq`` on label files.  Only after
+    ``seq == compact_seq`` for compact files (deltas need
+    ``seq > compact_seq``).  Only after
     that atomic commit are the superseded files deleted (a crash
     between commit and cleanup leaves stale files that the seq window
     already excludes)."""

@@ -149,3 +149,17 @@ def test_alias_first_token_index_unindexable():
     assert alias_first_token_index({"ok", " leading"}) is None
     assert alias_first_token_index({""}) is None
     assert alias_first_token_index({"a b", "a-c d"}) == {"a": 3}
+
+
+def test_alias_index_never_widens_max_tokens():
+    """An alias longer than max_tokens must stay unmatchable when the
+    index is active (the index caps, never widens, the search)."""
+    from elevant_ray.functions.ner import (alias_first_token_index,
+                                           alias_mentions)
+
+    long_alias = " ".join(["tok"] * 25)      # 25 tokens > the 20 cap
+    aliases = {long_alias, "tok"}
+    idx = alias_first_token_index(aliases)
+    text = long_alias
+    assert alias_mentions(text, aliases) == \
+        alias_mentions(text, aliases, first_token_index=idx)
