@@ -49,7 +49,18 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
     (hash collisions route a few extra — harmless superset) pay the
     packed-min exchange.  Hash counting itself is driver-combined under
     the broadcast cutoff and falls back to a distributed groupby
-    beyond it."""
+    beyond it.
+
+    The duplicated-key SET is broadcastable only while it stays small
+    (a few percent of keys on web corpora).  That assumption is now
+    checked, not trusted: beyond the cutoff the counted dup-key set's
+    byte size is measured first, and when it exceeds
+    ``ELEVANT_RAY_DUPKEY_CUTOFF`` (default 256 MB — a dedicated knob so
+    the forced-distributed conformance runs under
+    ``ELEVANT_RAY_BROADCAST_CUTOFF=0`` still exercise the routed
+    broadcast path) the stage automatically falls back to the plain
+    packed-min groupby over every row (``prefilter=False`` semantics,
+    identical output) instead of broadcasting an oversized array."""
     import base64
     import pickle
 
@@ -112,10 +123,13 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
             rows.append(dict(zip(names, vals)))
         return pa.Table.from_pylist(rows, schema=arrow_schema)
 
-    if not prefilter:
-        winners = ds.map_batches(pack, batch_format="pyarrow") \
+    def packed_min_route(d):
+        winners = d.map_batches(pack, batch_format="pyarrow") \
             .groupby(key).aggregate(Min("_packed", alias_name="_packed"))
         return winners.map_batches(unpack, batch_format="pyarrow")
+
+    if not prefilter:
+        return packed_min_route(ds)
 
     # ---- slim duplicate-key discovery + routed dedup ------------------
     import zlib
@@ -172,15 +186,23 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
         totals = np.bincount(inv, weights=n_all)
         dup_hashes = uniq[totals >= 2]
     else:
+        import os
+
         from ray.data.aggregate import Sum
 
         agg = counts.groupby("h").aggregate(Sum("n", alias_name="n"))
-        # the duplicated-key set is the broadcastable side by
-        # construction (dup rate is a few percent of keys; a corpus
-        # where most keys collide should run prefilter=False instead)
+        dup = agg.filter(lambda r: r["n"] >= 2).materialize()
+        # broadcastability is MEASURED, not assumed: a pathological
+        # corpus where most keys collide would make the dup-key set
+        # itself corpus-scale — fall back to the plain packed-min
+        # groupby (prefilter=False semantics, identical output) instead
+        # of broadcasting it
+        dup_cutoff = int(os.environ.get(
+            "ELEVANT_RAY_DUPKEY_CUTOFF", "") or (256 << 20))
+        if dup.count() * 8 > dup_cutoff:
+            return packed_min_route(ds)
         dup_hashes = np.sort(np.array(
-            [r["h"] for r in agg.filter(
-                lambda r: r["n"] >= 2).take_all()], np.uint64))
+            [r["h"] for r in dup.take_all()], np.uint64))
     dup_ref = ray.put(np.sort(dup_hashes))
 
     def route(batch: pa.Table, want_dup: bool) -> pa.Table:

@@ -367,3 +367,48 @@ def test_pair_intersections_volume_bailout():
     grams = [np.array([1, 2, 3], np.int64)] * 10
     with pytest.raises(_CooccurrenceVolume):
         _pair_intersections(grams, max_volume=10)
+
+
+class TestDedupDupkeyAutoFallback:
+    """`dedup_first_by` must never broadcast a corpus-scale dup-key set:
+    when the measured ≥2-count key set exceeds ELEVANT_RAY_DUPKEY_CUTOFF
+    it switches to the plain packed-min groupby automatically."""
+
+    def _adversarial(self):
+        # all-duplicate corpus: EVERY key collides, so the dup-key set
+        # is as large as the distinct-key set — the pathological case
+        # the old comment told users to handle with prefilter=False
+        import ray.data as rd
+
+        keys = [f"k{i:04d}" for i in range(200)] * 3
+        ts = list(range(len(keys)))
+        return rd.from_arrow(pa.table({
+            "url": pa.array(keys, pa.string()),
+            "warc_ts": pa.array(ts, pa.int64()),
+            "text": pa.array([f"t{v}" for v in ts], pa.string()),
+        }))
+
+    def _expect(self):
+        # keep-first: min warc_ts per key = the first 200 rows
+        return {f"k{i:04d}": (i, f"t{i}") for i in range(200)}
+
+    def _check(self, ds):
+        from elevant_ray.stages.dedup import dedup_first_by
+
+        out = dedup_first_by(ds, key="url", order_col="warc_ts").to_pandas()
+        got = {r.url: (r.warc_ts, r.text) for r in out.itertuples()}
+        assert got == self._expect()
+
+    def test_forced_fallback_matches(self, ray_session, monkeypatch):
+        # force the distributed counting path AND a zero dup-key budget:
+        # the auto-fallback packed-min route must produce identical rows
+        monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+        monkeypatch.setenv("ELEVANT_RAY_DUPKEY_CUTOFF", "0")
+        self._check(self._adversarial())
+
+    def test_broadcast_route_still_matches(self, ray_session, monkeypatch):
+        # same corpus, ample dup-key budget: the routed broadcast path
+        # (the conformance default under BROADCAST_CUTOFF=0) unchanged
+        monkeypatch.setenv("ELEVANT_RAY_BROADCAST_CUTOFF", "0")
+        monkeypatch.delenv("ELEVANT_RAY_DUPKEY_CUTOFF", raising=False)
+        self._check(self._adversarial())
