@@ -184,6 +184,61 @@ def damerau_pairs(names1, names2) -> np.ndarray:
     return ud[inv]
 
 
+def guarded_pair_slabs(n: int, lens=None, max_diff: Optional[int] = None,
+                       slab_pairs: Optional[int] = None):
+    """Bounded-memory within-group pair enumeration: yields (i, j)
+    int64 index arrays with i < j in slabs of ≤ `slab_pairs` pairs
+    (env ``ELEVANT_RAY_PAIR_SLAB``, default 2^20 ≈ 16 MB/slab) — the
+    skew guard for the inherently-pairwise contract queries
+    (part_name_similarity / _damerau / _monge_elkan).  A full
+    ``np.triu_indices(g)`` materializes O(g²) indices per group, which
+    at 100× the part table is ~10⁴× the memory of the measured scale;
+    slabs keep the peak at O(group + slab) while enumerating the exact
+    same pair set, so the quadratic COST that remains is exactly the
+    pair semantics the oracle's self-join defines (output-bound), never
+    a resident O(g²) buffer.
+
+    When the pair metric admits a length lower bound (Levenshtein and
+    unrestricted Damerau-Levenshtein are both ≥ |len(a) − len(b)|:
+    ins/del change length by 1 at cost 1, substitution/transposition
+    keep it), pass `lens` (sorted ascending, caller sorts the group by
+    length) and `max_diff`: rows pair only within the length band, so
+    thresholded queries (lev ≤ 4) skip provably-failing pairs without
+    changing the answer.  A slab containing a single oversized row
+    stays O(n) — linear, never quadratic."""
+    import os
+
+    if slab_pairs is None:
+        slab_pairs = int(os.environ.get(
+            "ELEVANT_RAY_PAIR_SLAB", "") or (1 << 20))
+    slab_pairs = max(1, slab_pairs)
+    if n < 2:
+        return
+    lo = np.arange(1, n + 1, dtype=np.int64)
+    if max_diff is None:
+        hi = np.full(n, n, np.int64)
+    else:
+        lens = np.asarray(lens, np.int64)
+        hi = np.searchsorted(lens, lens + max_diff,
+                             side="right").astype(np.int64)
+    cnt = np.maximum(hi - lo, 0)
+    total = np.cumsum(cnt)
+    start = 0
+    while start < n:
+        budget = (total[start - 1] if start else 0) + slab_pairs
+        end = int(np.searchsorted(total, budget, side="right"))
+        end = min(max(end, start + 1), n)
+        c = cnt[start:end]
+        tot = int(c.sum())
+        if tot:
+            ii = np.repeat(np.arange(start, end, dtype=np.int64), c)
+            run = np.concatenate([[0], np.cumsum(c)[:-1]])
+            jj = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(run, c) + np.repeat(lo[start:end], c))
+            yield ii, jj
+        start = end
+
+
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     """Jaro-Winkler string similarity (standard public formulation)."""
     if s1 == s2:

@@ -117,3 +117,23 @@ def test_distributed_fallback_matches_broadcast_path(name, ray_session,
     monkeypatch.setenv("ELEVANT_RAY_READ_BLOCKS", "4")
     fallback = _norm(_run(name))
     pd.testing.assert_frame_equal(fallback, default, check_dtype=False)
+
+
+# the inherently-pairwise string-similarity family: enumeration goes
+# through scoring.guarded_pair_slabs; a tiny forced slab proves the
+# guard path (many slabs + running top-k merges) yields the exact
+# oracle answer
+PAIR_SLAB_GUARDED = ["part_name_similarity", "part_name_damerau",
+                     "part_name_monge_elkan"]
+
+
+@pytest.mark.parametrize("name", PAIR_SLAB_GUARDED)
+def test_tiny_pair_slab_matches_oracle(name, ray_session, ddb,
+                                       monkeypatch):
+    import __ray_entry__ as m
+
+    monkeypatch.setenv("ELEVANT_RAY_PAIR_SLAB", "3")
+    got = _norm(_run(name))
+    want = _norm(ddb.execute(m.oracle_sql()[name]).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

@@ -119,3 +119,42 @@ def test_damerau_levenshtein_matches_duckdb():
     got = damerau_pairs(n1, n2)
     for i, (a, b) in enumerate(pairs):
         assert got[i] == damerau_levenshtein(a, b)
+
+
+def test_guarded_pair_slabs_matches_bruteforce():
+    """Slab enumeration must generate EXACTLY the triu pair set (with
+    an optional length band) regardless of slab size — randomized
+    differential vs the quadratic loop."""
+    import numpy as np
+
+    from elevant_ray.stages.scoring import guarded_pair_slabs
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        n = int(rng.integers(0, 40))
+        slab = int(rng.integers(1, 50))
+        lens = np.sort(rng.integers(0, 15, n))
+        md = int(rng.integers(0, 6)) if rng.random() < 0.7 else None
+        pairs = []
+        for ii, jj in guarded_pair_slabs(n, lens=lens, max_diff=md,
+                                         slab_pairs=slab):
+            assert len(ii) == len(jj) and (ii < jj).all()
+            # slabs are bounded except when one row's band alone
+            # exceeds the budget (then it's O(n), never O(n^2))
+            assert len(ii) <= slab + n
+            pairs += list(zip(ii.tolist(), jj.tolist()))
+        want = [(i, j) for i in range(n) for j in range(i + 1, n)
+                if md is None or lens[j] - lens[i] <= md]
+        assert pairs == want, (trial, n, slab, md)
+
+
+def test_guarded_pair_slabs_env_knob(monkeypatch):
+    import numpy as np
+
+    from elevant_ray.stages.scoring import guarded_pair_slabs
+
+    monkeypatch.setenv("ELEVANT_RAY_PAIR_SLAB", "2")
+    slabs = list(guarded_pair_slabs(6))
+    assert len(slabs) > 1                      # forced fragmentation
+    got = [p for ii, jj in slabs for p in zip(ii.tolist(), jj.tolist())]
+    assert got == [(i, j) for i in range(6) for j in range(i + 1, 6)]
