@@ -42,8 +42,17 @@ infinitival "to"+verb within the sentence window.  Parameterized
 differential intuition tested on pronoun-heavy fixtures in
 tests/test_coref.py.
 
-Not ported (requires a dependency parse / POS tags; parameterized off):
-- ``is_first_subj_in_paragraph`` neutral-paragraph-subject shortcut.
+The ``is_first_subj_in_paragraph`` neutral-paragraph-subject shortcut
+(:110-121, :280-285) IS ported, parser-free (``get_paragraphs`` is a
+verbatim port, quirks included: no ``\\n\\n`` → NO paragraphs, the
++1 start offset after each boundary; the ``nsubj``/``nsubjpass`` test
+is the same subject-of-verb surface adjacency the problematic-it
+filter uses): a NEUTRAL pronoun that is the subject in the first
+sentence of its paragraph resolves directly to the title entity (the
+mention at offset 0) when that entity is itself NEUTRAL-gendered
+(``get_referenced_entity`` :160-161).  Parameterized
+(``paragraph_subject=True`` default, matching the reference); the
+docstring's "not ported" list is now empty.
 """
 
 from __future__ import annotations
@@ -127,6 +136,27 @@ _COMPLEMENTIZERS = frozenset(
 _IT_SCAN_WINDOW = 6   # tokens after the verb to look for the cue
 
 
+def subject_verb_index(text: str, tokens, ti: int, sent_flags) -> int:
+    """Surface stand-in for "token ``ti`` is the nsubj/nsubjpass of a
+    verb": the token is directly followed (one adverb may intervene,
+    mirroring nsubj→head adjacency) by a verb-like token in the same
+    sentence.  Returns the verb token's index, or -1.  Shared by the
+    problematic-it filter and the paragraph-subject shortcut so the
+    two dep-parse approximations cannot drift apart."""
+    j = ti + 1
+    n = len(tokens)
+
+    def core_at(k):
+        b, e = tokens[k]
+        return _strip_punct(text[b:e]).lstrip("\"'(“")
+
+    if j < n and not sent_flags[j] and core_at(j).lower().endswith("ly"):
+        j += 1                     # "It really seems that …"
+    if j >= n or sent_flags[j] or not _looks_like_verb(core_at(j)):
+        return -1
+    return j
+
+
 def is_problematic_it_surface(text: str, tokens, ti: int,
                               sent_flags) -> bool:
     """Parser-free stand-in for the reference's ``is_problematic_it``
@@ -138,16 +168,14 @@ def is_problematic_it_surface(text: str, tokens, ti: int,
     verb-like token, with a complementizer or an infinitival
     "to"+verb within the next ``_IT_SCAN_WINDOW`` tokens of the same
     sentence."""
-    j = ti + 1
     n = len(tokens)
 
     def core_at(k):
         b, e = tokens[k]
         return _strip_punct(text[b:e]).lstrip("\"'(“")
 
-    if j < n and not sent_flags[j] and core_at(j).lower().endswith("ly"):
-        j += 1                     # "It really seems that …"
-    if j >= n or sent_flags[j] or not _looks_like_verb(core_at(j)):
+    j = subject_verb_index(text, tokens, ti, sent_flags)
+    if j < 0:
         return False
     for k in range(j + 1, min(j + 1 + _IT_SCAN_WINDOW, n)):
         if sent_flags[k]:
@@ -161,6 +189,54 @@ def is_problematic_it_surface(text: str, tokens, ti: int,
         # belongs to Alice") is a plain preposition — keep those.
         if low == "to" and k > j + 1 and k + 1 < n \
                 and not sent_flags[k + 1]:
+            return True
+    return False
+
+
+def get_paragraphs(text: str) -> List[Tuple[int, int]]:
+    """Verbatim port of the reference's ``get_paragraphs``
+    (kb_coref_linker.py:93-107), quirks included: an article with NO
+    ``\\n\\n`` boundary yields an EMPTY list (so the paragraph-subject
+    shortcut never fires on single-paragraph text), each span after
+    the first starts one char past the boundary's end, and a trailing
+    paragraph is appended only when a boundary matched."""
+    import re
+
+    paragraphs: List[Tuple[int, int]] = []
+    start = 0
+    match = None
+    for match in re.finditer(r"\n\n", text):
+        paragraphs.append((start, match.end()))
+        start = match.end() + 1
+    if match and match.end() < len(text):
+        paragraphs.append((start, len(text)))
+    return paragraphs
+
+
+def is_first_subj_in_paragraph_surface(text: str, tokens, ti: int,
+                                       sent_flags,
+                                       paragraphs) -> bool:
+    """Parser-free port of ``is_first_subj_in_paragraph``
+    (kb_coref_linker.py:110-121): the token is a subject
+    (``subject_verb_index`` — the same nsubj surface adjacency the
+    problematic-it filter uses, replacing ``tok.dep_ in ('nsubj',
+    'nsubjpass')``) AND lies inside the first sentence of its
+    containing paragraph (the reference tests ``sent.end_char >
+    tok.idx`` on the sentence at the paragraph start; with token-level
+    sentence flags that is "no sentence boundary between the
+    paragraph's first token and this one")."""
+    if subject_verb_index(text, tokens, ti, sent_flags) < 0:
+        return False
+    b = tokens[ti][0]
+    for ps, pe in paragraphs:
+        if ps <= b < pe:
+            # walk back to the paragraph's first token; any sentence
+            # boundary on the way means ti is past the first sentence
+            k = ti
+            while k > 0 and tokens[k - 1][0] >= ps:
+                if sent_flags[k]:
+                    return False
+                k -= 1
             return True
     return False
 
@@ -251,6 +327,8 @@ def _containing_ds(offset: int, ds_list: List[dict]) -> Optional[dict]:
 def _referenced_entity(span, preceding: List[_RefEntity],
                        max_distance: int, tok_text: str = "",
                        direct_speech: Optional[dict] = None,
+                       neutral_paragraph_subject: bool = False,
+                       title_entity: Optional[_RefEntity] = None,
                        ) -> Optional[_RefEntity]:
     """Reversed scan with distance cutoff (kb_coref_linker.py:159-186,
     depless degradation: most recent match in range).  Direct-speech
@@ -258,7 +336,11 @@ def _referenced_entity(span, preceding: List[_RefEntity],
     to the entity containing the speaker token (MALE/FEMALE, else
     nothing); references outside quotes skip entities registered
     inside quotes, extending the scan window by the skipped quote's
-    length."""
+    length.  A neutral paragraph-subject pronoun short-circuits to the
+    NEUTRAL-gendered title entity before the scan (:160-161)."""
+    if neutral_paragraph_subject and title_entity is not None \
+            and title_entity.gender == NEUTRAL:
+        return title_entity
     referenced = None
     ds_len = 0
     first_considered = True
@@ -309,6 +391,7 @@ def kb_coref_clusters(
     type_qid_aliases: Optional[Dict[str, Set[str]]] = None,
     direct_speech: bool = True,
     problematic_it: bool = True,
+    paragraph_subject: bool = True,
 ) -> List[dict]:
     """One document → coref clusters
     ``[{entity_id, main: (b, e), mentions: [(b, e), ...]}]``.
@@ -326,6 +409,8 @@ def kb_coref_clusters(
     tokens = tokenize_with_offsets(text)
     sent_flags = sentence_start_flags(text, tokens)
     ds_list = direct_speech_spans(text, tokens) if direct_speech else []
+    paragraphs = get_paragraphs(text) if paragraph_subject else []
+    title_entity: Optional[_RefEntity] = None
     sorted_mentions = sorted((m["begin"], m["end"], m["entity_id"])
                              for m in mentions)
     clusters: Dict[str, List[Tuple[int, int]]] = defaultdict(list)
@@ -361,6 +446,8 @@ def kb_coref_clusters(
             ref = _RefEntity((mb, me), qid, gender, types,
                              ds=_containing_ds(mb, ds_list))
             recent_per_sent[-1][(mb, me)] = ref
+            if mb == 0:          # reference :252-253 title tracking
+                title_entity = ref
             mention_idx += 1
             clusters[qid].append((mb, me))
 
@@ -377,12 +464,19 @@ def kb_coref_clusters(
                                                      sent_flags))
             if not problem and (p_gender != UNKNOWN
                                 or is_first_person_singular(core)):
+                # TODO mirrored from the reference (:280-281): the
+                # shortcut could cover all paragraph-subject pronouns
+                neutral_para_subj = (
+                    paragraph_subject and p_gender == NEUTRAL
+                    and is_first_subj_in_paragraph_surface(
+                        text, tokens, ti, sent_flags, paragraphs))
                 preceding = _preceding_entities(recent_per_sent,
                                                 gender=p_gender)
-                referenced = _referenced_entity(span, preceding,
-                                                max_distance=200,
-                                                tok_text=core,
-                                                direct_speech=tok_ds)
+                referenced = _referenced_entity(
+                    span, preceding, max_distance=200, tok_text=core,
+                    direct_speech=tok_ds,
+                    neutral_paragraph_subject=neutral_para_subj,
+                    title_entity=title_entity)
         elif core in seen_types and prev_tok_text is not None \
                 and prev_tok_text.lower() in COREF_PREFIXES:
             prev_b = tokens[ti - 1][0]
@@ -412,7 +506,8 @@ class KBCorefStage:
 
     def __init__(self, dims_ref=None, id_col: str = "url",
                  text_col: str = "text", mentions_col: str = "mentions",
-                 problematic_it: bool = True):
+                 problematic_it: bool = True,
+                 paragraph_subject: bool = True):
         import ray
 
         d = ray.get(dims_ref) if dims_ref is not None else {}
@@ -422,6 +517,7 @@ class KBCorefStage:
         self.id_col, self.text_col = id_col, text_col
         self.mentions_col = mentions_col
         self.problematic_it = problematic_it
+        self.paragraph_subject = paragraph_subject
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, qids, mains, begins, ends, kinds = [], [], [], [], [], []
@@ -430,10 +526,12 @@ class KBCorefStage:
                 batch.column(self.text_col).to_pylist(),
                 batch.column(self.mentions_col).to_pylist()):
             linked = {(m["begin"], m["end"]) for m in ments or ()}
-            for cl in kb_coref_clusters(text, list(ments or ()),
-                                        self.gender_map, self.coref_types,
-                                        self.type_qid_aliases,
-                                        problematic_it=self.problematic_it):
+            for cl in kb_coref_clusters(
+                    text, list(ments or ()),
+                    self.gender_map, self.coref_types,
+                    self.type_qid_aliases,
+                    problematic_it=self.problematic_it,
+                    paragraph_subject=self.paragraph_subject):
                 for (mb, me) in cl["mentions"]:
                     ids.append(rid)
                     qids.append(cl["entity_id"])

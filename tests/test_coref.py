@@ -285,3 +285,127 @@ def test_referential_it_still_clusters():
     clusters = cluster_map(kb_coref_clusters(
         text, mentions, gender_map={"Q5": NEUTRAL}))
     assert (it_pos, it_pos + 2) in clusters["Q5"]
+
+
+# --- paragraph-subject shortcut (kb_coref_linker.py:110-121,:280-285,
+#     get_referenced_entity :160-161) ---
+
+
+def test_get_paragraphs_verbatim_quirks():
+    from elevant_ray.stages.coref import get_paragraphs
+
+    # no \n\n boundary at all -> NO paragraphs (reference: match stays
+    # None, nothing appended)
+    assert get_paragraphs("single paragraph text .") == []
+    assert get_paragraphs("") == []
+    # spans: (start, match.end()), next start = match.end() + 1 (the
+    # reference's off-by-one), trailing piece appended only after a hit
+    assert get_paragraphs("A\n\nB\n\nC") == [(0, 3), (4, 6), (7, 7)]
+    # trailing \n\n at the very end: no trailing paragraph
+    assert get_paragraphs("A\n\n") == [(0, 3)]
+
+
+def _para_fixture():
+    text = ("Acme Corp built the Widget Tool daily .\n\n"
+            "Today it was popular everywhere .")
+    ments = [
+        {"begin": 0, "end": 9, "entity_id": "E_acme"},
+        {"begin": text.index("Widget"),
+         "end": text.index("Widget") + len("Widget Tool"),
+         "entity_id": "E_tool"},
+    ]
+    genders = {"E_acme": NEUTRAL, "E_tool": NEUTRAL}
+    return text, ments, genders
+
+
+def test_neutral_paragraph_subject_resolves_to_title_entity():
+    """A NEUTRAL pronoun that is the subject of its paragraph's first
+    sentence short-circuits to the NEUTRAL title entity (the mention at
+    offset 0) even though a nearer NEUTRAL entity exists."""
+    text, ments, genders = _para_fixture()
+    it_span = (text.index("it"), text.index("it") + 2)
+    on = cluster_map(kb_coref_clusters(text, ments, gender_map=genders))
+    assert it_span in on["E_acme"]
+    # parameterized off: the reversed scan picks the nearest NEUTRAL
+    off = cluster_map(kb_coref_clusters(text, ments, gender_map=genders,
+                                        paragraph_subject=False))
+    assert it_span in off["E_tool"]
+
+
+def test_paragraph_subject_requires_neutral_title():
+    """MALE title entity: the :160-161 guard fails, scan proceeds."""
+    text, ments, genders = _para_fixture()
+    genders = dict(genders, E_acme=MALE)
+    it_span = (text.index("it"), text.index("it") + 2)
+    clusters = cluster_map(kb_coref_clusters(text, ments,
+                                             gender_map=genders))
+    assert it_span in clusters["E_tool"]
+
+
+def test_paragraph_subject_requires_subject_position():
+    """'it' NOT followed by a verb-like token is no nsubj surface —
+    the shortcut must not fire."""
+    text = ("Acme Corp built the Widget Tool daily .\n\n"
+            "Today it probably not popular anywhere . It was nice .")
+    ments = [{"begin": 0, "end": 9, "entity_id": "E_acme"},
+             {"begin": text.index("Widget"),
+              "end": text.index("Widget") + len("Widget Tool"),
+              "entity_id": "E_tool"}]
+    genders = {"E_acme": NEUTRAL, "E_tool": NEUTRAL}
+    clusters = cluster_map(kb_coref_clusters(text, ments,
+                                             gender_map=genders))
+    first_it = (text.index("it"), text.index("it") + 2)
+    # non-subject 'it' falls back to the scan (nearest NEUTRAL)
+    assert first_it in clusters["E_tool"]
+    # the second "It was" IS a subject — but sits past the paragraph's
+    # first sentence, so it scans too
+    second_it = (text.index("It was"), text.index("It was") + 2)
+    assert second_it in clusters["E_tool"]
+
+
+def test_paragraph_first_char_offbyone_quirk():
+    """The reference starts each paragraph at match.end()+1, so a
+    pronoun that IS the paragraph's first character belongs to no
+    paragraph span and never shortcuts — replicated faithfully."""
+    text = ("Acme Corp built the Widget Tool daily .\n\n"
+            "It was popular everywhere .")
+    ments = [{"begin": 0, "end": 9, "entity_id": "E_acme"},
+             {"begin": text.index("Widget"),
+              "end": text.index("Widget") + len("Widget Tool"),
+              "entity_id": "E_tool"}]
+    genders = {"E_acme": NEUTRAL, "E_tool": NEUTRAL}
+    clusters = cluster_map(kb_coref_clusters(text, ments,
+                                             gender_map=genders))
+    it_span = (text.index("It"), text.index("It") + 2)
+    assert it_span in clusters["E_tool"]
+
+
+def test_single_paragraph_never_shortcuts():
+    """No \\n\\n -> get_paragraphs is empty -> scan semantics only."""
+    text = ("Acme Corp built the Widget Tool . Later it was popular .")
+    ments = [{"begin": 0, "end": 9, "entity_id": "E_acme"},
+             {"begin": text.index("Widget"),
+              "end": text.index("Widget") + len("Widget Tool"),
+              "entity_id": "E_tool"}]
+    genders = {"E_acme": NEUTRAL, "E_tool": NEUTRAL}
+    for flag in (True, False):
+        clusters = cluster_map(kb_coref_clusters(
+            text, ments, gender_map=genders, paragraph_subject=flag))
+        it_span = (text.index("it"), text.index("it") + 2)
+        assert it_span in clusters["E_tool"]
+
+
+def test_title_entity_must_begin_at_zero():
+    """A leading non-mention word means no title entity — shortcut
+    cannot fire (reference :252-253 sets it only for span[0] == 0)."""
+    text = ("Famous Acme Corp built the Widget Tool daily .\n\n"
+            "Today it was popular everywhere .")
+    ments = [{"begin": 7, "end": 16, "entity_id": "E_acme"},
+             {"begin": text.index("Widget"),
+              "end": text.index("Widget") + len("Widget Tool"),
+              "entity_id": "E_tool"}]
+    genders = {"E_acme": NEUTRAL, "E_tool": NEUTRAL}
+    clusters = cluster_map(kb_coref_clusters(text, ments,
+                                             gender_map=genders))
+    it_span = (text.index("it"), text.index("it") + 2)
+    assert it_span in clusters["E_tool"]
