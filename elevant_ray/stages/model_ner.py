@@ -36,6 +36,13 @@ load-once-score-many shape as the reference's process-global model
 (``baseline_linker.py:34``).  When spaCy (or the named pipeline) is
 absent the actor raises at construction — opt-in paths fail loudly,
 they never silently fall back to the fake.
+
+In-CI real-model evidence: ``elevant_ray/models/tiny_ner.py`` vendors
+a REAL trained model (averaged-perceptron BIO tagger, deterministic
+in-process training) wired through the same string-loader branch
+(``model_loader="elevant_ray.models.tiny_ner:loader"``), so the
+load-once-per-actor property and the learned-inference path run in
+every CI environment, not just where spaCy is installed.
 """
 
 from __future__ import annotations
