@@ -313,3 +313,167 @@ class TestVisibilityRules:
         # compact_seq itself is 3
         assert "compact-3.parquet" not in vis(3, 2)
         assert vis(3, 3) == ["compact-3.parquet"]
+
+
+class TestInterleavedWriters:
+    """Two-writer/reader interleavings of the commit protocol: a
+    FULLY torn update (every delta file written, manifest not bumped —
+    the instant before the commit point) interleaved with a compaction
+    in both orders.  Visibility rules must hold at every step and the
+    crashed batch must remain exactly re-ingestable.
+
+    The single-writer protocol means writers never run concurrently
+    within one mutation — the hazard is a crashed writer's leftovers
+    interleaving with the NEXT writer, which is what these simulate
+    (the torn files are produced by a real update on a cloned state
+    dir, so they are byte-for-byte what a crash leaves behind)."""
+
+    def _torn_files(self, src_state, dst_state, seq):
+        """Copy every seq-tagged artifact of a committed mutation from
+        a cloned state dir into dst WITHOUT the manifest — exactly the
+        on-disk picture one instant before _write_manifest."""
+        import shutil
+
+        from elevant_ray.state import linkage_state as L
+
+        copied = 0
+        for sub in ("pages", "bands", "labels"):
+            sroot = os.path.join(src_state, sub)
+            if not os.path.isdir(sroot):
+                continue
+            for d in sorted(os.listdir(sroot)):
+                if not d.startswith("bkt="):
+                    continue
+                for f in sorted(os.listdir(os.path.join(sroot, d))):
+                    if f.endswith(".parquet") and L._file_seq(f) == seq:
+                        dst = os.path.join(dst_state, sub, d)
+                        os.makedirs(dst, exist_ok=True)
+                        shutil.copy2(os.path.join(sroot, d, f),
+                                     os.path.join(dst, f))
+                        copied += 1
+        rm = os.path.join(src_state, f"remap-{seq}.parquet")
+        if os.path.exists(rm):
+            shutil.copy2(rm, os.path.join(dst_state,
+                                          f"remap-{seq}.parquet"))
+            copied += 1
+        return copied
+
+    def test_update_crashes_then_compactor_runs(self, ray_session,
+                                                tmp_path,
+                                                full_batch_labels):
+        import shutil
+
+        from elevant_ray.state import linkage_state as L
+
+        state = str(tmp_path / "s_a")
+        L.build_linkage_state(_prepared(shard=(0, 3)), state,
+                              num_partitions=8, buckets=8)
+        L.update_linkage_state(_prepared(shard=(1, 3)), state,
+                               num_partitions=8)
+        clean = L.read_labels(state)
+        seq0 = L._read_manifest(state)["update_seq"]
+
+        # writer A: run the REAL update on a clone, then transplant
+        # its delta files (not the manifest) = crash right before the
+        # commit point
+        ghost = str(tmp_path / "s_a_ghost")
+        shutil.copytree(state, ghost)
+        L.update_linkage_state(_prepared(shard=(2, 3)), ghost,
+                               num_partitions=8)
+        seq_a = L._read_manifest(ghost)["update_seq"]
+        assert seq_a == seq0 + 1
+        assert self._torn_files(ghost, state, seq_a) > 0
+
+        # reader between the writers: A's files are invisible
+        pd.testing.assert_frame_equal(L.read_labels(state), clean)
+
+        # writer B: compaction commits seq_a as ITS seq — A's orphans
+        # must be purged, not promoted into visibility
+        L.compact_linkage_state(state)
+        man = L._read_manifest(state)
+        assert man["update_seq"] == man["compact_seq"] == seq_a
+        pd.testing.assert_frame_equal(L.read_labels(state), clean)
+        # no stray delta files survived at seq_a
+        assert self._torn_files(state, str(tmp_path / "probe"),
+                                seq_a) == len(
+            [1 for sub in ("pages", "bands", "labels")
+             for d in os.listdir(os.path.join(state, sub))
+             if d.startswith("bkt=")
+             for f in os.listdir(os.path.join(state, sub, d))
+             if f == f"compact-{seq_a}.parquet"])
+
+        # writer A retries: the batch is fully unknown and ingests to
+        # the full-batch labels
+        res = L.update_linkage_state(_prepared(shard=(2, 3)), state,
+                                     num_partitions=8)
+        assert res["dropped_known"] == 0
+        assert res["new_nodes"] == _prepared(shard=(2, 3)).count()
+        got = L.read_labels(state)
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+
+    def test_compactor_crashes_then_update_runs(self, ray_session,
+                                                tmp_path,
+                                                full_batch_labels):
+        import shutil
+
+        from elevant_ray.state import linkage_state as L
+
+        state = str(tmp_path / "s_b")
+        L.build_linkage_state(_prepared(shard=(0, 3)), state,
+                              num_partitions=8, buckets=8)
+        L.update_linkage_state(_prepared(shard=(1, 3)), state,
+                               num_partitions=8)
+        clean = L.read_labels(state)
+        seq0 = L._read_manifest(state)["update_seq"]
+
+        # writer B: real compaction on a clone, transplant only the
+        # compact-<seq> files = crash before the manifest bump
+        ghost = str(tmp_path / "s_b_ghost")
+        shutil.copytree(state, ghost)
+        assert L.compact_linkage_state(ghost) > 0
+        seq_b = L._read_manifest(ghost)["update_seq"]
+        assert seq_b == seq0 + 1
+        n_copied = 0
+        lroot = os.path.join(ghost, "labels")
+        for d in sorted(os.listdir(lroot)):
+            if not d.startswith("bkt="):
+                continue
+            src = os.path.join(lroot, d, f"compact-{seq_b}.parquet")
+            if os.path.exists(src):
+                shutil.copy2(src, os.path.join(state, "labels", d,
+                                               f"compact-{seq_b}.parquet"))
+                n_copied += 1
+        assert n_copied > 0
+
+        # reader: an uncommitted compaction is invisible (compact
+        # files need seq == compact_seq EXACTLY)
+        pd.testing.assert_frame_equal(L.read_labels(state), clean)
+
+        # writer A: an update commits seq_b as its own seq — B's
+        # orphan compact files must be purged first, or they would
+        # shadow every older label delta the moment compact_seq catches
+        # up (here: remain invisible since compact_seq stays behind)
+        res = L.update_linkage_state(_prepared(shard=(2, 3)), state,
+                                     num_partitions=8)
+        assert res["dropped_known"] == 0
+        for d in sorted(os.listdir(os.path.join(state, "labels"))):
+            if d.startswith("bkt="):
+                assert f"compact-{seq_b}.parquet" not in os.listdir(
+                    os.path.join(state, "labels", d))
+        got = L.read_labels(state)
+        merged = got.merge(full_batch_labels, on="node", how="left",
+                           suffixes=("_inc", "_full"))
+        on_full = merged["label_full"].notna()
+        assert (merged.loc[on_full, "label_inc"]
+                == merged.loc[on_full, "label_full"]).all()
+
+        # and a fresh compaction afterwards still converges
+        L.compact_linkage_state(state)
+        got2 = L.read_labels(state)
+        pd.testing.assert_frame_equal(
+            got2.sort_values("node").reset_index(drop=True),
+            got.sort_values("node").reset_index(drop=True))
