@@ -645,6 +645,19 @@ BENCH_QUERIES = [
 
 FLAGSHIP = "linkage_clusters"
 
+# Queries whose sf0.1 wall time showed > 25% run-to-run spread (and
+# >= 0.3 s absolute — relative spread on a 50 ms query is noise, not
+# timing) in the round-5 back-to-back double-bench window.  Default
+# bench runs re-time exactly these, report the MIN, and attach the
+# observed spread under "spread" in the output JSON, so
+# round-over-round per-query deltas are self-evidencing instead of
+# shared-host luck.  Measured 2026-08-21: two full sf0.1 runs landed
+# 205.2 s vs 207.2 s (1% total spread, 617 rows); exactly these two
+# rows crossed the gate (1.76x and 1.52x — both multi-join TPC-H
+# pipelines whose shuffle actors collide with whatever the host runs).
+# Re-derive with two full runs when the registry or the host changes.
+REPEAT_MIN: set = {"q15_top_supplier", "q8_market_share"}
+
 
 def _consume(res) -> int:
     """Stream the result to completion; return row count."""
@@ -714,25 +727,65 @@ def run_bench(sf_dir: str, num_cpus: int, names,
         timings[f"_memo:{mname}"] = round(time.perf_counter() - t0, 3)
         print(f"# _memo:{mname}: {timings[f'_memo:{mname}']:.3f}s",
               file=sys.stderr)
+    spread: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         n = _consume(qs[name](sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = time.perf_counter() - t0
+        if name in REPEAT_MIN:
+            # high-spread query (see REPEAT_MIN): report min of two
+            # back-to-back runs + the observed spread
+            t0 = time.perf_counter()
+            _consume(qs[name](sf_dir))
+            t2 = time.perf_counter() - t0
+            spread[name] = round(abs(t - t2) / max(min(t, t2), 1e-9), 3)
+            t = min(t, t2)
+        timings[name] = round(t, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     return {"metric": "bench_total", "value": total, "unit": "sec",
-            "queries": timings, "sf": sf_dir, "num_cpus": num_cpus}
+            "queries": timings, "sf": sf_dir, "num_cpus": num_cpus,
+            "spread": spread, "repeat_min": sorted(REPEAT_MIN)}
 
 
-def run_one(sf_dir: str, num_cpus: int, name: str) -> dict:
-    _init_ray(num_cpus)
+def run_one(sf_dir: str, num_cpus: int, name: str,
+            attach: str = None, expect_nodes: int = 0) -> dict:
+    if attach:
+        import ray
+
+        # attach to an already-running (multi-node) cluster instead of
+        # owning a local session; wait until every expected node
+        # registered so the measurement sees the full cluster
+        ray.init(address=attach, ignore_reinit_error=True)
+        if expect_nodes:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                alive = [n for n in ray.nodes() if n["Alive"]]
+                if len(alive) >= expect_nodes:
+                    break
+                time.sleep(0.5)
+            else:
+                raise RuntimeError(
+                    f"cluster has {len(alive)} nodes, expected "
+                    f"{expect_nodes}")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        num_cpus = int(ray.cluster_resources().get("CPU", 0))
+    else:
+        _init_ray(num_cpus)
     import __ray_entry__ as entrymod
 
     t0 = time.perf_counter()
     rows = _consume(entrymod.queries()[name](sf_dir))
     elapsed = time.perf_counter() - t0
-    return {"query": name, "elapsed": round(elapsed, 3), "rows": rows,
-            "num_cpus": num_cpus}
+    out = {"query": name, "elapsed": round(elapsed, 3), "rows": rows,
+           "num_cpus": num_cpus}
+    if attach:
+        import ray
+
+        out["n_nodes"] = len([n for n in ray.nodes() if n["Alive"]])
+    return out
 
 
 def _scaled_input(sf_dir: str, replicate: int, concat: int = 5) -> str:
@@ -857,6 +910,103 @@ def run_scaling(sf_dir: str, levels=(8, 32), replicate: int = 0,
     }
 
 
+def _ray_cli(*cli_args, check=True):
+    import subprocess as sp
+
+    return sp.run([sys.executable, "-m", "ray.scripts.scripts", *cli_args],
+                  capture_output=True, text=True, check=check)
+
+
+def run_scaling_nodes(sf_dir: str, node_levels=(1, 4),
+                      cpus_per_node: int = 8, replicate: int = 0,
+                      repeats: int = 2) -> dict:
+    """North-rule scaling evidence in NODE counts: the flagship runs on
+    an N-node and a 4N-node Ray cluster (`ray start --head` + worker
+    raylets) on the same input; pages/s at both plus efficiency
+    thr_4N / (4 * thr_N).
+
+    The sandbox is one host, so a "node" is a raylet process with its
+    own object store: inter-node object transfer is real (plasma →
+    loopback TCP push/pull between stores, the same data path as a
+    wire), while CPU stays un-oversubscribed (node_levels[-1] ×
+    cpus_per_node ≤ the host's 32).  The measuring child ATTACHES to
+    the running cluster (``ray.init(address=…)``) exactly as a
+    ``ray job submit`` entrypoint would — the cluster, not the child,
+    owns scheduling and placement across nodes."""
+    import duckdb
+
+    if replicate == 0:
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        replicate = max(1, round(500_000 / max(n_docs, 1)))
+    if replicate > 1:
+        sf_dir = _scaled_input(sf_dir, replicate)
+        print(f"# scaling input: {sf_dir} ({replicate}x replicated)",
+              file=sys.stderr)
+    pages = _num_pages(sf_dir)
+    addr = "127.0.0.1:6379"
+    results, ambient = {}, {}
+    try:
+        for n_nodes in node_levels:
+            _ray_cli("stop", "--force", check=False)
+            time.sleep(2)
+            # bounded per-node object stores: 4 nodes must coexist in
+            # the host's 128 GiB without the 30%-of-RAM default x4
+            _ray_cli("start", "--head", "--port", "6379",
+                     "--num-cpus", str(cpus_per_node),
+                     "--object-store-memory", str(6 << 30),
+                     "--include-dashboard", "false")
+            for _ in range(n_nodes - 1):
+                _ray_cli("start", "--address", addr,
+                         "--num-cpus", str(cpus_per_node),
+                         "--object-store-memory", str(6 << 30))
+            best, loads = None, []
+            for rep in range(repeats):
+                pre_load = os.getloadavg()[0]
+                env = dict(os.environ, RAY_ADDRESS=addr)
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--one", FLAGSHIP, "--sf-dir", sf_dir,
+                       "--attach", addr,
+                       "--expect-nodes", str(n_nodes)]
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     check=True, env=env)
+                child = json.loads(out.stdout.strip().splitlines()[-1])
+                assert child.get("n_nodes", 0) >= n_nodes, child
+                post_load = os.getloadavg()[0]
+                loads.append(round(max(pre_load, post_load), 1))
+                print(f"# scaling nodes={n_nodes} rep{rep}: "
+                      f"{child['elapsed']:.3f}s -> "
+                      f"{pages / child['elapsed']:.1f} pages/s "
+                      f"(cluster cpus {child['num_cpus']}, "
+                      f"loadavg {pre_load:.1f}->{post_load:.1f})",
+                      file=sys.stderr)
+                if best is None or child["elapsed"] < best["elapsed"]:
+                    best = child
+            results[n_nodes] = best
+            ambient[n_nodes] = loads
+    finally:
+        _ray_cli("stop", "--force", check=False)
+    lo, hi = node_levels
+    thr = {c: pages / results[c]["elapsed"] for c in node_levels}
+    eff = thr[hi] / (thr[lo] * (hi / lo))
+    return {
+        "metric": "scaling_efficiency_nodes", "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"{FLAGSHIP}_nodes{lo}_sec": results[lo]["elapsed"],
+            f"{FLAGSHIP}_nodes{hi}_sec": results[hi]["elapsed"],
+            f"pages_per_sec_nodes{lo}": round(thr[lo], 2),
+            f"pages_per_sec_nodes{hi}": round(thr[hi], 2),
+        },
+        "sf": sf_dir, "pages": pages,
+        "levels": list(node_levels), "level_unit": "nodes",
+        "cpus_per_node": cpus_per_node,
+        "num_cpus": cpus_per_node * hi,
+        "ambient_loadavg": {str(c): ambient[c] for c in node_levels},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF)
@@ -868,13 +1018,33 @@ def main() -> None:
                     help="scaling runs per level (min taken; shared host)")
     ap.add_argument("--levels", default="8,32",
                     help="comma-separated num_cpus levels for --scaling (N,4N)")
+    ap.add_argument("--scaling-nodes", action="store_true",
+                    help="scaling with NODE counts: multi-raylet local "
+                         "cluster, levels from --node-levels")
+    ap.add_argument("--node-levels", default="1,4",
+                    help="comma-separated node counts for --scaling-nodes")
+    ap.add_argument("--cpus-per-node", type=int, default=8)
+    ap.add_argument("--attach", default=None,
+                    help="(child mode) attach to a running cluster at "
+                         "this address instead of a local session")
+    ap.add_argument("--expect-nodes", type=int, default=0,
+                    help="(child mode) wait until this many nodes are "
+                         "alive before timing")
     ap.add_argument("--one", metavar="QUERY", default=None)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of BENCH_QUERIES")
     args = ap.parse_args()
 
     if args.one:
-        payload = run_one(args.sf_dir, args.num_cpus, args.one)
+        payload = run_one(args.sf_dir, args.num_cpus, args.one,
+                          attach=args.attach,
+                          expect_nodes=args.expect_nodes)
+    elif args.scaling_nodes:
+        node_levels = tuple(int(x) for x in args.node_levels.split(","))
+        payload = run_scaling_nodes(args.sf_dir, node_levels=node_levels,
+                                    cpus_per_node=args.cpus_per_node,
+                                    replicate=args.replicate,
+                                    repeats=args.repeats)
     elif args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))
         payload = run_scaling(args.sf_dir, levels=levels,
