@@ -736,8 +736,12 @@ def run_bench(sf_dir: str, num_cpus: int, names,
             # high-spread query (see REPEAT_MIN): report min of two
             # back-to-back runs + the observed spread
             t0 = time.perf_counter()
-            _consume(qs[name](sf_dir))
+            n2 = _consume(qs[name](sf_dir))
             t2 = time.perf_counter() - t0
+            if n2 != n:   # a row-count divergence is a real bug signal
+                print(f"# {name}: NONDETERMINISTIC rows {n} vs {n2}",
+                      file=sys.stderr)
+                spread[f"{name}:rows_mismatch"] = float(abs(n2 - n))
             spread[name] = round(abs(t - t2) / max(min(t, t2), 1e-9), 3)
             t = min(t, t2)
         timings[name] = round(t, 3)

@@ -118,15 +118,23 @@ def automaton_for(snippets_ref) -> AhoCorasick:
     snippet list.  The LIST ships through the object store once; the
     automaton (whose dict-trie would pickle far larger than the
     patterns) is built locally exactly once per worker process and
-    reused by every subsequent batch — keyed by the object ref, so two
-    different snippet sets in one session never collide."""
-    key = snippets_ref.hex() if hasattr(snippets_ref, "hex") \
-        else str(id(snippets_ref))
+    reused by every subsequent batch — keyed by the object ref's hex
+    id, so two different snippet sets in one session never collide.
+    A plain list (no ``.hex``) is built UNCACHED: ``id()`` keys can
+    alias after garbage collection and silently return another set's
+    automaton.  The cache holds a handful of sets (one per broadcast
+    snippet set a worker sees); a small FIFO bound keeps a long
+    session from accreting dead tries."""
+    if not hasattr(snippets_ref, "hex"):
+        return AhoCorasick(snippets_ref)
+    key = snippets_ref.hex()
     ac = _AC_CACHE.get(key)
     if ac is None:
         from elevant_ray.stages.util import cached_get
 
         ac = AhoCorasick(cached_get(snippets_ref))
+        if len(_AC_CACHE) >= 8:           # FIFO bound
+            _AC_CACHE.pop(next(iter(_AC_CACHE)))
         _AC_CACHE[key] = ac
     return ac
 

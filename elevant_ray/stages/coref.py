@@ -470,13 +470,20 @@ def kb_coref_clusters(
                     paragraph_subject and p_gender == NEUTRAL
                     and is_first_subj_in_paragraph_surface(
                         text, tokens, ti, sent_flags, paragraphs))
-                preceding = _preceding_entities(recent_per_sent,
-                                                gender=p_gender)
-                referenced = _referenced_entity(
-                    span, preceding, max_distance=200, tok_text=core,
-                    direct_speech=tok_ds,
-                    neutral_paragraph_subject=neutral_para_subj,
-                    title_entity=title_entity)
+                if neutral_para_subj and title_entity is not None \
+                        and title_entity.gender == NEUTRAL:
+                    # the shortcut returns before reading the scan
+                    # list — skip building it (same condition as
+                    # _referenced_entity's first line)
+                    referenced = title_entity
+                else:
+                    preceding = _preceding_entities(recent_per_sent,
+                                                    gender=p_gender)
+                    referenced = _referenced_entity(
+                        span, preceding, max_distance=200,
+                        tok_text=core, direct_speech=tok_ds,
+                        neutral_paragraph_subject=neutral_para_subj,
+                        title_entity=title_entity)
         elif core in seen_types and prev_tok_text is not None \
                 and prev_tok_text.lower() in COREF_PREFIXES:
             prev_b = tokens[ti - 1][0]

@@ -201,8 +201,13 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
             "ELEVANT_RAY_DUPKEY_CUTOFF", "") or (256 << 20))
         if dup.count() * 8 > dup_cutoff:
             return packed_min_route(ds)
-        dup_hashes = np.sort(np.array(
-            [r["h"] for r in dup.take_all()], np.uint64))
+        # stream Arrow batches into one ndarray: take_all() would
+        # materialize the set as Python row-dicts at ~25x the 8 B/key
+        # the cutoff just measured
+        hs = [b.column("h").to_numpy(zero_copy_only=False)
+              for b in dup.iter_batches(batch_format="pyarrow")]
+        dup_hashes = (np.sort(np.concatenate(hs).astype(np.uint64))
+                      if hs else np.array([], np.uint64))
     dup_ref = ray.put(np.sort(dup_hashes))
 
     def route(batch: pa.Table, want_dup: bool) -> pa.Table:

@@ -97,12 +97,18 @@ def charset_jaccard(s1: str, s2: str) -> float:
     return len(a & b) / len(a | b)
 
 
-def score_name_pairs(names1, names2):
+def score_name_pairs(names1, names2, memo: Optional[dict] = None):
     """Batched (levenshtein, charset_jaccard) over paired name arrays,
     deduplicated by distinct pair: within-blocking-key scoring hits the
     same bounded name vocabulary over and over, so the interpreted DP
     runs O(distinct pairs) times while the per-pair plumbing (factorize,
-    unique, gather) stays vectorized — no Python work per input pair."""
+    unique, gather) stays vectorized — no Python work per input pair.
+
+    ``memo``: optional cross-CALL cache {(a, b): (lev, jac)} — slab
+    enumeration (guarded_pair_slabs) splits one group's pairs over many
+    calls, and without a shared memo a name pair recurring in k slabs
+    would run the DP k times; threading one dict per group keeps the
+    O(vocab²) bound across the whole group."""
     import pandas as pd
 
     if len(names1) == 0:
@@ -115,8 +121,15 @@ def score_name_pairs(names1, names2):
     ujac = np.empty(len(upair), np.float64)
     for idx, code in enumerate(upair.tolist()):
         a, b = uniques[code // k], uniques[code % k]
-        ulev[idx] = levenshtein(a, b)
-        ujac[idx] = charset_jaccard(a, b)
+        if memo is not None:
+            hit = memo.get((a, b))
+            if hit is None:
+                hit = (levenshtein(a, b), charset_jaccard(a, b))
+                memo[(a, b)] = hit
+            ulev[idx], ujac[idx] = hit
+        else:
+            ulev[idx] = levenshtein(a, b)
+            ujac[idx] = charset_jaccard(a, b)
     return ulev[inv], ujac[inv]
 
 
@@ -165,11 +178,13 @@ def damerau_levenshtein(s1: str, s2: str) -> int:
     return int(M[n + 1, m + 1])
 
 
-def damerau_pairs(names1, names2) -> np.ndarray:
+def damerau_pairs(names1, names2,
+                  memo: Optional[dict] = None) -> np.ndarray:
     """Batched unrestricted Damerau-Levenshtein over paired name
     arrays, memoized by distinct pair (same factorize/unique
     scaffolding as score_name_pairs — the DP runs O(distinct pairs)
-    times regardless of input pair count)."""
+    times regardless of input pair count; ``memo`` extends the dedup
+    across slab calls, see score_name_pairs)."""
     import pandas as pd
 
     if len(names1) == 0:
@@ -180,7 +195,15 @@ def damerau_pairs(names1, names2) -> np.ndarray:
     upair, inv = np.unique(pair, return_inverse=True)
     ud = np.empty(len(upair), np.int64)
     for idx, code in enumerate(upair.tolist()):
-        ud[idx] = damerau_levenshtein(uniques[code // k], uniques[code % k])
+        a, b = uniques[code // k], uniques[code % k]
+        if memo is not None:
+            hit = memo.get((a, b))
+            if hit is None:
+                hit = damerau_levenshtein(a, b)
+                memo[(a, b)] = hit
+            ud[idx] = hit
+        else:
+            ud[idx] = damerau_levenshtein(a, b)
     return ud[inv]
 
 

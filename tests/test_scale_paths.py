@@ -124,7 +124,11 @@ def test_distributed_fallback_matches_broadcast_path(name, ray_session,
 # guard path (many slabs + running top-k merges) yields the exact
 # oracle answer
 PAIR_SLAB_GUARDED = ["part_name_similarity", "part_name_damerau",
-                     "part_name_monge_elkan"]
+                     "part_name_monge_elkan", "name_match_pr_curve",
+                     "linkage_fs_weights", "linkage_em_step",
+                     "linkage_waterfall_counts",
+                     "linkage_fs_score_distribution",
+                     "nation_acctbal_hodges_lehmann"]
 
 
 @pytest.mark.parametrize("name", PAIR_SLAB_GUARDED)
