@@ -109,3 +109,28 @@ def test_forced_automaton_path_matches_oracle(name, ray_session,
     want = con.execute(m.oracle_sql()[name]).fetchdf()
     pd.testing.assert_frame_equal(norm(got), norm(want),
                                   check_dtype=False, check_exact=True)
+
+
+def test_automaton_for_plain_list_uncached():
+    """Non-ObjectRef inputs build UNCACHED: id() keys can alias after
+    GC and return another snippet set's automaton (review finding)."""
+    from elevant_ray.functions import aho
+
+    a1 = aho.automaton_for(["abc"])
+    a2 = aho.automaton_for(["abc"])
+    assert a1 is not a2                # correct but never cached
+    assert a1.contains_any("xxabcxx")
+
+
+def test_automaton_cache_fifo_bound(ray_session):
+    import ray
+
+    from elevant_ray.functions import aho
+
+    aho._AC_CACHE.clear()
+    refs = [ray.put([f"pat{i}"]) for i in range(10)]
+    for r in refs:
+        aho.automaton_for(r)
+    assert len(aho._AC_CACHE) <= 8     # FIFO bound holds
+    # evicted sets rebuild correctly on re-request
+    assert aho.automaton_for(refs[0]).contains_any("xx pat0 yy")

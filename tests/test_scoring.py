@@ -158,3 +158,66 @@ def test_guarded_pair_slabs_env_knob(monkeypatch):
     assert len(slabs) > 1                      # forced fragmentation
     got = [p for ii, jj in slabs for p in zip(ii.tolist(), jj.tolist())]
     assert got == [(i, j) for i in range(6) for j in range(i + 1, 6)]
+
+
+def test_hodges_lehmann_histogram_matches_bruteforce():
+    """The slabbed Walsh-sum histogram median must equal sorting all
+    pairwise sums — randomized shapes incl. duplicates, negatives,
+    singletons (review rewrite of nation_acctbal_hodges_lehmann)."""
+    import numpy as np
+
+    from elevant_ray.stages.scoring import guarded_pair_slabs
+
+    rng = np.random.default_rng(3)
+    for trial in range(120):
+        n = int(rng.integers(1, 25))
+        c = np.sort(rng.integers(-500, 500, n).astype(np.int64))
+        # brute force: all i <= j sums, sorted, interpolated median
+        i, j = np.triu_indices(n, k=0)
+        w = np.sort(c[i] + c[j])
+        h = (len(w) - 1) * 0.5
+        f = int(np.floor(h))
+        frac = h - f
+        want = float(w[f]) if frac == 0.0 \
+            else w[f] + (w[f + 1] - w[f]) * frac
+        # histogram path (the query kernel, tiny slabs)
+        base = 2 * int(c[0])
+        nbins = 2 * int(c[-1]) - base + 1
+        hist = np.zeros(nbins, np.int64)
+        np.add.at(hist, 2 * c - base, 1)
+        for ii, jj in guarded_pair_slabs(n, slab_pairs=3):
+            hist += np.bincount(c[ii] + c[jj] - base, minlength=nbins)
+        csum = np.cumsum(hist)
+        wf = base + int(np.searchsorted(csum, f + 1))
+        got = float(wf) if frac == 0.0 \
+            else wf + ((base + int(np.searchsorted(csum, f + 2))) - wf) * frac
+        assert got == want, (trial, n, c.tolist(), got, want)
+
+
+def test_score_name_pairs_memo_consistency():
+    """memo-threaded calls must return identical results to memo-less
+    calls, and the memo must actually stop re-computation."""
+    import numpy as np
+
+    from elevant_ray.stages import scoring
+
+    a = np.array(["kettle", "kettel", "pot", "kettle"], dtype=object)
+    b = np.array(["kettel", "kettle", "pan", "kettel"], dtype=object)
+    l0, j0 = scoring.score_name_pairs(a, b)
+    memo: dict = {}
+    l1, j1 = scoring.score_name_pairs(a, b, memo=memo)
+    assert (l0 == l1).all() and (j0 == j1).all()
+    assert memo  # populated
+    # poison the underlying kernel: a second memo call must not invoke it
+    real = scoring.levenshtein
+    try:
+        scoring.levenshtein = lambda *args: (_ for _ in ()).throw(
+            AssertionError("memo miss"))
+        l2, j2 = scoring.score_name_pairs(a, b, memo=memo)
+    finally:
+        scoring.levenshtein = real
+    assert (l2 == l0).all()
+    d0 = scoring.damerau_pairs(a, b)
+    dm: dict = {}
+    d1 = scoring.damerau_pairs(a, b, memo=dm)
+    assert (d0 == d1).all() and dm
