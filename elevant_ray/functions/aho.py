@@ -139,11 +139,15 @@ def automaton_for(snippets_ref) -> AhoCorasick:
     return ac
 
 
-def decon_ac_min(default: int = 256) -> int:
+def decon_ac_min(default: int = 48) -> int:
     """Snippet-count threshold above which decontamination switches
     from the per-snippet vectorized kernel loop (C++ per pass, O(n_snip
-    × chars)) to the automaton (Python per char, O(chars)).  The
-    crossover sits around a few hundred patterns; env
+    × chars)) to the automaton (Python per char, O(chars)).  Measured
+    on the sf0.1 corpus (5k docs, 1.5M chars, corpus-drawn 40-char
+    snippets): loop 0.29 / 1.07 / 4.3 / 17.2 s at 64 / 250 / 1k / 4k
+    snippets vs automaton build+scan 0.16 / 0.27 / 0.33 / 0.65 s —
+    the crossover sits near ~40 patterns, so the default hands
+    everything above a handful of snippets to the automaton.  Env
     ``ELEVANT_RAY_DECON_AC_MIN`` forces either path for tests."""
     import os
 

@@ -73,7 +73,7 @@ def test_automaton_for_memoizes(ray_session):
 
 
 def test_decon_ac_min_env(monkeypatch):
-    assert decon_ac_min() == 256
+    assert decon_ac_min() == 48   # measured crossover ~40 (see docstring)
     monkeypatch.setenv("ELEVANT_RAY_DECON_AC_MIN", "0")
     assert decon_ac_min() == 0
 
