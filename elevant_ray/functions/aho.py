@@ -6,10 +6,11 @@ The decontamination queries (``docs_decontaminate``,
 corpus documents containing any snippet.  Per-snippet
 ``pc.match_substring`` passes are C++-vectorized but scan the whole
 batch once PER SNIPPET — O(snippets × chars).  The automaton scans
-each document once — O(chars + matches) — so beyond a few hundred
-snippets it wins despite running at Python speed; below that the
-vectorized per-snippet loop wins.  Callers auto-switch on
-``ELEVANT_RAY_DECON_AC_MIN`` (default 256 patterns); both paths are
+each document once — O(chars + matches) — so beyond a few dozen
+snippets it wins despite running at Python speed (measured crossover
+~40 patterns, see ``decon_ac_min``); below that the vectorized
+per-snippet loop wins.  Callers auto-switch on
+``ELEVANT_RAY_DECON_AC_MIN`` (default 48 patterns); both paths are
 differentially tested for identical output.
 
 Scale shape: the snippet LIST broadcasts once (``ray.put``); each
@@ -123,8 +124,8 @@ def automaton_for(snippets_ref) -> AhoCorasick:
     A plain list (no ``.hex``) is built UNCACHED: ``id()`` keys can
     alias after garbage collection and silently return another set's
     automaton.  The cache holds a handful of sets (one per broadcast
-    snippet set a worker sees); a small FIFO bound keeps a long
-    session from accreting dead tries."""
+    snippet set a worker sees); a small LRU bound (hits refresh
+    recency) keeps a long session from accreting dead tries."""
     if not hasattr(snippets_ref, "hex"):
         return AhoCorasick(snippets_ref)
     key = snippets_ref.hex()
@@ -133,9 +134,11 @@ def automaton_for(snippets_ref) -> AhoCorasick:
         from elevant_ray.stages.util import cached_get
 
         ac = AhoCorasick(cached_get(snippets_ref))
-        if len(_AC_CACHE) >= 8:           # FIFO bound
+        if len(_AC_CACHE) >= 8:           # LRU bound
             _AC_CACHE.pop(next(iter(_AC_CACHE)))
-        _AC_CACHE[key] = ac
+    else:
+        del _AC_CACHE[key]                # move-to-end: hits refresh
+    _AC_CACHE[key] = ac
     return ac
 
 

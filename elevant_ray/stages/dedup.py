@@ -203,10 +203,11 @@ def dedup_first_by(ds, key: str, order_col: str, schema: pa.Schema = None,
             return packed_min_route(ds)
         # stream Arrow batches into one ndarray: take_all() would
         # materialize the set as Python row-dicts at ~25x the 8 B/key
-        # the cutoff just measured
+        # the cutoff just measured.  Left unsorted here — the ray.put
+        # below sorts once for the searchsorted routing
         hs = [b.column("h").to_numpy(zero_copy_only=False)
               for b in dup.iter_batches(batch_format="pyarrow")]
-        dup_hashes = (np.sort(np.concatenate(hs).astype(np.uint64))
+        dup_hashes = (np.concatenate(hs).astype(np.uint64, copy=False)
                       if hs else np.array([], np.uint64))
     dup_ref = ray.put(np.sort(dup_hashes))
 

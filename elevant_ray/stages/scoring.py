@@ -97,6 +97,11 @@ def charset_jaccard(s1: str, s2: str) -> float:
     return len(a & b) / len(a | b)
 
 
+# cross-slab score memo insertion cap (entries): bounds the memo at
+# ~100-200 MB worst case instead of O(scored pairs); lookups still hit
+PAIR_MEMO_CAP = 1 << 20
+
+
 def score_name_pairs(names1, names2, memo: Optional[dict] = None):
     """Batched (levenshtein, charset_jaccard) over paired name arrays,
     deduplicated by distinct pair: within-blocking-key scoring hits the
@@ -108,7 +113,14 @@ def score_name_pairs(names1, names2, memo: Optional[dict] = None):
     enumeration (guarded_pair_slabs) splits one group's pairs over many
     calls, and without a shared memo a name pair recurring in k slabs
     would run the DP k times; threading one dict per group keeps the
-    O(vocab²) bound across the whole group."""
+    O(vocab²) bound across the whole group.  Insertion stops at
+    PAIR_MEMO_CAP entries (lookups still hit): on a mostly-distinct
+    vocabulary the memo would otherwise grow one entry per scored
+    pair — O(pairs) resident memory, the exact blowup the slab
+    enumeration removes — while a bounded memo still collapses the
+    duplicate-heavy case it exists for.  One memo dict per KERNEL:
+    damerau_pairs uses the same (a, b) keys with a different value
+    shape, so sharing a dict across the two corrupts both."""
     import pandas as pd
 
     if len(names1) == 0:
@@ -125,7 +137,8 @@ def score_name_pairs(names1, names2, memo: Optional[dict] = None):
             hit = memo.get((a, b))
             if hit is None:
                 hit = (levenshtein(a, b), charset_jaccard(a, b))
-                memo[(a, b)] = hit
+                if len(memo) < PAIR_MEMO_CAP:
+                    memo[(a, b)] = hit
             ulev[idx], ujac[idx] = hit
         else:
             ulev[idx] = levenshtein(a, b)
@@ -200,7 +213,8 @@ def damerau_pairs(names1, names2,
             hit = memo.get((a, b))
             if hit is None:
                 hit = damerau_levenshtein(a, b)
-                memo[(a, b)] = hit
+                if len(memo) < PAIR_MEMO_CAP:
+                    memo[(a, b)] = hit
             ud[idx] = hit
         else:
             ud[idx] = damerau_levenshtein(a, b)

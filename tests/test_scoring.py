@@ -221,3 +221,42 @@ def test_score_name_pairs_memo_consistency():
     dm: dict = {}
     d1 = scoring.damerau_pairs(a, b, memo=dm)
     assert (d0 == d1).all() and dm
+
+
+def test_lru_automaton_cache_hit_refreshes(ray_session):
+    """LRU, not FIFO: a hit must refresh recency so the hottest set is
+    never the eviction victim (second-review finding)."""
+    import ray
+
+    from elevant_ray.functions import aho
+
+    aho._AC_CACHE.clear()
+    hot = ray.put(["hotpattern"])
+    aho.automaton_for(hot)
+    for i in range(7):
+        aho.automaton_for(ray.put([f"cold{i}"]))
+    aho.automaton_for(hot)                    # refresh recency
+    aho.automaton_for(ray.put(["newest"]))    # evicts a COLD set
+    assert hot.hex() in aho._AC_CACHE
+
+
+def test_pair_memo_insertion_cap(monkeypatch):
+    """Beyond PAIR_MEMO_CAP the memo stops growing (lookups still hit)
+    — a mostly-distinct vocabulary must not reintroduce O(pairs)
+    resident memory."""
+    import numpy as np
+
+    from elevant_ray.stages import scoring
+
+    monkeypatch.setattr(scoring, "PAIR_MEMO_CAP", 3)
+    a = np.array([f"n{i}" for i in range(10)], dtype=object)
+    b = np.array([f"m{i}" for i in range(10)], dtype=object)
+    memo: dict = {}
+    l1, j1 = scoring.score_name_pairs(a, b, memo=memo)
+    assert len(memo) == 3                     # capped
+    l2, j2 = scoring.score_name_pairs(a, b, memo=memo)
+    assert (l1 == l2).all() and (j1 == j2).all()
+    dmemo: dict = {}    # one memo per KERNEL — value shapes differ
+    d = scoring.damerau_pairs(a, b, memo=dmemo)
+    assert len(dmemo) == 3
+    assert (d == scoring.damerau_pairs(a, b)).all()
